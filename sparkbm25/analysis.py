@@ -1,0 +1,71 @@
+"""Tokenization — the engine's text normalization stage.
+
+Transposes the reference's input normalization (reference:
+benchmarking/dataset/dataset_utils.py:83-86 and
+e2e/api/vector_dataset_generator.py:83-84 L2-normalize vectors before
+indexing; our analog normalizes text before indexing).
+
+Three implementations of ONE tokenizer contract — they must agree bit-for-bit
+because rank-identity of BM25 results depends on it (SURVEY.md §7 "hard parts"):
+
+1. ``tokens_col``      — pure Catalyst expression (lower + regexp_extract_all).
+   JVM-side, whole-stage-codegen, zero Python. This is the default build path.
+2. ``tokenize_pandas_udf`` — Arrow-vectorized pandas UDF (the north rule's
+   "vectorized Arrow UDF" surface; used where a Python kernel already owns the
+   batch, e.g. per-doc tf counting).
+3. ``tokenize_py``     — plain Python for the oracle.
+
+Contract: lowercase, then extract maximal runs of ``[a-z0-9]+``. ASCII-only
+token alphabet keeps Python/JVM/DuckDB regex semantics identical; non-ASCII
+characters act as separators in all three engines.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+# DuckDB-side equivalent expression (used by oracle_sql generators).
+DUCKDB_TOKENS = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
+
+
+def tokens_col(col: str | Column = "text") -> Column:
+    """array<string> token column, pure Catalyst (codegen, no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # null text tokenizes to [] (matches tokenize_py), not null
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(c, F.lit(""))), F.lit(TOKEN_PATTERN), 0
+    )
+
+
+def tokenize_py(text: str | None) -> list[str]:
+    """Oracle tokenizer. Must match tokens_col exactly."""
+    if text is None:
+        return []
+    return _TOKEN_RE.findall(text.lower())
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Vectorized batch tokenizer over a pandas Series of strings."""
+    return texts.fillna("").str.lower().str.findall(_TOKEN_RE)
+
+
+def tokenize_pandas_udf():
+    """Arrow-vectorized tokenizer UDF: string -> array<string>.
+
+    Registered lazily (pandas_udf construction needs an active session on
+    some Spark versions).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _tok(texts: pd.Series) -> pd.Series:
+        return tokenize_series(texts)
+
+    return _tok

@@ -1,0 +1,131 @@
+"""Posting-list compression kernels: delta-gap + variable-byte, block layout.
+
+The analog of the reference's compressed index payload (reference:
+core/index_builder/faiss/ivf_pq_build_cagra_config.py:14-56 configures PQ
+compression of the stored index; vectors_dataset.py:113-128 packs values into
+opaque binary buffers reinterpreted zero-copy). Here the payload is posting
+lists: sorted doc_ids stored as varbyte(delta-gaps) and tfs stored as varbyte,
+split into fixed-size blocks each carrying (first/last doc_id, max tf-norm
+upper bound) so the query engine can prune undecoded blocks (block-max WAND).
+
+All kernels are numpy-vectorized over whole arrays (no per-value Python in
+the hot loop beyond a <=10-iteration byte-position loop), matching the
+"no per-row Python" requirement. They run inside Arrow batches on executors.
+
+Varbyte convention: little-endian 7-bit groups, high bit SET means
+"more bytes follow" (so the final byte of each value has high bit clear).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # docs per posting block (classic BMW block size)
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64-able non-negative int array to varbyte bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits // 7 + (nbits == 0), (nbits + 6) // 7)
+    nbytes = np.maximum(nbytes, 1)
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    starts = ends - nbytes
+    # fill byte position p of every value that has > p bytes
+    max_b = int(nbytes.max())
+    rem = v.copy()
+    for p in range(max_b):
+        mask = nbytes > p
+        idx = starts[mask] + p
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        more = (p + 1) < nbytes[mask]
+        out[idx] = byte | (more.astype(np.uint8) << 7)
+        rem[mask] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def vbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode varbyte bytes back to a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    n_vals = int(is_end.sum())
+    if count is not None and count != n_vals:
+        raise ValueError(f"varbyte stream has {n_vals} values, expected {count}")
+    val_idx = np.zeros(b.size, dtype=np.int64)
+    val_idx[1:] = np.cumsum(is_end[:-1])
+    end_pos = np.flatnonzero(is_end)
+    starts = np.empty(n_vals, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = end_pos[:-1] + 1
+    pos = np.arange(b.size, dtype=np.int64) - starts[val_idx]
+    vals = np.zeros(n_vals, dtype=np.uint64)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    np.add.at(vals, val_idx, contrib)
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int array -> first value + gaps (gap >= 1)."""
+    a = np.asarray(sorted_ids, dtype=np.int64)
+    if a.size == 0:
+        return a.astype(np.uint64)
+    gaps = np.empty(a.size, dtype=np.uint64)
+    gaps[0] = np.uint64(a[0])
+    d = np.diff(a)
+    if (d <= 0).any():
+        raise ValueError("doc ids must be strictly increasing for delta-gap")
+    gaps[1:] = d.astype(np.uint64)
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.uint64)).astype(np.int64)
+
+
+def pack_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    tf_norm_ub: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+):
+    """Split one term's postings (doc_id-sorted) into compressed blocks.
+
+    Yields dicts: block_id, n_docs, first_doc, last_doc, max_tf_norm,
+    docs_vbyte (delta-gap varbyte within block), tfs_vbyte.
+    Per-block delta restart (first value of each block is absolute) makes
+    blocks independently decodable — required for block skipping.
+    """
+    n = doc_ids.shape[0]
+    for bi, lo in enumerate(range(0, n, block_size)):
+        hi = min(lo + block_size, n)
+        ids = doc_ids[lo:hi]
+        yield {
+            "block_id": bi,
+            "n_docs": int(hi - lo),
+            "first_doc": int(ids[0]),
+            "last_doc": int(ids[-1]),
+            "max_tf_norm": float(tf_norm_ub[lo:hi].max()),
+            "docs_vbyte": vbyte_encode(delta_encode(ids)),
+            "tfs_vbyte": vbyte_encode(tfs[lo:hi]),
+        }
+
+
+def unpack_block(docs_vbyte: bytes, tfs_vbyte: bytes, n_docs: int):
+    """Decode one block -> (doc_ids int64, tfs int64)."""
+    ids = delta_decode(vbyte_decode(docs_vbyte, n_docs))
+    tfs = vbyte_decode(tfs_vbyte, n_docs).astype(np.int64)
+    return ids, tfs

@@ -1,0 +1,159 @@
+"""Deterministic synthetic transcript corpora + query sets (seed 42).
+
+The analog of the reference's seeded synthetic dataset generator
+(reference: e2e/api/vector_dataset_generator.py:57-101, config seed=42 at
+e2e/api/test-datasets.yml:35-38 — np.random.normal vectors in 100k batches).
+Ours generates the BASELINE.json `input_hint` transcript shape:
+
+    (conv_id string, turn_idx int, role string, text string,
+     tool string, ts timestamp)
+
+with a Zipf(s=1.1) vocabulary so head-term skew is present (FIXTURES.md §1),
+plus a mixed-difficulty query set (FIXTURES.md §2).
+
+Generation is pure numpy on the driver for unit/correctness scales, and a
+distributed `spark.range`-based generator for bench scale (no driver-side
+materialization), both producing identical rows for identical parameters.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+VOCAB_SIZE = 5000
+ZIPF_S = 1.1
+BASE_TS = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+ROLES = ["user", "assistant", "tool"]
+TOOLS = [
+    "search", "browser", "python", "bash", "calculator", "sql",
+    "email", "calendar", "files", "maps", "weather", "translate",
+]
+
+# a few tokens that exercise normalization (mixed case / punctuation)
+SPICE = ["Hello,", "WORLD!", "FooBar", "x42", "Ok."]
+
+
+def vocab() -> list[str]:
+    """Deterministic vocabulary: w0000..w4999 (lowercase ascii)."""
+    return [f"w{i:04d}" for i in range(VOCAB_SIZE)]
+
+
+def _zipf_probs(n: int = VOCAB_SIZE, s: float = ZIPF_S) -> np.ndarray:
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    p = ranks ** (-s)
+    return p / p.sum()
+
+
+def make_transcripts_pdf(n_convs: int, seed: int = SEED) -> pd.DataFrame:
+    """Driver-side generator (use for unit/correctness scales <= ~50k turns)."""
+    rng = np.random.default_rng(seed)
+    words = np.array(vocab())
+    probs = _zipf_probs()
+    rows = []
+    for c in range(n_convs):
+        conv_id = f"conv-{c:08d}"
+        n_turns = int(rng.integers(2, 21))
+        for t in range(n_turns):
+            role = ROLES[(c + t) % 3]
+            n_tok = int(rng.integers(5, 121))
+            toks = rng.choice(words, size=n_tok, p=probs)
+            text = " ".join(toks.tolist())
+            # sprinkle normalization spice deterministically
+            if (c * 7 + t) % 13 == 0:
+                text = SPICE[(c + t) % len(SPICE)] + " " + text
+            tool = TOOLS[(c + t) % len(TOOLS)] if role == "tool" else None
+            ts = BASE_TS + dt.timedelta(hours=c, minutes=t)
+            rows.append((conv_id, t, role, text, tool, ts))
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def make_transcripts_df(spark, n_convs: int, seed: int = SEED):
+    """Distributed generator for bench scale.
+
+    Same schema and distributional shape; generated per-partition with
+    mapInPandas so no driver materialization (scales to arbitrary n_convs).
+    Seeded per conversation id, so output is independent of partitioning.
+    """
+    from pyspark.sql import functions as F
+
+    words = vocab()
+    probs = _zipf_probs()
+    n_roles, n_tools, n_spice = len(ROLES), len(TOOLS), len(SPICE)
+    roles, tools, spice = ROLES, TOOLS, SPICE
+    base_ts = BASE_TS
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+    def gen(batches):
+        import datetime as _dt
+
+        warr = np.array(words)
+        for pdf in batches:
+            out_rows = []
+            for c in pdf["id"].to_numpy():
+                c = int(c)
+                rng = np.random.default_rng(seed + c)
+                conv_id = f"conv-{c:08d}"
+                n_turns = int(rng.integers(2, 21))
+                for t in range(n_turns):
+                    role = roles[(c + t) % n_roles]
+                    n_tok = int(rng.integers(5, 121))
+                    text = " ".join(rng.choice(warr, size=n_tok, p=probs).tolist())
+                    if (c * 7 + t) % 13 == 0:
+                        text = spice[(c + t) % n_spice] + " " + text
+                    tool = tools[(c + t) % n_tools] if role == "tool" else None
+                    ts = base_ts + _dt.timedelta(hours=c, minutes=t)
+                    out_rows.append((conv_id, t, role, text, tool, ts))
+            yield pd.DataFrame(
+                out_rows,
+                columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            )
+
+    n_parts = max(8, n_convs // 2000)
+    return (
+        spark.range(0, n_convs, numPartitions=n_parts)
+        .mapInPandas(gen, schema=schema)
+        .withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    )
+
+
+def make_queries(n_queries: int = 100, seed: int = SEED) -> list[tuple[int, str]]:
+    """Mixed-difficulty query set (FIXTURES.md §2): head terms, mid terms,
+    rare terms, an absent term, duplicate-term queries."""
+    rng = np.random.default_rng(seed + 1)
+    words = vocab()
+    out: list[tuple[int, str]] = []
+    for qid in range(n_queries):
+        kind = qid % 5
+        if kind == 0:  # head terms
+            terms = [words[int(rng.integers(0, 20))] for _ in range(int(rng.integers(1, 4)))]
+        elif kind == 1:  # mid-frequency
+            terms = [words[int(rng.integers(100, 1000))] for _ in range(int(rng.integers(1, 5)))]
+        elif kind == 2:  # rare
+            terms = [words[int(rng.integers(3000, VOCAB_SIZE))] for _ in range(int(rng.integers(1, 4)))]
+        elif kind == 3:  # contains a term absent from the vocabulary
+            terms = [words[int(rng.integers(0, 500))], "zzabsentzz"]
+        else:  # duplicate-term query
+            w = words[int(rng.integers(0, 200))]
+            terms = [w, w, words[int(rng.integers(500, 2000))]]
+        out.append((qid, " ".join(terms)))
+    return out
+
+
+# --- 5-turn micro corpus with hand-computable tf/df (FIXTURES.md §5) ------
+MICRO_DOCS: list[tuple[int, str]] = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog"),
+    (2, ""),  # empty text
+    (3, "cat " * 50),  # tf saturation
+    (4, "the cat sat on the mat"),  # identical to doc 0 → tie-break check
+]

@@ -1,0 +1,87 @@
+"""Transparent pure-Python BM25 reference engine — the rank-identity oracle.
+
+Plays the role of the reference's ground-truth `neighbors` datasets
+(reference: benchmarking/dataset/dataset.py:79-93 loads HDF5 ground truth;
+benchmarking/utils/common_utils.py:10-41 compares results against it).
+The Spark engine must produce rank-identical top-k (doc ids AND scores)
+against this implementation on every fixture corpus.
+
+Intentionally simple: dict-based inverted index, float64 math, the shared
+formula from sparkbm25.bm25, ties broken by ascending doc_id.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+from .analysis import tokenize_py
+from .bm25 import idf, tf_norm
+
+
+@dataclass
+class OracleIndex:
+    n_docs: int = 0
+    avgdl: float = 0.0
+    doc_len: dict[int, int] = field(default_factory=dict)
+    # term -> {doc_id: tf}
+    postings: dict[str, dict[int, int]] = field(default_factory=dict)
+
+    @classmethod
+    def build(cls, docs: list[tuple[int, str]]) -> "OracleIndex":
+        """docs: list of (doc_id, text)."""
+        ix = cls()
+        total_len = 0
+        for doc_id, text in docs:
+            toks = tokenize_py(text)
+            ix.doc_len[doc_id] = len(toks)
+            total_len += len(toks)
+            for term, tf in Counter(toks).items():
+                ix.postings.setdefault(term, {})[doc_id] = tf
+        ix.n_docs = len(ix.doc_len)
+        ix.avgdl = total_len / ix.n_docs if ix.n_docs else 0.0
+        return ix
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def score(self, query_text: str, doc_id: int) -> float:
+        return sum(
+            idf(self.df(t), self.n_docs)
+            * tf_norm(
+                self.postings.get(t, {}).get(doc_id, 0),
+                self.doc_len[doc_id],
+                self.avgdl,
+            )
+            for t in tokenize_py(query_text)
+            if self.postings.get(t, {}).get(doc_id, 0) > 0
+        )
+
+    def search(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), score desc, doc_id asc tie-break.
+
+        Accumulates per query-term occurrence (duplicate query terms count
+        multiply), in query order, float64 — the engine mirrors this.
+        """
+        acc: dict[int, float] = {}
+        for t in tokenize_py(query_text):
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            w = idf(self.df(t), self.n_docs)
+            for doc_id, tf in plist.items():
+                acc[doc_id] = acc.get(doc_id, 0.0) + w * tf_norm(
+                    tf, self.doc_len[doc_id], self.avgdl
+                )
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def search_all(
+        self, queries: list[tuple[int, str]], k: int = 10
+    ) -> list[tuple[int, int, int, float]]:
+        """[(query_id, rank(1-based), doc_id, score)] over a query set."""
+        out = []
+        for qid, qtext in queries:
+            for rank, (doc_id, score) in enumerate(self.search(qtext, k), start=1):
+                out.append((qid, rank, doc_id, score))
+        return out

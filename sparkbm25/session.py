@@ -1,0 +1,74 @@
+"""SparkSession construction with the engine's required configs.
+
+Local-mode analog of the reference's resource sizing
+(reference: core/object_store/s3/s3_object_store.py:29-46 scales I/O
+concurrency from CPU count; app/base/config.py:14-41 env-driven settings).
+On a real cluster these come from spark-submit conf; here we default them
+for local[N] testing.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip this package for shipping to executors (``--py-files`` analog).
+
+    Python workers do not inherit the driver's sys.path; on a real cluster
+    the package arrives via ``spark-submit --py-files sparkbm25.zip``. When a
+    session is created programmatically we replicate that with addPyFile so
+    Arrow kernels can ``import sparkbm25`` inside executors.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    out = os.path.join(tempfile.gettempdir(), "sparkbm25_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    return out
+
+
+def get_spark(
+    app_name: str = "sparkbm25",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession sized for `cores` local threads.
+
+    shuffle partitions default to the core count: on local[N] there is no
+    network shuffle, so more partitions only add scheduling overhead; on a
+    real cluster the build driver sizes this from input stats (see
+    build.plan_shuffle_partitions).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARKBM25_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(_package_zip())
+    return spark
