@@ -1,0 +1,296 @@
+"""Distributed inverted-index construction — the engine's flagship pipeline.
+
+Transposes the reference's three-stage build job (reference: core/tasks.py:8-33
+``create_vectors_dataset → build_index → upload_index``; orchestration
+core/tasks.py:80-211 with per-stage timing logs) into Spark stages:
+
+    stats → [per lineage-group] salted repartition → SPIMI runs → merge →
+    compressed block postings → finalize (term stats + manifest)
+
+Scale design (the part that must survive 10^12 turns):
+
+- **Salted repartitioning (explicit, term-agnostic).** The corpus is
+  repartitioned on ``pmod(xxhash64(doc_id), num_shards * salt_factor)``
+  BEFORE tokenization, so no term key ever concentrates on one task — the
+  head term "the" is built across all ``num_shards*salt_factor`` tasks.
+  This is stronger than salting only a sketched head-term set and is the
+  SPIMI classic: every partition builds sorted runs for the terms it sees.
+- **Doc-range shards.** ``shard_id = (doc_id - min_doc) // shard_span``.
+  A (term, shard) posting list is bounded by the shard's doc count, so the
+  merge task memory is bounded by ``shard_span`` — the sizing knob recorded
+  in the manifest (the analog of the reference's closed-form memory
+  estimate, app/utils/memory.py:14-59). Range shards also give blocks tight
+  ``first_doc/last_doc`` ranges for query-time skipping.
+- **Two compact shuffles total.** (1) docs by salted key — raw text, smaller
+  than its exploded postings; (2) packed binary runs by (term, shard) —
+  already delta-friendly sorted arrays, not rows. The merge group receives
+  at most ``num_shards*salt_factor`` runs.
+- **Resumable lineage groups.** Shards are striped into ``lineage_groups``
+  disjoint doc subsets; each group's postings land in
+  ``postings/group=G/`` with a lineage record on completion. A killed build
+  resumes by skipping completed groups (reference analog: job store +
+  idempotent short-circuit, app/services/job_service.py:60-83 — but durable,
+  see SURVEY.md §2.7 C4).
+
+Index artifact layout (the analog of the serialized faiss blob,
+faiss_index_build_service.py:165-238):
+
+    index_dir/
+      manifest.json                    build params, stats, lineage, metrics
+      doc_stats/group=G/               (doc_id, doc_len [, text])
+      postings/group=G/term_bucket=B/  block rows (see BLOCK_SCHEMA)
+      term_stats/                      (term, df, cf, max_tf_norm)
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .bm25 import B, K1
+from .codecs import BLOCK_SIZE, delta_encode, vbyte_encode
+from .kernels import _tf_batch
+
+RUN_SCHEMA = (
+    "term string, shard_id long, n_docs int, "
+    "docs_raw binary, tfs_raw binary, dls_raw binary"
+)
+
+BLOCK_SCHEMA = (
+    "term string, shard_id long, block_id int, n_docs int, "
+    "first_doc long, last_doc long, max_tf_norm double, min_tf_norm double, "
+    "sum_tf long, docs_vbyte binary, tfs_vbyte binary, dls_vbyte binary"
+)
+
+
+@dataclass
+class BuildParams:
+    """The job spec — analog of IndexBuildParameters
+    (core/common/models/index_build_parameters.py:136-174, pydantic frozen)."""
+
+    k1: float = K1
+    b: float = B
+    block_size: int = BLOCK_SIZE
+    num_shards: int = 8
+    salt_factor: int = 4
+    num_term_buckets: int = 32
+    lineage_groups: int = 4
+    doc_id_scheme: str = "provided"  # or conv_seq / hash64 / row_number
+    store_text: bool = False  # analog of skip_stored_vectors (inverted)
+    tokenizer: str = "ascii_alnum_lower"
+
+    def validate(self) -> None:
+        if self.block_size < 8:
+            raise ValueError("block_size must be >= 8")
+        for f_ in ("num_shards", "salt_factor", "num_term_buckets", "lineage_groups"):
+            if getattr(self, f_) < 1:
+                raise ValueError(f"{f_} must be >= 1")
+        if self.lineage_groups > self.num_shards:
+            raise ValueError("lineage_groups must be <= num_shards")
+
+
+@dataclass
+class CorpusStats:
+    n_docs: int
+    avgdl: float
+    min_doc: int
+    max_doc: int
+    shard_span: int
+    total_tokens: int = 0
+    extras: dict = field(default_factory=dict)
+
+
+def compute_corpus_stats(corpus: DataFrame, params: BuildParams) -> CorpusStats:
+    """One aggregate pass: N, avgdl, doc-id range → shard span.
+
+    The analog of the reference's parameter derivation from data size
+    (index_builder_utils.py:29-41 n_lists=sqrt(n); here shard_span from
+    id range / num_shards)."""
+    from .analysis import tokens_col
+
+    row = corpus.select(
+        F.count("doc_id").alias("n"),
+        F.avg(F.size(tokens_col("text"))).alias("avgdl"),
+        F.sum(F.size(tokens_col("text"))).alias("tot"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.countDistinct("doc_id").alias("nd"),
+    ).first()
+    if row.n == 0:
+        raise ValueError("empty corpus")
+    if row.n != row.nd:
+        raise ValueError(f"doc_id not unique: {row.n} rows, {row.nd} distinct")
+    span = max(1, (int(row.hi) - int(row.lo) + params.num_shards) // params.num_shards)
+    return CorpusStats(
+        n_docs=int(row.n),
+        avgdl=float(row.avgdl),
+        min_doc=int(row.lo),
+        max_doc=int(row.hi),
+        shard_span=span,
+        total_tokens=int(row.tot),
+    )
+
+
+def _make_runs_gen(min_doc: int, span: int):
+    """Stage-1 kernel: corpus batches -> packed sorted runs per (term, shard).
+
+    Vectorized: tf via C-level groupby (_tf_batch), then one sort by
+    (term, doc_id) and one groupby over term/shard boundaries using
+    reduceat-style slicing — no per-row Python."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tf = _tf_batch(pdf)
+            if tf.empty:
+                continue
+            shard = ((tf["doc_id"].to_numpy() - min_doc) // span).astype(np.int64)
+            tf = tf.assign(shard_id=shard)
+            tf = tf.sort_values(["term", "shard_id", "doc_id"], kind="stable")
+            terms = tf["term"].to_numpy()
+            shards = tf["shard_id"].to_numpy()
+            docs = tf["doc_id"].to_numpy(dtype=np.int64)
+            tfs = tf["tf"].to_numpy(dtype=np.int32)
+            dls = tf["doc_len"].to_numpy(dtype=np.int32)
+            # group boundaries where (term, shard) changes
+            change = np.ones(len(tf), dtype=bool)
+            change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.r_[starts[1:], len(tf)]
+            out = {
+                "term": terms[starts],
+                "shard_id": shards[starts],
+                "n_docs": (ends - starts).astype(np.int32),
+                "docs_raw": [docs[s:e].tobytes() for s, e in zip(starts, ends)],
+                "tfs_raw": [tfs[s:e].tobytes() for s, e in zip(starts, ends)],
+                "dls_raw": [dls[s:e].tobytes() for s, e in zip(starts, ends)],
+            }
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def _make_merge_fn(params: BuildParams, avgdl: float):
+    """Stage-2 kernel: merge one (term, shard)'s runs into compressed blocks."""
+    k1, b, bs = params.k1, params.b, params.block_size
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, shard_id = key
+        docs = np.concatenate(
+            [np.frombuffer(x, dtype=np.int64) for x in pdf["docs_raw"]]
+        )
+        tfs = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in pdf["tfs_raw"]])
+        dls = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in pdf["dls_raw"]])
+        order = np.argsort(docs, kind="stable")
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        if docs.size > 1 and (np.diff(docs) <= 0).any():
+            raise ValueError(f"duplicate doc_id in postings of term={term!r}")
+        tfn = (
+            tfs.astype(np.float64)
+            * (k1 + 1.0)
+            / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+        )
+        n = docs.size
+        rows = []
+        for bi, lo in enumerate(range(0, n, bs)):
+            hi = min(lo + bs, n)
+            rows.append(
+                (
+                    term,
+                    int(shard_id),
+                    bi,
+                    int(hi - lo),
+                    int(docs[lo]),
+                    int(docs[hi - 1]),
+                    float(tfn[lo:hi].max()),
+                    float(tfn[lo:hi].min()),
+                    int(tfs[lo:hi].sum()),
+                    vbyte_encode(delta_encode(docs[lo:hi])),
+                    vbyte_encode(tfs[lo:hi]),
+                    vbyte_encode(dls[lo:hi]),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term", "shard_id", "block_id", "n_docs", "first_doc",
+                "last_doc", "max_tf_norm", "min_tf_norm", "sum_tf",
+                "docs_vbyte", "tfs_vbyte", "dls_vbyte",
+            ],
+        )
+
+    return merge
+
+
+def build_postings(
+    corpus: DataFrame, params: BuildParams, stats: CorpusStats
+) -> DataFrame:
+    """corpus (doc_id, text) -> block rows DataFrame (BLOCK_SCHEMA + term_bucket).
+
+    The macro-aggregation — analog of the reference's whole-dataset index
+    fold (faiss_gpu_index_cagra_builder.py:227-279)."""
+    n_parts = params.num_shards * params.salt_factor
+    salted = corpus.select("doc_id", "text").repartition(
+        n_parts, F.pmod(F.xxhash64("doc_id"), F.lit(n_parts))
+    )
+    runs = salted.mapInPandas(
+        _make_runs_gen(stats.min_doc, stats.shard_span), schema=RUN_SCHEMA
+    )
+    blocks = runs.groupBy("term", "shard_id").applyInPandas(
+        _make_merge_fn(params, stats.avgdl), schema=BLOCK_SCHEMA
+    )
+    return blocks.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(params.num_term_buckets))
+    )
+
+
+def term_stats_from_blocks(blocks: DataFrame) -> DataFrame:
+    """Global per-term stats from block METADATA only (no binary decode;
+    Catalyst prunes the vbyte columns out of the scan)."""
+    return blocks.groupBy("term").agg(
+        F.sum("n_docs").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+        F.max("max_tf_norm").alias("max_tf_norm"),
+    )
+
+
+class StageTimer:
+    """Per-stage wall-clock metrics — analog of the reference's stage timing
+    logs (core/tasks.py:142-196) persisted into the manifest."""
+
+    def __init__(self) -> None:
+        self.stages: dict[str, float] = {}
+
+    def time(self, name: str):
+        timer = self
+
+        class _Ctx:
+            def __enter__(self_inner):
+                self_inner.t0 = time.time()
+                return self_inner
+
+            def __exit__(self_inner, *exc):
+                timer.stages[name] = timer.stages.get(name, 0.0) + (
+                    time.time() - self_inner.t0
+                )
+                return False
+
+        return _Ctx()
+
+
+def params_dict(params: BuildParams, stats: CorpusStats) -> dict:
+    d = asdict(params)
+    d.update(
+        n_docs=stats.n_docs,
+        avgdl=stats.avgdl,
+        min_doc=stats.min_doc,
+        max_doc=stats.max_doc,
+        shard_span=stats.shard_span,
+        total_tokens=stats.total_tokens,
+    )
+    return d

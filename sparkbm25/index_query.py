@@ -1,0 +1,307 @@
+"""Top-k BM25 over the prebuilt compressed index — block-max pruned, EXACT.
+
+The reference's search entry point loads a serialized index and answers
+top-k per query with beam pruning (benchmarking/search/search_indices.py:13-55,
+efSearch pruning :16-20). Ours reads the posting blocks and prunes with
+block-max metadata, expressed entirely as DataFrame joins + Arrow decode
+kernels — and is rank-identical to exhaustive scoring (the reference only
+promises recall; the north rule demands identity, so the pruning here is
+*sound*, not approximate):
+
+Phase 0  read only the query terms' postings: `term_bucket` partition
+         pruning + `term` predicate pushed into the Parquet scan; block
+         METADATA columns only (Catalyst prunes the vbyte binaries).
+Phase 1  threshold bootstrap θ(q) from metadata alone: for each query term,
+         rank its blocks by the block's guaranteed-per-doc LOWER bound
+         L = qtf·idf·min_tf_norm; the L at which the cumulative doc count
+         reaches k proves "k docs exist scoring ≥ L" → θ(q) = max over terms.
+Phase 2  survivors = blocks whose doc-level UPPER bound
+         qtf·idf·max_tf_norm + Σ_{other terms} qtf'·idf'·max_tf_norm_global
+         ≥ θ(q). Docs appearing only in pruned blocks score < θ ≤ true kth
+         score → safely excluded. Decode survivors (Arrow kernel), partial
+         scores P(q,d) + the exact set of contributing terms.
+Phase 3  τ(q) = kth largest P (valid lower bound on the true kth score).
+         Candidates = docs with P + (UB of their missing terms) ≥ τ.
+         Re-decode only pruned blocks whose [first_doc, last_doc] range
+         covers a candidate, add exact missing contributions, final top-k.
+
+Every phase is a DataFrame plan; Python appears only in the two decode
+kernels (numpy varbyte, batch-vectorized).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .analysis import tokenize_py
+from .bm25 import idf as idf_fn
+from .codecs import vbyte_decode, delta_decode
+from .jobs import Index
+from .query import topk_window
+
+DECODE_SCHEMA = "query_id int, doc_id long, term string, contrib double, w_term double"
+EXTRA_SCHEMA = "query_id int, doc_id long, extra double"
+
+
+def _query_weights(ix: Index, queries: list[tuple[int, str]]):
+    """Driver-side prep over the (tiny) query set: per-(query,term) weight
+    w = qtf·idf, per-term global UB, per-(query,term) rest-sum.
+
+    Returns (weights rows, terms list) where weights rows are
+    (query_id, term, w, ub_term, rest)."""
+    qtf: dict[tuple[int, str], int] = {}
+    terms: set[str] = set()
+    for qid, qtext in queries:
+        for t in tokenize_py(qtext):
+            qtf[(qid, t)] = qtf.get((qid, t), 0) + 1
+            terms.add(t)
+    if not terms:
+        return [], []
+    stats = {
+        r.term: (r.df, r.max_tf_norm)
+        for r in ix.term_stats().filter(F.col("term").isin(list(terms))).collect()
+    }
+    rows = []
+    per_query: dict[int, list[tuple[str, float, float]]] = {}
+    for (qid, t), c in qtf.items():
+        if t not in stats:
+            continue  # absent term contributes nothing
+        df_t, mtn = stats[t]
+        w = c * idf_fn(df_t, ix.n_docs)
+        per_query.setdefault(qid, []).append((t, w, w * mtn))
+    for qid, lst in per_query.items():
+        total_ub = sum(ub for _, _, ub in lst)
+        for t, w, ub in lst:
+            rows.append((qid, t, w, ub, total_ub - ub))
+    return rows, sorted({r[1] for r in rows})
+
+
+def _matched_blocks(ix: Index, weights: list[tuple]) -> DataFrame:
+    """Postings blocks of the query terms, joined with per-(query,term)
+    weights. Partition pruning via term_bucket; predicate pushdown on term."""
+    spark = ix.spark
+    terms = sorted({t for _, t, *_ in weights})
+    # bucket of each term via the same Spark hash used at build
+    bucket_rows = spark.createDataFrame(
+        [(t,) for t in terms], "term string"
+    ).select(
+        "term", F.pmod(F.xxhash64("term"), F.lit(ix.num_term_buckets)).alias("b")
+    ).collect()
+    buckets = sorted({r.b for r in bucket_rows})
+    w_df = spark.createDataFrame(
+        weights, "query_id int, term string, w double, ub_term double, rest double"
+    )
+    blocks = (
+        ix.postings()
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    return blocks.join(F.broadcast(w_df), "term")
+
+
+def _theta(qblocks: DataFrame, k: int) -> DataFrame:
+    """Phase 1: per-query pruning threshold from metadata only."""
+    L = (F.col("w") * F.col("min_tf_norm")).alias("L")
+    meta = qblocks.select("query_id", "term", "n_docs", L)
+    w = Window.partitionBy("query_id", "term").orderBy(F.desc("L"))
+    ranked = (
+        meta.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)  # each block holds >=1 doc, k blocks suffice
+        .withColumn(
+            "cum",
+            F.sum("n_docs").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    theta_t = (
+        ranked.filter(F.col("cum") >= k)
+        .groupBy("query_id", "term")
+        .agg(F.max("L").alias("theta_t"))
+    )
+    return theta_t.groupBy("query_id").agg(F.max("theta_t").alias("theta"))
+
+
+def _decode_gen(k1: float, b: float, avgdl: float):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                ids = delta_decode(vbyte_decode(r.docs_vbyte, r.n_docs))
+                tfs = vbyte_decode(r.tfs_vbyte, r.n_docs).astype(np.float64)
+                dls = vbyte_decode(r.dls_vbyte, r.n_docs).astype(np.float64)
+                tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int32(r.query_id),
+                            "doc_id": ids,
+                            "term": r.term,
+                            "contrib": r.w * tfn,
+                            "w_term": np.float64(r.ub_term),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype="int32"),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "term": pd.Series(dtype="object"),
+                        "contrib": pd.Series(dtype="float64"),
+                        "w_term": pd.Series(dtype="float64"),
+                    }
+                )
+            )
+
+    return gen
+
+
+def _rescore_gen(k1: float, b: float, avgdl: float, cand_map: dict[int, np.ndarray]):
+    """Decode pruned blocks, keeping only candidate docs of that query."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                cands = cand_map.get(int(r.query_id))
+                if cands is None:
+                    continue
+                ids = delta_decode(vbyte_decode(r.docs_vbyte, r.n_docs))
+                keep = np.isin(ids, cands)
+                if not keep.any():
+                    continue
+                tfs = vbyte_decode(r.tfs_vbyte, r.n_docs).astype(np.float64)[keep]
+                dls = vbyte_decode(r.dls_vbyte, r.n_docs).astype(np.float64)[keep]
+                tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int32(r.query_id),
+                            "doc_id": ids[keep],
+                            "extra": r.w * tfn,
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype="int32"),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "extra": pd.Series(dtype="float64"),
+                    }
+                )
+            )
+
+    return gen
+
+
+def index_search(
+    ix: Index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    prune: bool = True,
+) -> DataFrame:
+    """Exact top-k BM25 from the index. prune=False decodes every block of
+    the query's terms (exhaustive term-at-a-time) — the cross-check path."""
+    spark = ix.spark
+    weights, _ = _query_weights(ix, queries)
+    if not weights:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    qblocks = _matched_blocks(ix, weights)
+    decode = _decode_gen(ix.k1, ix.b, ix.avgdl)
+
+    if not prune:
+        contribs = qblocks.mapInPandas(decode, schema=DECODE_SCHEMA)
+        scored = contribs.groupBy("query_id", "doc_id").agg(
+            F.sum("contrib").alias("score")
+        )
+        return topk_window(scored, k)
+
+    theta = _theta(qblocks, k)  # (query_id, theta)
+    qb = qblocks.join(F.broadcast(theta), "query_id", "left").withColumn(
+        "theta", F.coalesce("theta", F.lit(0.0))
+    )
+    ub_doc = F.col("w") * F.col("max_tf_norm") + F.col("rest")
+    survivors = qb.filter(ub_doc >= F.col("theta"))
+    pruned = qb.filter(ub_doc < F.col("theta"))
+
+    contribs = survivors.mapInPandas(decode, schema=DECODE_SCHEMA)
+    partial = contribs.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("P"),
+        F.sum("w_term").alias("contributed_ub"),
+        F.collect_set("term").alias("cterms"),
+    )
+    # total UB per query (driver-side tiny)
+    total_ub = {}
+    for qid, _t, _w, ub, rest in weights:
+        total_ub[qid] = max(total_ub.get(qid, 0.0), ub + rest)
+    tub = spark.createDataFrame(
+        [(q, v) for q, v in total_ub.items()], "query_id int, total_ub double"
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("P"), F.asc("doc_id"))
+    with_tau = partial.withColumn("rn", F.row_number().over(wk))
+    tau = (
+        with_tau.filter(F.col("rn") == k)
+        .select("query_id", F.col("P").alias("tau"))
+    )
+    cand = (
+        partial.join(F.broadcast(tau), "query_id", "left")
+        .join(F.broadcast(tub), "query_id")
+        .withColumn("tau", F.coalesce("tau", F.lit(float("-inf"))))
+        .withColumn("M", F.col("total_ub") - F.col("contributed_ub"))
+        .filter(F.col("P") + F.col("M") >= F.col("tau"))
+    )
+    cand = cand.cache()
+    try:
+        # Phase 3: exact missing contributions from pruned blocks
+        cand_rows = cand.select("query_id", "doc_id", "cterms").collect()
+        cand_map: dict[int, np.ndarray] = {}
+        missing_pairs: set[tuple[int, str]] = set()
+        qterms_by_q: dict[int, set[str]] = {}
+        for qid, t, *_ in weights:
+            qterms_by_q.setdefault(qid, set()).add(t)
+        by_q: dict[int, list[int]] = {}
+        for r in cand_rows:
+            by_q.setdefault(r.query_id, []).append(r.doc_id)
+            for t in qterms_by_q[r.query_id] - set(r.cterms):
+                missing_pairs.add((r.query_id, t))
+        for qid, ids in by_q.items():
+            cand_map[qid] = np.array(sorted(ids), dtype=np.int64)
+
+        if missing_pairs:
+            mp = spark.createDataFrame(
+                sorted(missing_pairs), "query_id int, term string"
+            )
+            to_rescore = pruned.join(F.broadcast(mp), ["query_id", "term"], "left_semi")
+            extra = to_rescore.mapInPandas(
+                _rescore_gen(ix.k1, ix.b, ix.avgdl, cand_map), schema=EXTRA_SCHEMA
+            )
+            extra_agg = extra.groupBy("query_id", "doc_id").agg(
+                F.sum("extra").alias("extra")
+            )
+            final = (
+                cand.join(extra_agg, ["query_id", "doc_id"], "left")
+                .withColumn(
+                    "score", F.col("P") + F.coalesce(F.col("extra"), F.lit(0.0))
+                )
+                .select("query_id", "doc_id", "score")
+            )
+        else:
+            final = cand.select("query_id", "doc_id", F.col("P").alias("score"))
+        out = topk_window(final, k)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        cand.unpersist()
+    return out

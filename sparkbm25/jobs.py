@@ -1,0 +1,214 @@
+"""Job lifecycle: idempotent builds, durable manifests, per-partition lineage.
+
+Transposes the reference's control plane (SURVEY.md §2.7):
+- job id = SHA-256 of the request projection (reference: app/utils/hash.py:12-28
+  over RequestParameters; ours over build params + source fingerprint)
+- idempotent short-circuit on completed jobs (job_service.py:60-83,176-183)
+- job store (app/storage/memory.py:22-169 — volatile, TTL'd) becomes a
+  DURABLE manifest.json with per-lineage-group records, strictly stronger:
+  a killed build resumes by skipping completed groups.
+- status/jobs readers (app/routes/status.py, get_jobs.py) become
+  ``read_manifest`` + the CLI in sparkbm25.cli.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import (
+    BuildParams,
+    CorpusStats,
+    StageTimer,
+    build_postings,
+    compute_corpus_stats,
+    params_dict,
+    term_stats_from_blocks,
+)
+
+MANIFEST = "manifest.json"
+
+STATUS_RUNNING = "RUNNING"
+STATUS_COMPLETED = "COMPLETED"
+STATUS_FAILED = "FAILED"
+
+
+def job_id(params: BuildParams, source_fingerprint: str) -> str:
+    """SHA-256 of the canonical request (analog app/utils/hash.py:12-28)."""
+    payload = json.dumps(
+        {"params": sorted(params.__dict__.items()), "source": source_fingerprint},
+        sort_keys=True,
+        default=str,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def read_manifest(index_dir: str) -> dict | None:
+    p = os.path.join(index_dir, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(index_dir: str, m: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=2, default=str)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST))  # atomic publish
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by tests to simulate a mid-build crash (resumability tests,
+    SURVEY.md §5 item the reference lacks)."""
+
+
+def build_index(
+    corpus: DataFrame,
+    index_dir: str,
+    params: BuildParams | None = None,
+    source_fingerprint: str = "",
+    fail_after_group: int | None = None,
+) -> dict:
+    """Build (or resume) the index for `corpus` (doc_id, text) at index_dir.
+
+    Returns the final manifest. Orchestration mirrors core/tasks.py:80-211:
+    stats → per-group build → finalize, with per-stage timings recorded.
+    """
+    params = params or BuildParams()
+    params.validate()
+    jid = job_id(params, source_fingerprint)
+    timer = StageTimer()
+
+    m = read_manifest(index_dir)
+    if m is not None:
+        if m["job_id"] != jid:
+            raise ValueError(
+                f"index_dir holds job {m['job_id'][:12]}…, request is {jid[:12]}… "
+                "(different params/source); refusing to mix artifacts"
+            )
+        if m["status"] == STATUS_COMPLETED:
+            return m  # idempotent short-circuit (job_service.py:176-183)
+    else:
+        m = {
+            "job_id": jid,
+            "status": STATUS_RUNNING,
+            "source_fingerprint": source_fingerprint,
+            "completed_groups": {},
+            "metrics": {},
+            "error_message": None,
+        }
+
+    # --- stats stage (fixed once per job; resumed runs must reuse) --------
+    if "build" not in m:
+        with timer.time("stats"):
+            stats = compute_corpus_stats(corpus, params)
+        m["build"] = params_dict(params, stats)
+        _write_manifest(index_dir, m)
+    else:
+        b = m["build"]
+        stats = CorpusStats(
+            n_docs=b["n_docs"], avgdl=b["avgdl"], min_doc=b["min_doc"],
+            max_doc=b["max_doc"], shard_span=b["shard_span"],
+            total_tokens=b.get("total_tokens", 0),
+        )
+
+    shard = (F.col("doc_id") - F.lit(stats.min_doc)) / F.lit(stats.shard_span)
+    group_col = F.pmod(F.floor(shard), F.lit(params.lineage_groups))
+
+    try:
+        for g in range(params.lineage_groups):
+            if str(g) in m["completed_groups"]:
+                continue
+            gdir = os.path.join(index_dir, "postings", f"group={g}")
+            ddir = os.path.join(index_dir, "doc_stats", f"group={g}")
+            for d in (gdir, ddir):
+                if os.path.exists(d):
+                    shutil.rmtree(d)  # partial output from a crashed attempt
+            t0 = time.time()
+            sub = corpus.filter(group_col == g)
+            with timer.time(f"group_{g}"):
+                from .analysis import tokens_col
+
+                (
+                    sub.select(
+                        "doc_id",
+                        F.size(tokens_col("text")).alias("doc_len"),
+                        *(["text"] if params.store_text else []),
+                    ).write.mode("overwrite").parquet(ddir)
+                )
+                blocks = build_postings(sub, params, stats)
+                blocks.write.partitionBy("term_bucket").mode("overwrite").parquet(gdir)
+            m["completed_groups"][str(g)] = {
+                "wall_s": round(time.time() - t0, 3),
+                "postings_path": gdir,
+                "doc_stats_path": ddir,
+            }
+            _write_manifest(index_dir, m)
+            if fail_after_group is not None and g >= fail_after_group:
+                raise InjectedFailure(f"injected failure after group {g}")
+
+        # --- finalize: global term stats from block metadata ---------------
+        with timer.time("finalize"):
+            spark = corpus.sparkSession
+            blocks_all = spark.read.parquet(os.path.join(index_dir, "postings"))
+            tdir = os.path.join(index_dir, "term_stats")
+            term_stats_from_blocks(blocks_all).write.mode("overwrite").parquet(tdir)
+        m["status"] = STATUS_COMPLETED
+    except InjectedFailure:
+        m["status"] = STATUS_FAILED
+        m["error_message"] = "injected failure (test)"
+        m["metrics"].update(timer.stages)
+        _write_manifest(index_dir, m)
+        raise
+    except Exception as e:  # real failure: record and re-raise (tasks.py TaskResult)
+        m["status"] = STATUS_FAILED
+        m["error_message"] = f"{type(e).__name__}: {e}"
+        m["metrics"].update(timer.stages)
+        _write_manifest(index_dir, m)
+        raise
+
+    m["metrics"].update(timer.stages)
+    n_turns = stats.n_docs
+    total_wall = sum(timer.stages.values())
+    if total_wall > 0:
+        m["metrics"]["build_throughput_docs_per_sec"] = round(n_turns / total_wall, 2)
+    _write_manifest(index_dir, m)
+    return m
+
+
+class Index:
+    """Handle over a built index directory (the query engine's input)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = read_manifest(index_dir)
+        if self.manifest is None:
+            raise FileNotFoundError(f"no manifest at {index_dir}")
+        if self.manifest["status"] != STATUS_COMPLETED:
+            raise ValueError(
+                f"index at {index_dir} is {self.manifest['status']}, not COMPLETED"
+            )
+        self.spark = spark
+        b = self.manifest["build"]
+        self.n_docs: int = b["n_docs"]
+        self.avgdl: float = b["avgdl"]
+        self.k1: float = b["k1"]
+        self.b: float = b["b"]
+        self.num_term_buckets: int = b["num_term_buckets"]
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))

@@ -1,0 +1,174 @@
+"""End-to-end index build + indexed query: rank-identity, resume, idempotency.
+
+Mirrors the reference's e2e layer (e2e/api/run_e2e.py:25-188 — synthetic
+dataset → build → poll → assert artifact) plus the resumability layer the
+reference lacks (SURVEY.md §5)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sparkbm25.build import BuildParams
+from sparkbm25.codecs import vbyte_decode, delta_decode
+from sparkbm25.corpus import add_doc_id
+from sparkbm25.fixtures import MICRO_DOCS, make_queries, make_transcripts_pdf
+from sparkbm25.index_query import index_search
+from sparkbm25.jobs import Index, InjectedFailure, build_index, read_manifest
+from sparkbm25.oracle import OracleIndex
+from sparkbm25.query import score_all_topk
+
+K = 10
+PARAMS = BuildParams(num_shards=6, salt_factor=2, num_term_buckets=8,
+                     lineage_groups=3, doc_id_scheme="conv_seq")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = make_transcripts_pdf(60)
+    df = add_doc_id(spark.createDataFrame(pdf), scheme="conv_seq")
+    df = df.select("doc_id", "text")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def built(corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ix"))
+    manifest = build_index(corpus, d, PARAMS, source_fingerprint="fixture60")
+    return d, manifest
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex.build(
+        [(r.doc_id, r.text) for r in corpus.collect()]
+    )
+
+
+def test_manifest_complete(built):
+    d, m = built
+    assert m["status"] == "COMPLETED"
+    assert len(m["completed_groups"]) == PARAMS.lineage_groups
+    assert m["build"]["n_docs"] > 0
+    assert m["metrics"]["build_throughput_docs_per_sec"] > 0
+    # per-stage metrics recorded (tasks.py:142-196 analog)
+    assert any(k.startswith("group_") for k in m["metrics"])
+
+
+def test_postings_layout_and_integrity(spark, built, oracle):
+    d, _ = built
+    blocks = spark.read.parquet(os.path.join(d, "postings"))
+    assert {"group", "term_bucket"} <= set(blocks.columns)  # partition cols
+    # decode every block of one mid-frequency term; postings must equal oracle
+    term = "w0100"
+    rows = blocks.filter(blocks.term == term).collect()
+    got = {}
+    for r in rows:
+        ids = delta_decode(vbyte_decode(r.docs_vbyte, r.n_docs))
+        tfs = vbyte_decode(r.tfs_vbyte, r.n_docs)
+        assert r.first_doc == ids[0] and r.last_doc == ids[-1]
+        assert int(tfs.sum()) == r.sum_tf
+        for i, t in zip(ids.tolist(), tfs.tolist()):
+            assert i not in got, "doc duplicated across blocks"
+            got[i] = t
+    assert got == oracle.postings[term]
+
+
+def test_term_stats_match_oracle(spark, built, oracle):
+    d, _ = built
+    ts = {r.term: (r.df, r.cf) for r in
+          spark.read.parquet(os.path.join(d, "term_stats")).collect()}
+    assert len(ts) == len(oracle.postings)
+    for term, plist in oracle.postings.items():
+        assert ts[term] == (len(plist), sum(plist.values())), term
+
+
+def _assert_rank_identical(got_rows, want, rel=1e-9):
+    got = sorted((r.query_id, r.rank, r.doc_id, r.score) for r in got_rows)
+    want = sorted(want)
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], rel=rel)
+
+
+def test_index_search_rank_identical(spark, built, oracle):
+    d, _ = built
+    ix = Index(spark, d)
+    queries = make_queries(40)
+    want = oracle.search_all(queries, k=K)
+    got_pruned = index_search(ix, queries, k=K, prune=True).collect()
+    _assert_rank_identical(got_pruned, want)
+    got_exhaustive = index_search(ix, queries, k=K, prune=False).collect()
+    _assert_rank_identical(got_exhaustive, want)
+
+
+def test_index_search_matches_score_all(spark, built, corpus):
+    d, _ = built
+    ix = Index(spark, d)
+    queries = [(0, "w0000 w0003"), (1, "w0500 w0500 w1200"), (2, "w4999")]
+    a = sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9))
+               for r in index_search(ix, queries, k=K).collect())
+    b = sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9))
+               for r in score_all_topk(corpus, queries, k=K).collect())
+    assert [x[:3] for x in a] == [x[:3] for x in b]
+    for x, y in zip(a, b):
+        assert x[3] == pytest.approx(y[3], rel=1e-9)
+
+
+def test_absent_and_empty_queries(spark, built):
+    d, _ = built
+    ix = Index(spark, d)
+    assert index_search(ix, [(0, "zzabsent qqq"), (1, "")], k=5).count() == 0
+
+
+def test_idempotent_short_circuit(corpus, built):
+    d, m1 = built
+    m2 = build_index(corpus, d, PARAMS, source_fingerprint="fixture60")
+    assert m2["job_id"] == m1["job_id"]
+    assert m2["status"] == "COMPLETED"
+
+
+def test_param_mismatch_refused(corpus, built):
+    d, _ = built
+    other = BuildParams(num_shards=3, lineage_groups=2)
+    with pytest.raises(ValueError, match="refusing to mix"):
+        build_index(corpus, d, other, source_fingerprint="fixture60")
+
+
+def test_kill_and_resume_identical_artifact(spark, corpus, oracle, tmp_path):
+    """Kill after group 0; resume; artifact must equal a clean build's
+    results and lineage must show all groups."""
+    d = str(tmp_path / "ix_resume")
+    with pytest.raises(InjectedFailure):
+        build_index(corpus, d, PARAMS, source_fingerprint="fixture60",
+                    fail_after_group=0)
+    m = read_manifest(d)
+    assert m["status"] == "FAILED"
+    assert sorted(m["completed_groups"]) == ["0"]
+
+    m2 = build_index(corpus, d, PARAMS, source_fingerprint="fixture60")
+    assert m2["status"] == "COMPLETED"
+    assert sorted(m2["completed_groups"]) == ["0", "1", "2"]
+
+    ix = Index(spark, d)
+    queries = make_queries(15)
+    got = index_search(ix, queries, k=K).collect()
+    _assert_rank_identical(got, oracle.search_all(queries, k=K))
+
+
+def test_micro_corpus_via_index(spark, tmp_path):
+    df = spark.createDataFrame(MICRO_DOCS, "doc_id long, text string")
+    d = str(tmp_path / "micro")
+    p = BuildParams(num_shards=2, salt_factor=2, num_term_buckets=2,
+                    lineage_groups=1, block_size=8)
+    build_index(df, d, p, source_fingerprint="micro")
+    ix = Index(spark, d)
+    oracle = OracleIndex.build(MICRO_DOCS)
+    queries = [(0, "cat mat"), (1, "the dog"), (2, "cat cat")]
+    _assert_rank_identical(
+        index_search(ix, queries, k=5).collect(),
+        oracle.search_all(queries, k=5),
+    )
