@@ -70,6 +70,126 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same flagship results via the FULL engine: salted SPIMI build into a
+    compressed block index, then shard-grouped exact search (SURVEY §2.4 A1
+    + §2.5 T1). Oracle: identical SQL as bm25_topk — the index must be a
+    pure representation change."""
+    import hashlib
+    import os
+
+    from sparkbm25.build import BuildParams
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index, build_index
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    ix_dir = f"/tmp/sparkbm25_entry/ix_{tag}"
+    params = BuildParams(num_shards=8, salt_factor=2, num_term_buckets=16,
+                         lineage_groups=2)
+    build_index(docs, ix_dir, params, source_fingerprint=sf_dir)  # idempotent
+    out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K)
+    return out.withColumn("score", F.round("score", 6))
+
+
+# --- training-data pipeline ops (dedup / similarity / text analysis) -------
+
+JACCARD_T = 0.5  # every real near-dup pair in the data is >= 0.5; at this
+# threshold the r=2,b=64 LSH miss probability per pair is (1-0.25)^64 ~ 1e-8
+COS_PAIR_T = 0.4
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkbm25.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkbm25.pipeline.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), JACCARD_T)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, exact-verified — compared against the exact
+    Jaccard oracle (band count sized so miss probability < 1e-7)."""
+    from sparkbm25.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_T)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkbm25.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkbm25.pipeline.similarity import cosine_topk
+
+    ensure_shipped(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, ANN_QUERY_IDS, k=K)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkbm25.pipeline.similarity import cosine_pairs
+
+    ensure_shipped(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs(emb, COS_PAIR_T)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (approximate — rows-only driver check; recall vs brute force
+    asserted in tests/test_pipeline.py)."""
+    from sparkbm25.pipeline.similarity import ivf_topk
+
+    ensure_shipped(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, ANN_QUERY_IDS, k=K, n_centroids=16, n_probe=6)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkbm25.pipeline.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkbm25.pipeline.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkbm25.pipeline.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkbm25.pipeline.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns + Arrow feature kernel (decode stubbed —
+    deterministic byte histogram; rows-only driver check, plumbing asserted
+    in tests)."""
+    from sparkbm25.pipeline.multimodal import attach_fake_media, fake_features
+
+    media = attach_fake_media(_docs(spark, sf_dir))
+    out = fake_features(media)
+    return out.select(
+        "doc_id", "media_type", "n_bytes",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -78,14 +198,44 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_indexed": q_bm25_topk_indexed,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "multimodal_features": q_multimodal_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from sparkbm25.pipeline import dedup as DD
+    from sparkbm25.pipeline import similarity as SIM
+    from sparkbm25.pipeline import textstats as TS
+
     return {
         "bm25_topk": sqlgen.bm25_topk_sql(DOC_QUERIES, k=K),
+        "bm25_topk_indexed": sqlgen.bm25_topk_sql(DOC_QUERIES, k=K),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_stats": sqlgen.term_stats_sql(),
+        "dedup_exact": DD.exact_dedup_sql(),
+        "dedup_ngram_jaccard": DD.jaccard_pairs_sql(JACCARD_T),
+        "dedup_minhash": DD.jaccard_pairs_sql(JACCARD_T),
+        "dedup_simhash": DD.simhash_pairs_sql(3),
+        "ann_cosine_topk": SIM.cosine_topk_sql(ANN_QUERY_IDS, k=K),
+        "embedding_neardup": SIM.cosine_pairs_sql(COS_PAIR_T),
+        # ann_ivf_topk: approximate -> rows-only check (recall gated in tests)
+        "token_counts": TS.token_counts_sql(),
+        "text_quality": TS.quality_score_sql(),
+        "lang_id": TS.lang_id_sql(),
+        "fingerprint": TS.fingerprint_sql(),
+        # multimodal_features: binary kernel, not SQL-expressible -> rows-only
     }

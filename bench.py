@@ -1,0 +1,159 @@
+"""Benchmark harness — per-round feedback loop (driver runs this at sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ...}
+
+Stages benched (mirroring the reference's benchmarking/workload/workload.py
+doIndexing + doSearch split, with its metric names transposed):
+  build_index            full salted-SPIMI build over the synthetic
+                         transcript corpus (turns/sec reported)
+  query_indexed_batch    100-query batch via block-max pruned index_search
+  query_indexed_p50      median single-query latency (20 warm single calls)
+  query_scoreall         score-all path over the sf documents table
+  dedup/ann/textstats    training-data pipeline ops (when present)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARKBM25_BENCH_CONVS (override corpus size),
+     SPARKBM25_SKIP_PIPELINE=1 to bench only the index engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_CONVS = {"0.001": 500, "0.01": 5000, "0.1": 50000}
+
+
+def _sf_from_dir(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else "0.1"
+
+
+def prepare_corpus(spark, sf: str, n_convs: int) -> str:
+    """Materialize the bench transcript corpus once per scale (generation
+    cost must not pollute build timing)."""
+    path = f"/tmp/sparkbm25_bench/transcripts_sf{sf}_{n_convs}.parquet"
+    if not os.path.exists(path):
+        from sparkbm25.fixtures import make_transcripts_df
+
+        df = make_transcripts_df(spark, n_convs)
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    n_convs = int(
+        os.environ.get("SPARKBM25_BENCH_CONVS", SF_CONVS.get(sf, 50000))
+    )
+
+    from sparkbm25.build import BuildParams
+    from sparkbm25.corpus import add_doc_id
+    from sparkbm25.fixtures import make_queries
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index, build_index
+    from sparkbm25.session import get_spark
+
+    spark = get_spark("sparkbm25-bench", cores=cpus, shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    corpus_path = prepare_corpus(spark, sf, n_convs)
+    corpus = add_doc_id(spark.read.parquet(corpus_path), "conv_seq").select(
+        "doc_id", "text"
+    )
+    n_turns = corpus.count()  # warms the scan; not timed
+
+    # --- build ------------------------------------------------------------
+    ix_dir = f"/tmp/sparkbm25_bench/ix_sf{sf}_{cpus}"
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    params = BuildParams(
+        num_shards=max(cpus, 8), salt_factor=4,
+        num_term_buckets=32, lineage_groups=1,
+    )
+    t0 = time.time()
+    build_index(corpus, ix_dir, params, source_fingerprint=corpus_path)
+    timings["build_index"] = round(time.time() - t0, 3)
+    extras["build_throughput_turns_per_sec"] = round(
+        n_turns / timings["build_index"], 1
+    )
+    extras["n_turns"] = n_turns
+
+    ix = Index(spark, ix_dir)
+    queries = make_queries(100)
+
+    # --- batch query ------------------------------------------------------
+    t0 = time.time()
+    n_res = index_search(ix, queries, k=10).count()
+    timings["query_indexed_batch"] = round(time.time() - t0, 3)
+    extras["batch_results"] = n_res
+    extras["query_throughput_qps"] = round(
+        len(queries) / timings["query_indexed_batch"], 2
+    )
+
+    # --- single-query p50 ---------------------------------------------------
+    lat = []
+    for qid, qtext in queries[:20]:
+        t0 = time.time()
+        index_search(ix, [(qid, qtext)], k=10).count()
+        lat.append(time.time() - t0)
+    timings["query_indexed_p50"] = round(statistics.median(lat), 3)
+
+    # --- block-max pruned strategy (the WAND path), subset ------------------
+    t0 = time.time()
+    index_search(ix, queries[:20], k=10, strategy="blockmax").count()
+    timings["query_blockmax_20"] = round(time.time() - t0, 3)
+
+    # --- score-all over driver documents table -----------------------------
+    from __spark_entry__ import q_bm25_topk
+
+    t0 = time.time()
+    q_bm25_topk(spark, sf_dir).count()
+    timings["query_scoreall_documents"] = round(time.time() - t0, 3)
+
+    # --- training-data pipeline ops (optional) -----------------------------
+    if os.environ.get("SPARKBM25_SKIP_PIPELINE") != "1":
+        try:
+            import __spark_entry__ as entry_mod
+
+            for name in (
+                "dedup_exact", "dedup_minhash", "ann_cosine_topk",
+                "text_quality", "lang_id",
+            ):
+                fn = entry_mod.queries().get(name)
+                if fn is None:
+                    continue
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                timings[f"pipeline_{name}"] = round(time.time() - t0, 3)
+        except Exception as e:  # pipeline bench must not sink the headline
+            extras["pipeline_error"] = str(e)[:200]
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "index-build + BM25 top-k wall clock (see queries for stages)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": cpus,
+        **{k: v for k, v in extras.items()},
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -111,20 +111,29 @@ def compute_corpus_stats(corpus: DataFrame, params: BuildParams) -> CorpusStats:
 
     The analog of the reference's parameter derivation from data size
     (index_builder_utils.py:29-41 n_lists=sqrt(n); here shard_span from
-    id range / num_shards)."""
+    id range / num_shards).
+
+    The exact doc_id uniqueness audit (a full shuffle of all ids) runs only
+    for the hash64 scheme, where collisions are possible; deterministic
+    schemes (conv_seq/provided/row_number) are unique by construction and
+    duplicates would still be caught by the merge kernel's strictly-
+    increasing check."""
     from .analysis import tokens_col
 
-    row = corpus.select(
+    aggs = [
         F.count("doc_id").alias("n"),
         F.avg(F.size(tokens_col("text"))).alias("avgdl"),
         F.sum(F.size(tokens_col("text"))).alias("tot"),
         F.min("doc_id").alias("lo"),
         F.max("doc_id").alias("hi"),
-        F.countDistinct("doc_id").alias("nd"),
-    ).first()
+    ]
+    audit = params.doc_id_scheme == "hash64"
+    if audit:
+        aggs.append(F.countDistinct("doc_id").alias("nd"))
+    row = corpus.select(*aggs).first()
     if row.n == 0:
         raise ValueError("empty corpus")
-    if row.n != row.nd:
+    if audit and row.n != row.nd:
         raise ValueError(f"doc_id not unique: {row.n} rows, {row.nd} distinct")
     span = max(1, (int(row.hi) - int(row.lo) + params.num_shards) // params.num_shards)
     return CorpusStats(

@@ -54,7 +54,7 @@ def _query(args) -> int:
 
     spark = get_spark("sparkbm25-query", cores=args.cores)
     ix = Index(spark, args.index_dir)
-    out = index_search(ix, [(0, args.query)], k=args.k, prune=not args.no_prune)
+    out = index_search(ix, [(0, args.query)], k=args.k, strategy=args.strategy)
     for r in out.orderBy("rank").collect():
         print(f"{r.rank}\t{r.doc_id}\t{r.score:.6f}")
     return 0
@@ -117,7 +117,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index-dir", required=True)
     q.add_argument("--query", required=True)
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--no-prune", action="store_true")
+    q.add_argument("--strategy", default="sharded",
+                   choices=["sharded", "blockmax", "exhaustive"])
     q.add_argument("--cores", type=int, default=None)
     q.set_defaults(fn=_query)
 

@@ -86,13 +86,10 @@ def _matched_blocks(ix: Index, weights: list[tuple]) -> DataFrame:
     weights. Partition pruning via term_bucket; predicate pushdown on term."""
     spark = ix.spark
     terms = sorted({t for _, t, *_ in weights})
-    # bucket of each term via the same Spark hash used at build
-    bucket_rows = spark.createDataFrame(
-        [(t,) for t in terms], "term string"
-    ).select(
-        "term", F.pmod(F.xxhash64("term"), F.lit(ix.num_term_buckets)).alias("b")
-    ).collect()
-    buckets = sorted({r.b for r in bucket_rows})
+    # term_bucket computed driver-side with the Spark-parity XXH64 — no job
+    from .xxhash64 import spark_pmod_bucket
+
+    buckets = sorted({spark_pmod_bucket(t, ix.num_term_buckets) for t in terms})
     w_df = spark.createDataFrame(
         weights, "query_id int, term string, w double, ub_term double, rest double"
     )
@@ -205,24 +202,123 @@ def _rescore_gen(k1: float, b: float, avgdl: float, cand_map: dict[int, np.ndarr
     return gen
 
 
+def _sharded_topk_fn(by_term: dict[str, list[tuple[int, float]]],
+                     k1: float, b: float, avgdl: float, k: int):
+    """Per-shard exact scoring kernel: decode each query term's blocks ONCE,
+    accumulate weighted contributions per query in numpy, emit only the
+    shard-local top-k per query. The shard is a doc-id range, so global
+    top-k = top-k over the union of shard top-ks (every global winner wins
+    its shard)."""
+
+    def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        accum: dict[int, list] = {}
+        for term, grp in pdf.groupby("term", sort=False):
+            ids = np.concatenate(
+                [
+                    delta_decode(vbyte_decode(dv, n))
+                    for dv, n in zip(grp["docs_vbyte"], grp["n_docs"])
+                ]
+            )
+            tfs = np.concatenate(
+                [vbyte_decode(tv, n) for tv, n in zip(grp["tfs_vbyte"], grp["n_docs"])]
+            ).astype(np.float64)
+            dls = np.concatenate(
+                [vbyte_decode(dv, n) for dv, n in zip(grp["dls_vbyte"], grp["n_docs"])]
+            ).astype(np.float64)
+            tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            for qid, w in by_term.get(term, ()):
+                accum.setdefault(qid, []).append((ids, w * tfn))
+        rows_q, rows_d, rows_s = [], [], []
+        for qid, parts in accum.items():
+            ids = np.concatenate([p[0] for p in parts])
+            sc = np.concatenate([p[1] for p in parts])
+            uids, inv = np.unique(ids, return_inverse=True)
+            scores = np.bincount(inv, weights=sc, minlength=len(uids))
+            if len(uids) > k:
+                # exact top-k under the TOTAL order (score desc, doc_id asc):
+                # kth score via partition, keep every doc >= it (tie plateau),
+                # lexsort the survivors, cut to k
+                kth = -np.partition(-scores, k - 1)[k - 1]
+                cand = np.flatnonzero(scores >= kth)
+                keep = cand[np.lexsort((uids[cand], -scores[cand]))][:k]
+            else:
+                keep = np.lexsort((uids, -scores))
+            rows_q.append(np.full(len(keep), qid, dtype=np.int32))
+            rows_d.append(uids[keep])
+            rows_s.append(scores[keep])
+        if not rows_q:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int32"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(rows_q),
+                "doc_id": np.concatenate(rows_d),
+                "score": np.concatenate(rows_s),
+            }
+        )
+
+    return topk
+
+
 def index_search(
     ix: Index,
     queries: list[tuple[int, str]],
     k: int = 10,
-    prune: bool = True,
+    strategy: str = "sharded",
+    prune: bool | None = None,
 ) -> DataFrame:
-    """Exact top-k BM25 from the index. prune=False decodes every block of
-    the query's terms (exhaustive term-at-a-time) — the cross-check path."""
+    """Exact top-k BM25 from the index.
+
+    strategy:
+      "sharded"    (default) shard-grouped exact scoring: posting blocks of
+                   the query terms shuffle ONCE by shard (never replicated
+                   per query); each shard task scores every query in numpy
+                   and emits only its local top-k. Minimal shuffle, exact.
+      "blockmax"   three-phase block-max pruned traversal (see module doc) —
+                   decodes only blocks that can affect the top-k; exact.
+      "exhaustive" decode every block of the query's terms — the
+                   cross-check baseline.
+
+    `prune` is the legacy bool alias (True→blockmax, False→exhaustive).
+    """
+    if prune is not None:
+        strategy = "blockmax" if prune else "exhaustive"
     spark = ix.spark
     weights, _ = _query_weights(ix, queries)
     if not weights:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"
         )
-    qblocks = _matched_blocks(ix, weights)
     decode = _decode_gen(ix.k1, ix.b, ix.avgdl)
 
-    if not prune:
+    if strategy == "sharded":
+        from .xxhash64 import spark_pmod_bucket
+
+        terms = sorted({t for _, t, *_ in weights})
+        buckets = sorted({spark_pmod_bucket(t, ix.num_term_buckets) for t in terms})
+        blocks = (
+            ix.postings()
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .select("term", "shard_id", "n_docs",
+                    "docs_vbyte", "tfs_vbyte", "dls_vbyte")
+        )
+        by_term: dict[str, list[tuple[int, float]]] = {}
+        for qid, t, w, _ub, _rest in weights:
+            by_term.setdefault(t, []).append((qid, w))
+        shard_tops = blocks.groupBy("shard_id").applyInPandas(
+            _sharded_topk_fn(by_term, ix.k1, ix.b, ix.avgdl, k),
+            schema="query_id int, doc_id long, score double",
+        )
+        return topk_window(shard_tops, k)
+
+    qblocks = _matched_blocks(ix, weights)
+    if strategy == "exhaustive":
         contribs = qblocks.mapInPandas(decode, schema=DECODE_SCHEMA)
         scored = contribs.groupBy("query_id", "doc_id").agg(
             F.sum("contrib").alias("score")

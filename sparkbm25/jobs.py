@@ -203,12 +203,22 @@ class Index:
         self.k1: float = b["k1"]
         self.b: float = b["b"]
         self.num_term_buckets: int = b["num_term_buckets"]
+        self._dfs: dict[str, DataFrame] = {}
+
+    def _load(self, name: str) -> DataFrame:
+        # cache the DataFrame handle: file listing + schema inference happen
+        # once per index, not once per query
+        if name not in self._dfs:
+            self._dfs[name] = self.spark.read.parquet(
+                os.path.join(self.index_dir, name)
+            )
+        return self._dfs[name]
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        return self._load("postings")
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+        return self._load("term_stats")
 
     def doc_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
+        return self._load("doc_stats")

