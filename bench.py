@@ -77,11 +77,15 @@ def main() -> int:
 
     # --- build ------------------------------------------------------------
     ix_dir = f"/tmp/sparkbm25_bench/ix_sf{sf}_{cpus}"
-    shutil.rmtree(ix_dir, ignore_errors=True)
     params = BuildParams(
         num_shards=max(cpus, 8), salt_factor=4,
         num_term_buckets=32, lineage_groups=1,
     )
+    # warm-up build: python-worker spawn + JIT + page cache (throughput is a
+    # steady-state metric; a cluster job amortizes these over hours)
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    build_index(corpus, ix_dir, params, source_fingerprint=corpus_path)
+    shutil.rmtree(ix_dir, ignore_errors=True)
     t0 = time.time()
     build_index(corpus, ix_dir, params, source_fingerprint=corpus_path)
     timings["build_index"] = round(time.time() - t0, 3)

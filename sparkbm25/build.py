@@ -184,56 +184,92 @@ def _make_runs_gen(min_doc: int, span: int):
     return gen
 
 
-def _make_merge_fn(params: BuildParams, avgdl: float):
-    """Stage-2 kernel: merge one (term, shard)'s runs into compressed blocks."""
+def _merge_group(term: str, shard_id: int, grp: pd.DataFrame,
+                 k1: float, b: float, bs: int, avgdl: float) -> list[tuple]:
+    """Merge one (term, shard)'s runs into compressed block rows."""
+    docs = np.concatenate([np.frombuffer(x, dtype=np.int64) for x in grp["docs_raw"]])
+    tfs = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in grp["tfs_raw"]])
+    dls = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in grp["dls_raw"]])
+    order = np.argsort(docs, kind="stable")
+    docs, tfs, dls = docs[order], tfs[order], dls[order]
+    if docs.size > 1 and (np.diff(docs) <= 0).any():
+        raise ValueError(f"duplicate doc_id in postings of term={term!r}")
+    tfn = (
+        tfs.astype(np.float64)
+        * (k1 + 1.0)
+        / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+    )
+    n = docs.size
+    rows = []
+    for bi, lo in enumerate(range(0, n, bs)):
+        hi = min(lo + bs, n)
+        rows.append(
+            (
+                term, int(shard_id), bi, int(hi - lo),
+                int(docs[lo]), int(docs[hi - 1]),
+                float(tfn[lo:hi].max()), float(tfn[lo:hi].min()),
+                int(tfs[lo:hi].sum()),
+                vbyte_encode(delta_encode(docs[lo:hi])),
+                vbyte_encode(tfs[lo:hi]),
+                vbyte_encode(dls[lo:hi]),
+            )
+        )
+    return rows
+
+
+_BLOCK_COLS = [
+    "term", "shard_id", "block_id", "n_docs", "first_doc", "last_doc",
+    "max_tf_norm", "min_tf_norm", "sum_tf",
+    "docs_vbyte", "tfs_vbyte", "dls_vbyte",
+]
+
+
+def _make_merge_gen(params: BuildParams, avgdl: float):
+    """Stage-2 kernel: a PARTITION-WISE merge over runs sorted by
+    (term, shard_id) within each hash partition.
+
+    applyInPandas-per-group costs ~ms of pandas/scheduling overhead per
+    group — at 160k (term, shard) groups that dominated the whole build
+    (measured 36s of a 45s stage at sf0.1). Instead the runs are
+    repartitioned on the group key and sorted within partitions; this
+    generator streams Arrow batches, carries the (possibly split) last
+    group over to the next batch, and merges each group with plain numpy —
+    per-group cost drops to ~0.1ms."""
     k1, b, bs = params.k1, params.b, params.block_size
 
-    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, shard_id = key
-        docs = np.concatenate(
-            [np.frombuffer(x, dtype=np.int64) for x in pdf["docs_raw"]]
-        )
-        tfs = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in pdf["tfs_raw"]])
-        dls = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in pdf["dls_raw"]])
-        order = np.argsort(docs, kind="stable")
-        docs, tfs, dls = docs[order], tfs[order], dls[order]
-        if docs.size > 1 and (np.diff(docs) <= 0).any():
-            raise ValueError(f"duplicate doc_id in postings of term={term!r}")
-        tfn = (
-            tfs.astype(np.float64)
-            * (k1 + 1.0)
-            / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
-        )
-        n = docs.size
-        rows = []
-        for bi, lo in enumerate(range(0, n, bs)):
-            hi = min(lo + bs, n)
-            rows.append(
-                (
-                    term,
-                    int(shard_id),
-                    bi,
-                    int(hi - lo),
-                    int(docs[lo]),
-                    int(docs[hi - 1]),
-                    float(tfn[lo:hi].max()),
-                    float(tfn[lo:hi].min()),
-                    int(tfs[lo:hi].sum()),
-                    vbyte_encode(delta_encode(docs[lo:hi])),
-                    vbyte_encode(tfs[lo:hi]),
-                    vbyte_encode(dls[lo:hi]),
-                )
+    def flush(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: list[tuple] = []
+        terms = pdf["term"].to_numpy()
+        shards = pdf["shard_id"].to_numpy()
+        change = np.ones(len(pdf), dtype=bool)
+        change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(pdf)]
+        for s, e in zip(starts, ends):
+            rows.extend(
+                _merge_group(terms[s], shards[s], pdf.iloc[s:e], k1, b, bs, avgdl)
             )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "shard_id", "block_id", "n_docs", "first_doc",
-                "last_doc", "max_tf_norm", "min_tf_norm", "sum_tf",
-                "docs_vbyte", "tfs_vbyte", "dls_vbyte",
-            ],
-        )
+        return pd.DataFrame(rows, columns=_BLOCK_COLS)
 
-    return merge
+    def gen(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                pending = None
+                continue
+            last_term = pdf["term"].iloc[-1]
+            last_shard = pdf["shard_id"].iloc[-1]
+            tail = (pdf["term"] == last_term) & (pdf["shard_id"] == last_shard)
+            pending = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield flush(body)
+        if pending is not None and len(pending):
+            yield flush(pending)
+
+    return gen
 
 
 def build_postings(
@@ -250,8 +286,11 @@ def build_postings(
     runs = salted.mapInPandas(
         _make_runs_gen(stats.min_doc, stats.shard_span), schema=RUN_SCHEMA
     )
-    blocks = runs.groupBy("term", "shard_id").applyInPandas(
-        _make_merge_fn(params, stats.avgdl), schema=BLOCK_SCHEMA
+    merged_parts = max(params.num_shards, n_parts // 2)
+    blocks = (
+        runs.repartition(merged_parts, "term", "shard_id")
+        .sortWithinPartitions("term", "shard_id")
+        .mapInPandas(_make_merge_gen(params, stats.avgdl), schema=BLOCK_SCHEMA)
     )
     return blocks.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(params.num_term_buckets))

@@ -52,6 +52,17 @@ def assert_doc_ids_unique(corpus: DataFrame) -> None:
         raise ValueError(f"doc_id collision: {n} rows, {d} distinct ids")
 
 
+def decode_conv_seq(df: DataFrame) -> DataFrame:
+    """Inverse of the conv_seq scheme: doc_id -> (conv_seq, turn_idx).
+    Lets results carry conversation coordinates without storing them."""
+    return df.withColumn(
+        "conv_seq", F.shiftrightunsigned("doc_id", TURN_BITS)
+    ).withColumn(
+        "turn_idx",
+        F.col("doc_id").bitwiseAND((1 << TURN_BITS) - 1).cast("int"),
+    )
+
+
 def doc_stats(corpus: DataFrame) -> DataFrame:
     """(doc_id, doc_len) — doc_len in tokens. Pure Catalyst, no shuffle."""
     from .analysis import tokens_col

@@ -76,6 +76,7 @@ def build_index(
     params: BuildParams | None = None,
     source_fingerprint: str = "",
     fail_after_group: int | None = None,
+    stats_override: "CorpusStats | None" = None,
 ) -> dict:
     """Build (or resume) the index for `corpus` (doc_id, text) at index_dir.
 
@@ -107,9 +108,12 @@ def build_index(
         }
 
     # --- stats stage (fixed once per job; resumed runs must reuse) --------
+    # stats_override: corpus statistics computed elsewhere (e.g. over the
+    # base+future-stream universe for segment-append setups, or reused from
+    # a pinned snapshot); frozen into the manifest exactly like computed ones
     if "build" not in m:
         with timer.time("stats"):
-            stats = compute_corpus_stats(corpus, params)
+            stats = stats_override or compute_corpus_stats(corpus, params)
         m["build"] = params_dict(params, stats)
         _write_manifest(index_dir, m)
     else:
@@ -119,6 +123,28 @@ def build_index(
             max_doc=b["max_doc"], shard_span=b["shard_span"],
             total_tokens=b.get("total_tokens", 0),
         )
+
+    # admission gate (the reference's 507-capacity check at submit,
+    # app/services/job_service.py:141-149): refuse a plan whose largest
+    # merge task cannot fit executor memory — resize num_shards instead
+    from .planner import BuildEstimate, admission_check
+
+    est = BuildEstimate(
+        total_postings=0, runs_shuffle_bytes=0, index_bytes=0,
+        max_merge_task_postings=stats.n_docs // params.num_shards + 1,
+        max_merge_task_bytes=int(
+            (stats.n_docs // params.num_shards + 1) * 16 * 1.2
+        ),
+        suggested_num_shards=params.num_shards,
+        suggested_salt_factor=params.salt_factor,
+        suggested_shuffle_partitions=params.num_shards * params.salt_factor,
+    )
+    ok, msg = admission_check(est)
+    if not ok:
+        m["status"] = STATUS_FAILED
+        m["error_message"] = f"admission refused: {msg}"
+        _write_manifest(index_dir, m)
+        raise MemoryError(m["error_message"])
 
     shard = (F.col("doc_id") - F.lit(stats.min_doc)) / F.lit(stats.shard_span)
     group_col = F.pmod(F.floor(shard), F.lit(params.lineage_groups))
@@ -222,3 +248,16 @@ class Index:
 
     def doc_stats(self) -> DataFrame:
         return self._load("doc_stats")
+
+    def fetch_text(self, results: DataFrame) -> DataFrame:
+        """Join result rows (with doc_id) back to the stored text — only
+        available when built with store_text=True (the inverse of the
+        reference's skip-stored-vectors: faiss_index_hnsw_cagra_builder.py:77-83,
+        serialized with IO_FLAG_SKIP_STORAGE when dropped)."""
+        ds = self.doc_stats()
+        if "text" not in ds.columns:
+            raise ValueError(
+                "index was built without store_text; rebuild with "
+                "BuildParams(store_text=True) to serve stored fields"
+            )
+        return results.join(ds.select("doc_id", "text"), "doc_id", "left")

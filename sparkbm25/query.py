@@ -92,6 +92,7 @@ def score_all(
     queries: list[tuple[int, str]],
     n_docs: int | None = None,
     avgdl: float | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact BM25 scores for every (query, matching doc) pair.
 
@@ -109,6 +110,18 @@ def score_all(
     tf = doc_term_freqs(corpus)
     # keep only postings of query terms; this is the only pass over the corpus
     matched = tf.join(F.broadcast(distinct_terms), "term")
+    if not materialize:
+        # lazy plan (two passes over the tf kernel) — used for plan
+        # inspection in tests; production path caches + checkpoints below
+        term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
+        contrib = (
+            matched.join(F.broadcast(term_df), "term")
+            .join(F.broadcast(qterms), "term")
+            .withColumn("contrib", bm25_contrib_col(n_docs, avgdl))
+        )
+        return contrib.groupBy("query_id", "doc_id").agg(
+            F.sum("contrib").alias("score")
+        )
     matched.cache()
     try:
         term_df = matched.groupBy("term").agg(F.count("*").alias("df"))

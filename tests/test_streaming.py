@@ -1,0 +1,99 @@
+"""Structured Streaming segment-append: streamed index == batch index.
+
+Setup: full corpus = A ∪ B. Reference index = one batch build over A∪B.
+Streamed index = base build over A (with stats frozen over A∪B) + B arriving
+as files through readStream/foreachBatch. Queries must be rank-identical."""
+
+import os
+
+import pytest
+
+from sparkbm25.build import BuildParams, compute_corpus_stats
+from sparkbm25.corpus import add_doc_id
+from sparkbm25.fixtures import make_queries, make_transcripts_pdf
+from sparkbm25.index_query import index_search
+from sparkbm25.jobs import Index, build_index, read_manifest
+from sparkbm25.streaming import stream_append
+
+PARAMS = BuildParams(num_shards=4, salt_factor=2, num_term_buckets=8,
+                     lineage_groups=2)
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    from pyspark.sql import functions as F
+
+    pdf = make_transcripts_pdf(60)
+    base = spark.createDataFrame(pdf).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")  # input_hint: int32
+    )
+    full = add_doc_id(base, "conv_seq")
+    a = full.filter("conv_id < 'conv-00000040'")
+    b = full.filter("conv_id >= 'conv-00000040'")
+    full.cache().count()
+    return full, a, b
+
+
+def test_stream_append_rank_identical(spark, corpora, tmp_path):
+    full, a, b = corpora
+    full_stats = compute_corpus_stats(full.select("doc_id", "text"), PARAMS)
+
+    ref_dir = str(tmp_path / "ref")
+    build_index(full.select("doc_id", "text"), ref_dir, PARAMS, "full",
+                stats_override=full_stats)
+
+    base_dir = str(tmp_path / "base")
+    build_index(a.select("doc_id", "text"), base_dir, PARAMS, "partA",
+                stats_override=full_stats)
+
+    # drop part B as two parquet files into the stream source dir
+    src = str(tmp_path / "incoming")
+    b1 = b.filter("conv_id < 'conv-00000050'")
+    b2 = b.filter("conv_id >= 'conv-00000050'")
+    b1.select("conv_id", "turn_idx", "role", "text", "tool", "ts").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    b2.select("conv_id", "turn_idx", "role", "text", "tool", "ts").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream_append(spark, src, base_dir, str(tmp_path / "ckpt"))
+
+    m = read_manifest(base_dir)
+    stream_groups = [g for g in m["completed_groups"] if g.startswith("stream_")]
+    assert stream_groups, "no streamed groups recorded"
+
+    queries = make_queries(25)
+    ref = Index(spark, ref_dir)
+    streamed = Index(spark, base_dir)
+    want = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in index_search(ref, queries, k=10).collect()
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in index_search(streamed, queries, k=10).collect()
+    )
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], rel=1e-9)
+
+
+def test_stream_is_exactly_once_on_rerun(spark, corpora, tmp_path):
+    """Re-running the drained stream with the same checkpoint must add no
+    new groups (epochs already committed)."""
+    full, a, b = corpora
+    full_stats = compute_corpus_stats(full.select("doc_id", "text"), PARAMS)
+    base_dir = str(tmp_path / "base2")
+    build_index(a.select("doc_id", "text"), base_dir, PARAMS, "partA2",
+                stats_override=full_stats)
+    src = str(tmp_path / "incoming2")
+    b.select("conv_id", "turn_idx", "role", "text", "tool", "ts").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt2")
+    stream_append(spark, src, base_dir, ckpt)
+    groups1 = set(read_manifest(base_dir)["completed_groups"])
+    stream_append(spark, src, base_dir, ckpt)  # nothing new to consume
+    groups2 = set(read_manifest(base_dir)["completed_groups"])
+    assert groups1 == groups2
