@@ -176,6 +176,23 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over the events stream table (batch form;
+    the streaming form with watermark is tested in tests/test_events.py)."""
+    from sparkbm25.pipeline.events import hourly_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hourly_rollup(ev)
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user."""
+    from sparkbm25.pipeline.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, 30)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns + Arrow feature kernel (decode stubbed —
     deterministic byte histogram; rows-only driver check, plumbing asserted
@@ -212,12 +229,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
         "multimodal_features": q_multimodal_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from sparkbm25.pipeline import dedup as DD
+    from sparkbm25.pipeline import events as EV
     from sparkbm25.pipeline import similarity as SIM
     from sparkbm25.pipeline import textstats as TS
 
@@ -237,5 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": TS.quality_score_sql(),
         "lang_id": TS.lang_id_sql(),
         "fingerprint": TS.fingerprint_sql(),
+        "events_hourly": EV.hourly_rollup_sql(),
+        "events_sessionize": EV.sessionize_sql(30),
         # multimodal_features: binary kernel, not SQL-expressible -> rows-only
     }

@@ -104,6 +104,17 @@ def test_index_search_rank_identical_all_strategies(spark, built, oracle):
         _assert_rank_identical(got, want)
 
 
+def test_index_search_k100(spark, built, oracle):
+    """k=100 subset (FIXTURES.md §2)."""
+    d, _ = built
+    ix = Index(spark, d)
+    queries = make_queries(8)
+    _assert_rank_identical(
+        index_search(ix, queries, k=100).collect(),
+        oracle.search_all(queries, k=100),
+    )
+
+
 def test_index_search_matches_score_all(spark, built, corpus):
     d, _ = built
     ix = Index(spark, d)
