@@ -187,6 +187,25 @@ def build_index(
             blocks_all = spark.read.parquet(os.path.join(index_dir, "postings"))
             tdir = os.path.join(index_dir, "term_stats")
             term_stats_from_blocks(blocks_all).write.mode("overwrite").parquet(tdir)
+            # artifact size metrics (reference logs artifact size at upload,
+            # tasks.py:341-381; compression ratio is the PQ-compression
+            # analog, SURVEY §4)
+            size_row = blocks_all.agg(
+                F.sum("n_docs").alias("postings"),
+                F.count("*").alias("blocks"),
+                F.sum(
+                    F.length("docs_vbyte")
+                    + F.length("tfs_vbyte")
+                    + F.length("dls_vbyte")
+                ).alias("payload_bytes"),
+            ).first()
+            m["metrics"]["total_postings"] = int(size_row.postings or 0)
+            m["metrics"]["total_blocks"] = int(size_row.blocks or 0)
+            m["metrics"]["payload_bytes"] = int(size_row.payload_bytes or 0)
+            if size_row.postings:
+                m["metrics"]["bytes_per_posting"] = round(
+                    size_row.payload_bytes / size_row.postings, 3
+                )
         m["status"] = STATUS_COMPLETED
     except InjectedFailure:
         m["status"] = STATUS_FAILED

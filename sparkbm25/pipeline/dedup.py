@@ -91,16 +91,21 @@ FROM base
 def shingles_col(text_col: str = "text", n: int = NGRAM) -> Column:
     """Distinct token n-gram shingles (space-joined), [] when < n tokens.
 
+    O(total tokens): n shifted slices zipped pairwise. (The obvious
+    transform(sequence(...), i -> slice(toks, i, n)) is O(len²) per doc —
+    each slice copies O(len) — and measured 10s for 5000 long docs.)
+
     Guarded with `when`: Spark's sequence(1, 0) yields a DESCENDING [1, 0],
-    so short docs must short-circuit to an empty array."""
+    and slice(toks, k, m) needs size >= n, so short docs short-circuit to []."""
     toks = tokens_col(text_col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(toks) - (n - 1)  # number of shingles
+    sh = F.slice(toks, 1, m)
+    for j in range(1, n):
+        nxt = F.slice(toks, j + 1, m)
+        sh = F.zip_with(sh, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 DUCKDB_SHINGLES = (
@@ -254,22 +259,22 @@ def minhash_lsh_pairs(
             if n == 0:
                 continue
             sigs = np.vstack([np.asarray(s, dtype=np.int64) for s in pdf["sig"]])
-            keys = sigs.reshape(n, MH_BANDS, MH_ROWS)
-            key_str = np.apply_along_axis(
-                lambda r: ":".join(map(str, r)), 2, keys
-            )  # (n, bands)
+            rows = sigs.reshape(n * MH_BANDS, MH_ROWS)
+            # band key = raw little-endian bytes of its MH_ROWS minhashes
+            # (binary join key; no per-key string formatting)
+            keys = [r.tobytes() for r in rows]
             yield pd.DataFrame(
                 {
                     "doc_id": np.repeat(pdf["doc_id"].to_numpy(), MH_BANDS),
                     "band_id": np.tile(
                         np.arange(MH_BANDS, dtype=np.int32), n
                     ),
-                    "key": key_str.ravel(),
+                    "key": keys,
                 }
             )
 
     bands = sig.mapInPandas(
-        band_gen, schema="doc_id long, band_id int, key string"
+        band_gen, schema="doc_id long, band_id int, key binary"
     )
     if max_bucket is not None:
         from pyspark.sql import Window
@@ -293,8 +298,20 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact verification on the candidate pairs only
-    sh = df.select("doc_id", shingles_col(text_col).alias("sh"))
+    # exact verification on the candidate pairs only; shingles recomputed
+    # ONLY for docs that appear in some candidate pair (semi-join pushes the
+    # doc_id filter below the shingle expression — at near-dup densities
+    # this is a few % of the corpus instead of two full tokenize passes)
+    cand = cand.localCheckpoint(eager=True)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        df.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .select("doc_id", shingles_col(text_col).alias("sh"))
+    )
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a")
                   .withColumnRenamed("sh", "sh_a"), "doc_a")
