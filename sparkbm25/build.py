@@ -54,12 +54,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .bm25 import B, K1
-from .codecs import BLOCK_SIZE, delta_encode, vbyte_encode
+from .codecs import BLOCK_SIZE, delta_encode, vbyte_decode, vbyte_encode
 from .kernels import _tf_batch
 
 RUN_SCHEMA = (
     "term string, shard_id long, n_docs int, "
-    "docs_raw binary, tfs_raw binary, dls_raw binary"
+    "docs_vb binary, tfs_vb binary, dls_vb binary"
 )
 
 BLOCK_SCHEMA = (
@@ -147,11 +147,19 @@ def compute_corpus_stats(corpus: DataFrame, params: BuildParams) -> CorpusStats:
 
 
 def _make_runs_gen(min_doc: int, span: int):
-    """Stage-1 kernel: corpus batches -> packed sorted runs per (term, shard).
+    """Stage-1 kernel: corpus batches -> COMPRESSED sorted runs per
+    (term, shard).
 
-    Vectorized: tf via C-level groupby (_tf_batch), then one sort by
-    (term, doc_id) and one groupby over term/shard boundaries using
-    reduceat-style slicing — no per-row Python."""
+    Vectorized end-to-end: tf via C-level groupby (_tf_batch), one sort by
+    (term, shard, doc_id), boundary detection, then ONE varbyte encode call
+    per stream for the whole batch with per-run byte slicing — runs ship at
+    ~3-4 B/posting instead of 16 B raw, cutting the SPIMI shuffle ~4-5x
+    (at 10^12 turns the runs shuffle is the dominant network cost)."""
+    from .codecs import (
+        segment_delta_gaps,
+        slice_bytes,
+        vbyte_encode_with_sizes,
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -164,32 +172,35 @@ def _make_runs_gen(min_doc: int, span: int):
             terms = tf["term"].to_numpy()
             shards = tf["shard_id"].to_numpy()
             docs = tf["doc_id"].to_numpy(dtype=np.int64)
-            tfs = tf["tf"].to_numpy(dtype=np.int32)
-            dls = tf["doc_len"].to_numpy(dtype=np.int32)
-            # group boundaries where (term, shard) changes
+            tfs = tf["tf"].to_numpy(dtype=np.uint64)
+            dls = tf["doc_len"].to_numpy(dtype=np.uint64)
+            # run boundaries where (term, shard) changes
             change = np.ones(len(tf), dtype=bool)
             change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
             starts = np.flatnonzero(change)
-            ends = np.r_[starts[1:], len(tf)]
-            out = {
-                "term": terms[starts],
-                "shard_id": shards[starts],
-                "n_docs": (ends - starts).astype(np.int32),
-                "docs_raw": [docs[s:e].tobytes() for s, e in zip(starts, ends)],
-                "tfs_raw": [tfs[s:e].tobytes() for s, e in zip(starts, ends)],
-                "dls_raw": [dls[s:e].tobytes() for s, e in zip(starts, ends)],
-            }
-            yield pd.DataFrame(out)
+            lens = np.r_[starts[1:], len(tf)] - starts
+            gaps = segment_delta_gaps(docs, starts)
+            docs_buf, docs_sz = vbyte_encode_with_sizes(gaps)
+            tfs_buf, tfs_sz = vbyte_encode_with_sizes(tfs)
+            dls_buf, dls_sz = vbyte_encode_with_sizes(dls)
+            yield pd.DataFrame(
+                {
+                    "term": terms[starts],
+                    "shard_id": shards[starts],
+                    "n_docs": lens.astype(np.int32),
+                    "docs_vb": slice_bytes(docs_buf, docs_sz, lens),
+                    "tfs_vb": slice_bytes(tfs_buf, tfs_sz, lens),
+                    "dls_vb": slice_bytes(dls_buf, dls_sz, lens),
+                }
+            )
 
     return gen
 
 
-def _merge_group(term: str, shard_id: int, grp: pd.DataFrame,
+def _merge_group(term: str, shard_id: int,
+                 docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                  k1: float, b: float, bs: int, avgdl: float) -> list[tuple]:
-    """Merge one (term, shard)'s runs into compressed block rows."""
-    docs = np.concatenate([np.frombuffer(x, dtype=np.int64) for x in grp["docs_raw"]])
-    tfs = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in grp["tfs_raw"]])
-    dls = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in grp["dls_raw"]])
+    """Merge one (term, shard)'s decoded postings into compressed blocks."""
     order = np.argsort(docs, kind="stable")
     docs, tfs, dls = docs[order], tfs[order], dls[order]
     if docs.size > 1 and (np.diff(docs) <= 0).any():
@@ -235,19 +246,37 @@ def _make_merge_gen(params: BuildParams, avgdl: float):
     generator streams Arrow batches, carries the (possibly split) last
     group over to the next batch, and merges each group with plain numpy —
     per-group cost drops to ~0.1ms."""
+    from .codecs import segment_delta_restore
+
     k1, b, bs = params.k1, params.b, params.block_size
 
     def flush(pdf: pd.DataFrame) -> pd.DataFrame:
         rows: list[tuple] = []
         terms = pdf["term"].to_numpy()
         shards = pdf["shard_id"].to_numpy()
+        lens = pdf["n_docs"].to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        run_starts = np.r_[0, np.cumsum(lens)[:-1]]
+        # ONE decode call per stream for the whole batch, then per-run
+        # absolute reconstruction and per-group slicing — no per-run decode
+        gaps = vbyte_decode(b"".join(pdf["docs_vb"]), count=total)
+        docs_all = segment_delta_restore(gaps, run_starts, lens)
+        tfs_all = vbyte_decode(b"".join(pdf["tfs_vb"]), count=total).astype(np.int64)
+        dls_all = vbyte_decode(b"".join(pdf["dls_vb"]), count=total).astype(np.int64)
         change = np.ones(len(pdf), dtype=bool)
         change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.r_[starts[1:], len(pdf)]
-        for s, e in zip(starts, ends):
+        g_row_starts = np.flatnonzero(change)
+        g_row_ends = np.r_[g_row_starts[1:], len(pdf)]
+        post_ends = np.cumsum(lens)
+        for rs, re_ in zip(g_row_starts, g_row_ends):
+            lo = run_starts[rs]
+            hi = post_ends[re_ - 1]
             rows.extend(
-                _merge_group(terms[s], shards[s], pdf.iloc[s:e], k1, b, bs, avgdl)
+                _merge_group(
+                    terms[rs], shards[rs],
+                    docs_all[lo:hi], tfs_all[lo:hi], dls_all[lo:hi],
+                    k1, b, bs, avgdl,
+                )
             )
         return pd.DataFrame(rows, columns=_BLOCK_COLS)
 

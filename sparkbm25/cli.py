@@ -82,6 +82,26 @@ def _status(args) -> int:
     return 0
 
 
+def _package(args) -> int:
+    """Emit the --py-files zip (the deployable artifact for spark-submit)."""
+    import shutil
+
+    from .session import _package_zip
+
+    src = _package_zip()
+    shutil.copyfile(src, args.out)
+    print(json.dumps({"py_files": args.out}))
+    return 0
+
+
+def _heartbeat(args) -> int:
+    """Liveness probe — GET /_heart_beat analog (app/routes/heart_beat.py)."""
+    from . import __version__
+
+    print(json.dumps({"status": "ok", "version": __version__}))
+    return 0
+
+
 def _jobs(args) -> int:
     from .jobs import read_manifest
 
@@ -129,6 +149,13 @@ def main(argv: list[str] | None = None) -> int:
     j = sub.add_parser("jobs")
     j.add_argument("--index-root", required=True)
     j.set_defaults(fn=_jobs)
+
+    p = sub.add_parser("package")
+    p.add_argument("--out", default="sparkbm25.zip")
+    p.set_defaults(fn=_package)
+
+    h = sub.add_parser("heartbeat")
+    h.set_defaults(fn=_heartbeat)
 
     args = ap.parse_args(argv)
     return args.fn(args)

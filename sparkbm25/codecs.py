@@ -23,6 +23,72 @@ import numpy as np
 BLOCK_SIZE = 128  # docs per posting block (classic BMW block size)
 
 
+def vbyte_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode and also return per-value byte counts (for segment slicing:
+    one encode call can serve millions of tiny runs — per-run encode calls
+    would dominate at SPIMI scale)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits // 7, 1)
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    starts = ends - nbytes
+    max_b = int(nbytes.max())
+    rem = v.copy()
+    for p in range(max_b):
+        mask = nbytes > p
+        idx = starts[mask] + p
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        more = (p + 1) < nbytes[mask]
+        out[idx] = byte | (more.astype(np.uint8) << 7)
+        rem[mask] >>= np.uint64(7)
+    return out.tobytes(), nbytes
+
+
+def segment_delta_gaps(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Per-segment delta-gap: each segment's first value stays absolute,
+    later values become gaps. Segments must be individually increasing."""
+    v = np.asarray(values, dtype=np.int64)
+    gaps = v.copy()
+    gaps[1:] -= v[:-1]
+    gaps[seg_starts] = v[seg_starts]
+    if (gaps < 0).any():
+        raise ValueError("non-increasing values within a segment")
+    return gaps.astype(np.uint64)
+
+
+def segment_delta_restore(gaps: np.ndarray, seg_starts: np.ndarray,
+                          seg_lens: np.ndarray) -> np.ndarray:
+    """Inverse of segment_delta_gaps (vectorized: global cumsum minus the
+    cumsum at each segment's start)."""
+    c = np.cumsum(gaps.astype(np.int64))
+    base = np.zeros(len(seg_starts), dtype=np.int64)
+    base[1:] = c[seg_starts[1:] - 1]
+    return c - np.repeat(base, seg_lens)
+
+
+def slice_bytes(buf: bytes, value_sizes: np.ndarray,
+                seg_lens: np.ndarray) -> list[bytes]:
+    """Split one encoded stream into per-segment byte strings using the
+    per-value byte counts."""
+    seg_bytes = np.add.reduceat(
+        value_sizes, np.r_[0, np.cumsum(seg_lens)[:-1]]
+    ) if len(seg_lens) else np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(seg_bytes)
+    starts = ends - seg_bytes
+    return [buf[s:e] for s, e in zip(starts, ends)]
+
+
 def vbyte_encode(values: np.ndarray) -> bytes:
     """Encode a uint64-able non-negative int array to varbyte bytes."""
     v = np.asarray(values, dtype=np.uint64)

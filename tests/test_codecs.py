@@ -67,6 +67,39 @@ def test_delta_roundtrip_property(xs):
     assert delta_decode(delta_encode(ids)).tolist() == ids.tolist()
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**40),
+                 min_size=1, max_size=50, unique=True),
+        min_size=1, max_size=30,
+    )
+)
+def test_segment_codec_roundtrip(segments):
+    from sparkbm25.codecs import (
+        segment_delta_gaps,
+        segment_delta_restore,
+        slice_bytes,
+        vbyte_encode_with_sizes,
+    )
+
+    segs = [np.array(sorted(s), dtype=np.int64) for s in segments]
+    values = np.concatenate(segs)
+    lens = np.array([len(s) for s in segs], dtype=np.int64)
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    gaps = segment_delta_gaps(values, starts)
+    buf, sizes = vbyte_encode_with_sizes(gaps)
+    # whole-stream restore
+    restored = segment_delta_restore(
+        vbyte_decode(buf, count=len(values)), starts, lens
+    )
+    assert restored.tolist() == values.tolist()
+    # per-segment slices decode independently
+    for piece, seg in zip(slice_bytes(buf, sizes, lens), segs):
+        got = np.cumsum(vbyte_decode(piece, count=len(seg)).astype(np.int64))
+        assert got.tolist() == seg.tolist()
+
+
 def test_pack_unpack_blocks():
     n = 300
     rng = np.random.default_rng(0)
