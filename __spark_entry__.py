@@ -143,13 +143,29 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (approximate — rows-only driver check; recall vs brute force
-    asserted in tests/test_pipeline.py)."""
-    from sparkbm25.pipeline.similarity import ivf_topk
+    """IVF ANN via the PERSISTED index artifact (vectors partitioned by
+    centroid_id → partition-pruned probes). Run at full probe here so the
+    result is exact and value-checkable against the SQL oracle; the
+    partial-probe recall path is gated in tests/test_ann_index_skew.py."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from sparkbm25.pipeline.similarity import ann_index_search, build_ann_index
 
     ensure_shipped(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, ANN_QUERY_IDS, k=K, n_centroids=16, n_probe=6)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/sparkbm25_entry/ann_{tag}"
+    import os
+
+    if not os.path.exists(f"{d}/manifest.json"):
+        build_ann_index(emb, d, n_centroids=16)
+    qvecs = {
+        r.vec_id: list(r.embedding)
+        for r in emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).collect()
+    }
+    return ann_index_search(spark, d, qvecs, k=K, n_probe=16)
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,7 +268,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": DD.simhash_pairs_sql(3),
         "ann_cosine_topk": SIM.cosine_topk_sql(ANN_QUERY_IDS, k=K),
         "embedding_neardup": SIM.cosine_pairs_sql(COS_PAIR_T),
-        # ann_ivf_topk: approximate -> rows-only check (recall gated in tests)
+        # full-probe IVF from the artifact is exact -> same oracle as brute
+        "ann_ivf_topk": SIM.cosine_topk_sql(ANN_QUERY_IDS, k=K),
         "token_counts": TS.token_counts_sql(),
         "text_quality": TS.quality_score_sql(),
         "lang_id": TS.lang_id_sql(),

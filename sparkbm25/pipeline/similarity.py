@@ -213,6 +213,69 @@ def ivf_topk(
     )
 
 
+def build_ann_index(
+    df: DataFrame, index_dir: str, n_centroids: int = 16
+) -> dict:
+    """Persist an IVF index artifact: vectors partitioned by centroid_id +
+    a manifest with the centroid matrix — the vector-side mirror of the
+    BM25 index artifact (and of the reference's whole mission: build a
+    vector index once, serve top-k from the artifact;
+    faiss_index_build_service.py:47-163, ivf list structure analog).
+
+    Probing n_probe of n_centroids reads n_probe/n_centroids of the corpus
+    via parquet PARTITION PRUNING on centroid_id — the scale path."""
+    import json
+    import os
+
+    assigned, cmat = ivf_assign(df, n_centroids)
+    os.makedirs(index_dir, exist_ok=True)
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+    manifest = {
+        "n_centroids": n_centroids,
+        "dim": int(cmat.shape[1]),
+        "metric": "cosine",
+        "centroids": [[float(x) for x in row] for row in cmat],
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def ann_index_search(
+    spark, index_dir: str, query_vecs: dict[int, list[float]],
+    k: int = 10, n_probe: int = 4,
+) -> DataFrame:
+    """Top-k from the persisted IVF artifact. The centroid_id filter is a
+    partition filter → only n_probe/n_centroids of the files are read."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    cmat = np.asarray(manifest["centroids"], dtype=np.float64)
+    qids = np.array(sorted(query_vecs), dtype=np.int64)
+    qmat = _as_matrix([query_vecs[int(i)] for i in qids])
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0.0] = 1.0
+    qmat = qmat / qn[:, None]
+    probes = (qmat @ cmat.T).argsort(axis=1)[:, ::-1][:, :n_probe]
+    pairs = [(int(q), int(c)) for qi, q in enumerate(qids) for c in probes[qi]]
+    probe_df = spark.createDataFrame(pairs, "query_vec_id long, centroid_id int")
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    cand = vectors.join(F.broadcast(probe_df), "centroid_id")
+    sims = cand.groupBy("query_vec_id").applyInPandas(
+        _probe_score(dict(zip(qids.tolist(), qmat))), schema=TOPK_SCHEMA
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_vec_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def _probe_score(qvecs: dict[int, np.ndarray]):
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (qid,) = key

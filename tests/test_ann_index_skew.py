@@ -1,0 +1,89 @@
+"""Persisted IVF ANN artifact + head-term skew stress."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkbm25.build import BuildParams
+from sparkbm25.index_query import index_search
+from sparkbm25.jobs import Index, build_index
+from sparkbm25.oracle import OracleIndex
+from sparkbm25.pipeline.similarity import (
+    ann_index_search,
+    build_ann_index,
+    cosine_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_index_artifact_roundtrip(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    d = str(tmp_path / "ann_ix")
+    m = build_ann_index(emb, d, n_centroids=8)
+    assert m["dim"] == 64 and len(m["centroids"]) == 8
+
+    qrows = {r.vec_id: list(r.embedding)
+             for r in emb.filter(F.col("vec_id") < 3).collect()}
+    # full probe == brute force from the ARTIFACT
+    got = [(r.query_vec_id, r.rank, r.vec_id)
+           for r in ann_index_search(spark, d, qrows, k=5, n_probe=8).collect()]
+    want = [(r.query_vec_id, r.rank, r.vec_id)
+            for r in cosine_topk(emb, [0, 1, 2], k=5).collect()]
+    assert sorted(got) == sorted(want)
+
+    # partition pruning: the probe scan must carry a centroid_id filter
+    vectors = spark.read.parquet(f"{d}/vectors")
+    scan = vectors.filter(F.col("centroid_id").isin([1, 2]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "centroid_id" in pf
+
+
+def test_ann_index_partial_probe_recall(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    d = str(tmp_path / "ann_ix2")
+    build_ann_index(emb, d, n_centroids=8)
+    qrows = {r.vec_id: list(r.embedding)
+             for r in emb.filter(F.col("vec_id") < 5).collect()}
+    got = ann_index_search(spark, d, qrows, k=10, n_probe=4).collect()
+    brute = {(r.query_vec_id, r.vec_id)
+             for r in cosine_topk(emb, list(qrows), k=10).collect()}
+    hits = sum(1 for r in got if (r.query_vec_id, r.vec_id) in brute)
+    assert hits / len(brute) >= 0.8
+
+
+def test_head_term_in_every_doc(spark, tmp_path):
+    """The 'the'-case: one term present in EVERY doc. The salted build must
+    distribute it across (term, shard) groups bounded by shard size, and
+    scoring must stay rank-identical to the oracle."""
+    n = 3000
+    rows = [
+        (i, f"the filler{i % 97} mid{i % 13} " + ("common " if i % 2 else "rare "))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "skew_ix")
+    params = BuildParams(num_shards=8, salt_factor=4, num_term_buckets=8,
+                         lineage_groups=2)
+    build_index(df, d, params, "skew")
+    ix = Index(spark, d)
+
+    # "the" must be split into one posting list per shard, each bounded
+    blocks = ix.postings().filter(F.col("term") == "the")
+    per_shard = {r.shard_id: r.n for r in
+                 blocks.groupBy("shard_id").agg(
+                     F.sum("n_docs").alias("n")).collect()}
+    assert len(per_shard) == params.num_shards
+    assert sum(per_shard.values()) == n
+    assert max(per_shard.values()) < n  # no single-task concentration
+
+    oracle = OracleIndex.build(rows)
+    queries = [(0, "the"), (1, "the common"), (2, "rare mid5")]
+    got = sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9))
+                 for r in index_search(ix, queries, k=10).collect())
+    want = sorted((q, rk, did, round(s, 9))
+                  for q, rk, did, s in oracle.search_all(queries, k=10))
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], rel=1e-9)
