@@ -82,8 +82,12 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkbm25.index_query import index_search
     from sparkbm25.jobs import Index, build_index
 
+    import sparkbm25
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # version in the cache key: a stale /tmp artifact from an older engine
+    # revision (prior round) must never be served by newer code
+    tag = hashlib.sha1(f"{sf_dir}@{sparkbm25.__version__}".encode()).hexdigest()[:10]
     ix_dir = f"/tmp/sparkbm25_entry/ix_{tag}"
     params = BuildParams(num_shards=8, salt_factor=2, num_term_buckets=16,
                          lineage_groups=2)
@@ -153,9 +157,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkbm25.pipeline.similarity import ann_index_search, build_ann_index
 
+    import sparkbm25
+
     ensure_shipped(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    tag = hashlib.sha1(f"{sf_dir}@{sparkbm25.__version__}".encode()).hexdigest()[:10]
     d = f"/tmp/sparkbm25_entry/ann_{tag}"
     import os
 

@@ -329,9 +329,12 @@ def index_search(
     qb = qblocks.join(F.broadcast(theta), "query_id", "left").withColumn(
         "theta", F.coalesce("theta", F.lit(0.0))
     )
+    # same 1-ulp hazard class as the candidate filter: widen the survivor
+    # set by a relative epsilon (sound — pruning less is always safe)
     ub_doc = F.col("w") * F.col("max_tf_norm") + F.col("rest")
-    survivors = qb.filter(ub_doc >= F.col("theta"))
-    pruned = qb.filter(ub_doc < F.col("theta"))
+    theta_eps = F.col("theta") - F.abs(F.col("theta")) * 1e-9
+    survivors = qb.filter(ub_doc >= theta_eps)
+    pruned = qb.filter(ub_doc < theta_eps)
 
     contribs = survivors.mapInPandas(decode, schema=DECODE_SCHEMA)
     partial = contribs.groupBy("query_id", "doc_id").agg(
@@ -352,12 +355,24 @@ def index_search(
         with_tau.filter(F.col("rn") == k)
         .select("query_id", F.col("P").alias("tau"))
     )
+    # M = UB of the missing terms' contributions. total_ub (driver sum) and
+    # contributed_ub (Spark sum of the same values, different order) can
+    # differ by ~1 ulp, making M negative for a doc whose true M is 0 —
+    # which silently drops the kth doc (found by fuzzing). Clamp M >= 0 and
+    # give the filter a relative epsilon margin: both only WIDEN the
+    # candidate set, so soundness is preserved at the cost of a few extra
+    # exact rescores.
     cand = (
         partial.join(F.broadcast(tau), "query_id", "left")
         .join(F.broadcast(tub), "query_id")
         .withColumn("tau", F.coalesce("tau", F.lit(float("-inf"))))
-        .withColumn("M", F.col("total_ub") - F.col("contributed_ub"))
-        .filter(F.col("P") + F.col("M") >= F.col("tau"))
+        .withColumn(
+            "M", F.greatest(F.col("total_ub") - F.col("contributed_ub"), F.lit(0.0))
+        )
+        .filter(
+            F.col("P") + F.col("M")
+            >= F.col("tau") - F.abs(F.col("tau")) * 1e-9
+        )
     )
     cand = cand.cache()
     try:

@@ -1,0 +1,79 @@
+"""Seeded randomized end-to-end fuzz: nasty corpora through the FULL
+engine (build → compressed index → all three search strategies) must stay
+rank-identical to the oracle. Catches tokenizer/codec/scoring edge cases
+the deterministic fixtures don't reach."""
+
+import random
+import string
+
+import pytest
+
+from sparkbm25.build import BuildParams
+from sparkbm25.index_query import index_search
+from sparkbm25.jobs import Index, build_index
+from sparkbm25.oracle import OracleIndex
+from sparkbm25.query import score_all_topk
+
+NASTY = [
+    "", " ", "\t\n", "ALLCAPS", "MiXeD", "x" * 500, "7", "a0b1c2",
+    "naïve café", "日本語", "emoji 🙂 text", "under_score", "hy-phen",
+    "dots...dots", "a'postrophe", '"quoted"', "tab\tsep", "0", "00", "z",
+]
+
+
+def _random_corpus(rng: random.Random, n_docs: int):
+    vocab = [
+        "".join(rng.choices(string.ascii_lowercase + string.digits,
+                            k=rng.randint(1, 8)))
+        for _ in range(40)
+    ]
+    docs = []
+    for i in range(n_docs):
+        kind = rng.random()
+        if kind < 0.1:
+            text = rng.choice(NASTY)
+        elif kind < 0.2:
+            # heavy repetition (tf saturation) + nasty suffix
+            text = (rng.choice(vocab) + " ") * rng.randint(20, 80) + rng.choice(NASTY)
+        else:
+            text = " ".join(rng.choices(vocab, k=rng.randint(1, 60)))
+        docs.append((i * 7 + 3, text))  # non-dense, non-zero-based ids
+    queries = []
+    for qid in range(8):
+        parts = rng.choices(vocab + ["zzznope", "", "ALLCAPS"],
+                            k=rng.randint(1, 4))
+        queries.append((qid, " ".join(parts)))
+    return docs, queries
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_fuzz_full_engine_rank_identity(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    docs, queries = _random_corpus(rng, n_docs=120)
+    # ensure at least one fully-empty-token doc survives tokenization rules
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    d = str(tmp_path / f"fuzz_{seed}")
+    params = BuildParams(num_shards=3, salt_factor=2, num_term_buckets=4,
+                         lineage_groups=2, block_size=16)
+    build_index(df, d, params, f"fuzz{seed}")
+    ix = Index(spark, d)
+
+    oracle = OracleIndex.build(docs)
+    want = sorted(
+        (q, r, did, round(s, 9)) for q, r, did, s in oracle.search_all(queries, k=7)
+    )
+
+    for strategy in ("sharded", "blockmax", "exhaustive"):
+        got = sorted(
+            (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+            for r in index_search(ix, queries, k=7, strategy=strategy).collect()
+        )
+        assert [g[:3] for g in got] == [w[:3] for w in want], strategy
+        for g, w in zip(got, want):
+            assert g[3] == pytest.approx(w[3], rel=1e-9), strategy
+
+    got_sa = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in score_all_topk(df, queries, k=7).collect()
+    )
+    assert [g[:3] for g in got_sa] == [w[:3] for w in want]
