@@ -9,6 +9,13 @@ Transposes the reference's control plane (SURVEY.md §2.7):
   a killed build resumes by skipping completed groups.
 - status/jobs readers (app/routes/status.py, get_jobs.py) become
   ``read_manifest`` + the CLI in sparkbm25.cli.
+
+Known limitation: two drivers building the SAME index_dir concurrently are
+not arbitrated (the reference returns 429 from its single-process store;
+a multi-driver deployment needs an external lock or an Iceberg-catalog
+transactional commit). Manifest writes themselves are atomic (os.replace),
+so crash + resume is safe; concurrent duplicate submission is the one
+unguarded case.
 """
 
 from __future__ import annotations
