@@ -15,7 +15,11 @@ Scale design (the part that must survive 10^12 turns):
   head term "the" is built across all ``num_shards*salt_factor`` tasks.
   This is stronger than salting only a sketched head-term set and is the
   SPIMI classic: every partition builds sorted runs for the terms it sees.
-- **Doc-range shards.** ``shard_id = (doc_id - min_doc) // shard_span``.
+- **Doc-range shards.** ``shard_id = doc_id >> shard_shift`` (power-of-two
+  spans: an arithmetic shift is overflow-free over the full signed-int64
+  range — the hash64 scheme uses nearly all of it, where ``doc_id -
+  min_doc`` overflows under ANSI — and bit-identical between Spark's
+  shiftright and numpy's ``>>``).
   A (term, shard) posting list is bounded by the shard's doc count, so the
   merge task memory is bounded by ``shard_span`` — the sizing knob recorded
   in the manifest (the analog of the reference's closed-form memory
@@ -101,9 +105,13 @@ class CorpusStats:
     avgdl: float
     min_doc: int
     max_doc: int
-    shard_span: int
+    shard_shift: int  # shard_id = doc_id >> shard_shift (arithmetic shift)
     total_tokens: int = 0
     extras: dict = field(default_factory=dict)
+
+    @property
+    def shard_span(self) -> int:
+        return 1 << self.shard_shift
 
 
 def compute_corpus_stats(corpus: DataFrame, params: BuildParams) -> CorpusStats:
@@ -121,6 +129,8 @@ def compute_corpus_stats(corpus: DataFrame, params: BuildParams) -> CorpusStats:
     from .analysis import tokens_col
 
     aggs = [
+        F.count("*").alias("rows"),
+        F.count(F.when(F.col("doc_id").isNull(), 1)).alias("null_ids"),
         F.count("doc_id").alias("n"),
         F.avg(F.size(tokens_col("text"))).alias("avgdl"),
         F.sum(F.size(tokens_col("text"))).alias("tot"),
@@ -131,22 +141,36 @@ def compute_corpus_stats(corpus: DataFrame, params: BuildParams) -> CorpusStats:
     if audit:
         aggs.append(F.countDistinct("doc_id").alias("nd"))
     row = corpus.select(*aggs).first()
+    if row.null_ids:
+        raise ValueError(
+            f"{row.null_ids} of {row.rows} rows have NULL doc_id — for the "
+            "conv_seq scheme this means conv_ids without a trailing digit "
+            "run; fix the ids or use the hash64 scheme"
+        )
     if row.n == 0:
         raise ValueError("empty corpus")
     if audit and row.n != row.nd:
         raise ValueError(f"doc_id not unique: {row.n} rows, {row.nd} distinct")
-    span = max(1, (int(row.hi) - int(row.lo) + params.num_shards) // params.num_shards)
+    # shard span is a POWER OF TWO so shard_id = doc_id >> shift, an
+    # arithmetic shift that is overflow-free for the full signed-int64 range
+    # (the hash64 scheme spans nearly all of it — `doc_id - min_doc` would
+    # overflow under ANSI mode) and bit-identical between Spark's shiftright
+    # and numpy's >>. The id-range arithmetic below is driver-side Python
+    # (arbitrary precision).
+    id_range = int(row.hi) - int(row.lo) + 1
+    span_target = max(1, (id_range + params.num_shards - 1) // params.num_shards)
+    shift = max(0, (span_target - 1).bit_length())
     return CorpusStats(
         n_docs=int(row.n),
         avgdl=float(row.avgdl),
         min_doc=int(row.lo),
         max_doc=int(row.hi),
-        shard_span=span,
+        shard_shift=shift,
         total_tokens=int(row.tot),
     )
 
 
-def _make_runs_gen(min_doc: int, span: int):
+def _make_runs_gen(shard_shift: int):
     """Stage-1 kernel: corpus batches -> COMPRESSED sorted runs per
     (term, shard).
 
@@ -166,7 +190,7 @@ def _make_runs_gen(min_doc: int, span: int):
             tf = _tf_batch(pdf)
             if tf.empty:
                 continue
-            shard = ((tf["doc_id"].to_numpy() - min_doc) // span).astype(np.int64)
+            shard = tf["doc_id"].to_numpy(dtype=np.int64) >> shard_shift
             tf = tf.assign(shard_id=shard)
             tf = tf.sort_values(["term", "shard_id", "doc_id"], kind="stable")
             terms = tf["term"].to_numpy()
@@ -313,7 +337,7 @@ def build_postings(
         n_parts, F.pmod(F.xxhash64("doc_id"), F.lit(n_parts))
     )
     runs = salted.mapInPandas(
-        _make_runs_gen(stats.min_doc, stats.shard_span), schema=RUN_SCHEMA
+        _make_runs_gen(stats.shard_shift), schema=RUN_SCHEMA
     )
     merged_parts = max(params.num_shards, n_parts // 2)
     blocks = (
@@ -367,6 +391,7 @@ def params_dict(params: BuildParams, stats: CorpusStats) -> dict:
         avgdl=stats.avgdl,
         min_doc=stats.min_doc,
         max_doc=stats.max_doc,
+        shard_shift=stats.shard_shift,
         shard_span=stats.shard_span,
         total_tokens=stats.total_tokens,
     )

@@ -57,24 +57,34 @@ def vbyte_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
 
 def segment_delta_gaps(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
     """Per-segment delta-gap: each segment's first value stays absolute,
-    later values become gaps. Segments must be individually increasing."""
+    later values become gaps. Segments must be individually increasing.
+
+    Doc ids may be NEGATIVE (the hash64 scheme spans the full signed-int64
+    range): absolute first values are stored two's-complement-reinterpreted
+    as uint64; within-segment gaps are strictly positive by construction."""
     v = np.asarray(values, dtype=np.int64)
     gaps = v.copy()
     gaps[1:] -= v[:-1]
-    gaps[seg_starts] = v[seg_starts]
-    if (gaps < 0).any():
+    in_seg = np.ones(len(v), dtype=bool)
+    in_seg[seg_starts] = False
+    if (gaps[in_seg] <= 0).any():
         raise ValueError("non-increasing values within a segment")
-    return gaps.astype(np.uint64)
+    u = gaps.astype(np.uint64)  # wraps: two's complement for negatives
+    u[seg_starts] = v[seg_starts].astype(np.uint64)
+    return u
 
 
 def segment_delta_restore(gaps: np.ndarray, seg_starts: np.ndarray,
                           seg_lens: np.ndarray) -> np.ndarray:
     """Inverse of segment_delta_gaps (vectorized: global cumsum minus the
-    cumsum at each segment's start)."""
-    c = np.cumsum(gaps.astype(np.int64))
-    base = np.zeros(len(seg_starts), dtype=np.int64)
-    base[1:] = c[seg_starts[1:] - 1]
-    return c - np.repeat(base, seg_lens)
+    cumsum at each segment's start). All arithmetic is intentionally
+    mod-2^64 (int64 wrap): (base + x) - base == x exactly under wraparound,
+    and the true values fit int64, so negatives restore correctly."""
+    with np.errstate(over="ignore"):
+        c = np.cumsum(gaps.astype(np.int64))
+        base = np.zeros(len(seg_starts), dtype=np.int64)
+        base[1:] = c[seg_starts[1:] - 1]
+        return c - np.repeat(base, seg_lens)
 
 
 def slice_bytes(buf: bytes, value_sizes: np.ndarray,
@@ -91,35 +101,7 @@ def slice_bytes(buf: bytes, value_sizes: np.ndarray,
 
 def vbyte_encode(values: np.ndarray) -> bytes:
     """Encode a uint64-able non-negative int array to varbyte bytes."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bit_length/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 7
-        tmp >>= np.uint64(7)
-    nbytes = np.maximum(nbits // 7 + (nbits == 0), (nbits + 6) // 7)
-    nbytes = np.maximum(nbytes, 1)
-    ends = np.cumsum(nbytes)
-    total = int(ends[-1])
-    out = np.zeros(total, dtype=np.uint8)
-    starts = ends - nbytes
-    # fill byte position p of every value that has > p bytes
-    max_b = int(nbytes.max())
-    rem = v.copy()
-    for p in range(max_b):
-        mask = nbytes > p
-        idx = starts[mask] + p
-        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
-        more = (p + 1) < nbytes[mask]
-        out[idx] = byte | (more.astype(np.uint8) << 7)
-        rem[mask] >>= np.uint64(7)
-    return out.tobytes()
+    return vbyte_encode_with_sizes(values)[0]
 
 
 def vbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -145,12 +127,15 @@ def vbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
 
 
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
-    """Strictly-increasing int array -> first value + gaps (gap >= 1)."""
+    """Strictly-increasing int64 array -> first value + gaps (gap >= 1).
+    The first value may be negative (hash64 ids); it is stored
+    two's-complement-reinterpreted as uint64, which cancels exactly in
+    delta_decode's mod-2^64 cumsum."""
     a = np.asarray(sorted_ids, dtype=np.int64)
     if a.size == 0:
         return a.astype(np.uint64)
     gaps = np.empty(a.size, dtype=np.uint64)
-    gaps[0] = np.uint64(a[0])
+    gaps[0] = a[0].astype(np.uint64)
     d = np.diff(a)
     if (d <= 0).any():
         raise ValueError("doc ids must be strictly increasing for delta-gap")
@@ -159,6 +144,7 @@ def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
 
 
 def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    # uint64 cumsum is mod 2^64; the int64 view restores signed absolutes
     return np.cumsum(gaps.astype(np.uint64)).astype(np.int64)
 
 

@@ -31,7 +31,10 @@ TURN_BITS = 20  # turn_idx < 2^20 per conversation
 
 def add_doc_id(transcripts: DataFrame, scheme: str = "conv_seq") -> DataFrame:
     if scheme == "conv_seq":
-        conv_seq = F.regexp_extract("conv_id", r"(\d+)$", 1).cast("long")
+        # try_cast: a conv_id without a trailing digit run yields NULL
+        # doc_id instead of an ANSI CAST_INVALID_INPUT crash deep inside an
+        # executor; compute_corpus_stats audits for nulls with a clear error
+        conv_seq = F.regexp_extract("conv_id", r"(\d+)$", 1).try_cast("long")
         doc_id = (F.shiftleft(conv_seq, TURN_BITS) + F.col("turn_idx").cast("long"))
     elif scheme == "hash64":
         doc_id = F.xxhash64("conv_id", "turn_idx")

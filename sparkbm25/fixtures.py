@@ -48,26 +48,34 @@ def _zipf_probs(n: int = VOCAB_SIZE, s: float = ZIPF_S) -> np.ndarray:
     return p / p.sum()
 
 
+def _conv_rows(c: int, seed: int, words: np.ndarray, probs: np.ndarray) -> list:
+    """One conversation's turns — seeded per conversation id so the
+    driver-side and distributed generators produce IDENTICAL rows and
+    output is independent of partitioning."""
+    rng = np.random.default_rng(seed + c)
+    conv_id = f"conv-{c:08d}"
+    n_turns = int(rng.integers(2, 21))
+    rows = []
+    for t in range(n_turns):
+        role = ROLES[(c + t) % 3]
+        n_tok = int(rng.integers(5, 121))
+        text = " ".join(rng.choice(words, size=n_tok, p=probs).tolist())
+        if (c * 7 + t) % 13 == 0:
+            text = SPICE[(c + t) % len(SPICE)] + " " + text
+        tool = TOOLS[(c + t) % len(TOOLS)] if role == "tool" else None
+        ts = BASE_TS + dt.timedelta(hours=c, minutes=t)
+        rows.append((conv_id, t, role, text, tool, ts))
+    return rows
+
+
 def make_transcripts_pdf(n_convs: int, seed: int = SEED) -> pd.DataFrame:
-    """Driver-side generator (use for unit/correctness scales <= ~50k turns)."""
-    rng = np.random.default_rng(seed)
+    """Driver-side generator (use for unit/correctness scales <= ~50k turns).
+    Row-identical to make_transcripts_df for the same parameters."""
     words = np.array(vocab())
     probs = _zipf_probs()
-    rows = []
+    rows: list = []
     for c in range(n_convs):
-        conv_id = f"conv-{c:08d}"
-        n_turns = int(rng.integers(2, 21))
-        for t in range(n_turns):
-            role = ROLES[(c + t) % 3]
-            n_tok = int(rng.integers(5, 121))
-            toks = rng.choice(words, size=n_tok, p=probs)
-            text = " ".join(toks.tolist())
-            # sprinkle normalization spice deterministically
-            if (c * 7 + t) % 13 == 0:
-                text = SPICE[(c + t) % len(SPICE)] + " " + text
-            tool = TOOLS[(c + t) % len(TOOLS)] if role == "tool" else None
-            ts = BASE_TS + dt.timedelta(hours=c, minutes=t)
-            rows.append((conv_id, t, role, text, tool, ts))
+        rows.extend(_conv_rows(c, seed, words, probs))
     return pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
@@ -84,9 +92,6 @@ def make_transcripts_df(spark, n_convs: int, seed: int = SEED):
 
     words = vocab()
     probs = _zipf_probs()
-    n_roles, n_tools, n_spice = len(ROLES), len(TOOLS), len(SPICE)
-    roles, tools, spice = ROLES, TOOLS, SPICE
-    base_ts = BASE_TS
 
     schema = (
         "conv_id string, turn_idx int, role string, text string, "
@@ -94,25 +99,14 @@ def make_transcripts_df(spark, n_convs: int, seed: int = SEED):
     )
 
     def gen(batches):
-        import datetime as _dt
+        from sparkbm25.fixtures import _conv_rows
 
         warr = np.array(words)
+        parr = np.asarray(probs)
         for pdf in batches:
             out_rows = []
             for c in pdf["id"].to_numpy():
-                c = int(c)
-                rng = np.random.default_rng(seed + c)
-                conv_id = f"conv-{c:08d}"
-                n_turns = int(rng.integers(2, 21))
-                for t in range(n_turns):
-                    role = roles[(c + t) % n_roles]
-                    n_tok = int(rng.integers(5, 121))
-                    text = " ".join(rng.choice(warr, size=n_tok, p=probs).tolist())
-                    if (c * 7 + t) % 13 == 0:
-                        text = spice[(c + t) % n_spice] + " " + text
-                    tool = tools[(c + t) % n_tools] if role == "tool" else None
-                    ts = base_ts + _dt.timedelta(hours=c, minutes=t)
-                    out_rows.append((conv_id, t, role, text, tool, ts))
+                out_rows.extend(_conv_rows(int(c), seed, warr, parr))
             yield pd.DataFrame(
                 out_rows,
                 columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],

@@ -161,16 +161,15 @@ def _decode_gen(k1: float, b: float, avgdl: float):
     return gen
 
 
-def _rescore_gen(k1: float, b: float, avgdl: float, cand_map: dict[int, np.ndarray]):
-    """Decode pruned blocks, keeping only candidate docs of that query."""
+def _rescore_gen(k1: float, b: float, avgdl: float):
+    """Decode pruned blocks, keeping only that row's `wanted` doc ids
+    (assembled distributedly — no driver-side candidate map)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
             for r in pdf.itertuples(index=False):
-                cands = cand_map.get(int(r.query_id))
-                if cands is None:
-                    continue
+                cands = np.asarray(r.wanted, dtype=np.int64)
                 ids = delta_decode(vbyte_decode(r.docs_vbyte, r.n_docs))
                 keep = np.isin(ids, cands)
                 if not keep.any():
@@ -376,41 +375,49 @@ def index_search(
     )
     cand = cand.cache()
     try:
-        # Phase 3: exact missing contributions from pruned blocks
-        cand_rows = cand.select("query_id", "doc_id", "cterms").collect()
-        cand_map: dict[int, np.ndarray] = {}
-        missing_pairs: set[tuple[int, str]] = set()
-        qterms_by_q: dict[int, set[str]] = {}
-        for qid, t, *_ in weights:
-            qterms_by_q.setdefault(qid, set()).add(t)
-        by_q: dict[int, list[int]] = {}
-        for r in cand_rows:
-            by_q.setdefault(r.query_id, []).append(r.doc_id)
-            for t in qterms_by_q[r.query_id] - set(r.cterms):
-                missing_pairs.add((r.query_id, t))
-        for qid, ids in by_q.items():
-            cand_map[qid] = np.array(sorted(ids), dtype=np.int64)
-
-        if missing_pairs:
-            mp = spark.createDataFrame(
-                sorted(missing_pairs), "query_id int, term string"
+        # Phase 3, fully distributed (no driver-side candidate collect —
+        # weak-pruning query batches can make the candidate set a large
+        # fraction of the corpus): per candidate, the query terms that did
+        # NOT contribute; then pruned blocks whose doc range covers that
+        # candidate, with the wanted ids gathered per block.
+        qterms_df = spark.createDataFrame(
+            [(qid, t) for qid, t, *_ in weights], "query_id int, term string"
+        )
+        missing = (
+            cand.select("query_id", "doc_id", "cterms")
+            .join(F.broadcast(qterms_df), "query_id")
+            .filter(~F.array_contains("cterms", F.col("term")))
+            .select("query_id", "term", "doc_id")
+        )
+        to_rescore = (
+            pruned.join(missing, ["query_id", "term"])
+            .filter(
+                (F.col("doc_id") >= F.col("first_doc"))
+                & (F.col("doc_id") <= F.col("last_doc"))
             )
-            to_rescore = pruned.join(F.broadcast(mp), ["query_id", "term"], "left_semi")
-            extra = to_rescore.mapInPandas(
-                _rescore_gen(ix.k1, ix.b, ix.avgdl, cand_map), schema=EXTRA_SCHEMA
+            .groupBy("query_id", "term", "shard_id", "block_id")
+            .agg(
+                F.first("w").alias("w"),
+                F.first("n_docs").alias("n_docs"),
+                F.first("docs_vbyte").alias("docs_vbyte"),
+                F.first("tfs_vbyte").alias("tfs_vbyte"),
+                F.first("dls_vbyte").alias("dls_vbyte"),
+                F.collect_list("doc_id").alias("wanted"),
             )
-            extra_agg = extra.groupBy("query_id", "doc_id").agg(
-                F.sum("extra").alias("extra")
+        )
+        extra = to_rescore.mapInPandas(
+            _rescore_gen(ix.k1, ix.b, ix.avgdl), schema=EXTRA_SCHEMA
+        )
+        extra_agg = extra.groupBy("query_id", "doc_id").agg(
+            F.sum("extra").alias("extra")
+        )
+        final = (
+            cand.join(extra_agg, ["query_id", "doc_id"], "left")
+            .withColumn(
+                "score", F.col("P") + F.coalesce(F.col("extra"), F.lit(0.0))
             )
-            final = (
-                cand.join(extra_agg, ["query_id", "doc_id"], "left")
-                .withColumn(
-                    "score", F.col("P") + F.coalesce(F.col("extra"), F.lit(0.0))
-                )
-                .select("query_id", "doc_id", "score")
-            )
-        else:
-            final = cand.select("query_id", "doc_id", F.col("P").alias("score"))
+            .select("query_id", "doc_id", "score")
+        )
         out = topk_window(final, k)
         out = out.localCheckpoint(eager=True)
     finally:

@@ -125,9 +125,14 @@ def build_index(
         _write_manifest(index_dir, m)
     else:
         b = m["build"]
+        if "shard_shift" not in b:
+            raise ValueError(
+                "manifest predates the shard_shift layout (engine < 0.2); "
+                "rebuild the index with the current engine"
+            )
         stats = CorpusStats(
             n_docs=b["n_docs"], avgdl=b["avgdl"], min_doc=b["min_doc"],
-            max_doc=b["max_doc"], shard_span=b["shard_span"],
+            max_doc=b["max_doc"], shard_shift=b["shard_shift"],
             total_tokens=b.get("total_tokens", 0),
         )
 
@@ -153,8 +158,11 @@ def build_index(
         _write_manifest(index_dir, m)
         raise MemoryError(m["error_message"])
 
-    shard = (F.col("doc_id") - F.lit(stats.min_doc)) / F.lit(stats.shard_span)
-    group_col = F.pmod(F.floor(shard), F.lit(params.lineage_groups))
+    # arithmetic shift: overflow-free over the full signed-int64 id range
+    # and identical to the kernel's numpy `>>` (ANSI-safe — a plain
+    # `doc_id - min_doc` overflows for the hash64 scheme)
+    shard = F.shiftright(F.col("doc_id"), stats.shard_shift)
+    group_col = F.pmod(shard, F.lit(params.lineage_groups))
 
     try:
         for g in range(params.lineage_groups):

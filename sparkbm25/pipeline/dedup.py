@@ -12,8 +12,9 @@ Scale notes (the part that matters at 100 TB):
   whole-stage codegen, zero Python, map-only (no shuffle).
 - LSH candidate generation self-joins on (band_id, band_key): the shuffle
   key is the band hash, so work is proportional to colliding candidates,
-  not n². Hot buckets (boilerplate docs) are the skew risk — `max_bucket`
-  caps them (dropped buckets are logged, not silently ignored).
+  not n². Hot buckets (boilerplate docs) are the skew risk — the optional
+  `max_bucket` cap skips them (an approximation: see minhash_lsh_pairs
+  docstring; run exact_dedup first so mega-clusters never reach LSH).
 - exact verification joins only candidate pairs back to shingle sets.
 
 Every driver-checked op has a DuckDB oracle-SQL generator; the LSH path is
@@ -141,18 +142,16 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    raw = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    # filter on the RAW value (matches the oracle SQL's WHERE clause);
+    # round only in the projection — filtering on the rounded value keeps
+    # boundary pairs the oracle drops
     out = (
         common.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(raw >= threshold)
+        .select("doc_a", "doc_b", F.round(raw, 6).alias("jaccard"))
     )
     return out
 
@@ -233,7 +232,7 @@ def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,
     text_col: str = "text",
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with exact Jaccard >= threshold, found via banded
     minhash LSH and verified exactly.
@@ -241,8 +240,14 @@ def minhash_lsh_pairs(
     With r=2, b=64 the probability a pair at J=threshold collides in no band
     is (1 - J^2)^64 — at J=0.5 that is 1e-8, so vs the exact-Jaccard oracle
     this is equal in practice (and candidate verification removes all false
-    positives). Buckets larger than `max_bucket` (degenerate boilerplate)
-    are dropped — the cap is a scale guard, disabled by passing None."""
+    positives).
+
+    max_bucket (default None = exact): when set, band buckets larger than
+    the cap are SKIPPED — an APPROXIMATION for adversarial boilerplate at
+    extreme scale that can drop entire mega-clusters of near-identical
+    docs (a 10^6-doc duplicate cluster otherwise implies ~10^12 candidate
+    pairs). Production pipelines that set a cap should handle mega-clusters
+    separately via exact_dedup on the normalized text first."""
     sig = minhash_signature(df, text_col)
 
     # Banding happens in an Arrow kernel, NOT as explode(slice(sig, ...)):
@@ -319,15 +324,12 @@ def minhash_lsh_pairs(
               .withColumnRenamed("sh", "sh_b"), "doc_b")
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common").cast("double")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
-                6,
-            ),
+            "raw_j",
+            F.col("common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("raw_j") >= threshold)  # raw, like the oracle SQL
+        .select("doc_a", "doc_b", F.round("raw_j", 6).alias("jaccard"))
     )
     return verified
 

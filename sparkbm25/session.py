@@ -78,7 +78,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARKBM25_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.spill.compress", "true")
         # local corpora are a few hundred MB: the default 128MB split size
         # gives ~3 scan tasks, serializing every map side on 3 cores (the
         # stage feeding the salted repartition stopped scaling entirely).

@@ -105,4 +105,10 @@ def source_fingerprint(spark: SparkSession, source: str,
                 continue
             st = os.stat(p)
             h.update(f"{name}:{st.st_size}:{int(st.st_mtime)}".encode())
+    elif os.path.exists(source):
+        # single file: content identity, not just the path — otherwise an
+        # overwritten file keeps the old job_id and the idempotent
+        # short-circuit serves a stale index
+        st = os.stat(source)
+        h.update(f"{st.st_size}:{int(st.st_mtime)}".encode())
     return f"{fmt}:{h.hexdigest()}"

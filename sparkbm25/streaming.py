@@ -49,7 +49,7 @@ def _stats_from_manifest(m: dict) -> tuple[BuildParams, CorpusStats]:
     )
     stats = CorpusStats(
         n_docs=b["n_docs"], avgdl=b["avgdl"], min_doc=b["min_doc"],
-        max_doc=b["max_doc"], shard_span=b["shard_span"],
+        max_doc=b["max_doc"], shard_shift=b["shard_shift"],
         total_tokens=b.get("total_tokens", 0),
     )
     return params, stats
@@ -122,15 +122,24 @@ def stream_append(
 
 
 def finalize_stream(spark: SparkSession, index_dir: str) -> None:
-    """Recompute global term stats over base + streamed groups and refresh
-    the manifest doc count (queries use the frozen avgdl by contract)."""
+    """Recompute global term stats over base + streamed groups AND refresh
+    the manifest's n_docs to the true total.
+
+    n_docs MUST move together with term_stats: with frozen base N and
+    recomputed df, a term appearing in more docs than the base corpus gets
+    df > N and a NEGATIVE idf — which breaks the nonnegative-contribution
+    assumption every block-max pruning bound relies on. After this update
+    df <= n_docs always holds, so idf >= ln(1 + 0.5/(df+0.5)) > 0.
+    avgdl stays frozen by contract (tf normalization drift is handled by
+    periodic full rebuild, like segment-merge policies)."""
     m = read_manifest(index_dir)
     blocks = spark.read.parquet(os.path.join(index_dir, "postings"))
     tdir = os.path.join(index_dir, "term_stats")
     term_stats_from_blocks(blocks).write.mode("overwrite").parquet(tdir)
-    streamed_docs = (
+    total_docs = (
         spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         .count()
     )
-    m["streamed_total_docs"] = streamed_docs
+    m["streamed_total_docs"] = total_docs
+    m["build"]["n_docs"] = max(int(m["build"]["n_docs"]), int(total_docs))
     _write_manifest(index_dir, m)

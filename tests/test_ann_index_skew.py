@@ -74,9 +74,11 @@ def test_head_term_in_every_doc(spark, tmp_path):
     per_shard = {r.shard_id: r.n for r in
                  blocks.groupBy("shard_id").agg(
                      F.sum("n_docs").alias("n")).collect()}
-    assert len(per_shard) == params.num_shards
+    # power-of-two span rounding yields between num_shards/2 and num_shards
+    # shards; the bound that matters is that no shard concentrates the term
+    assert params.num_shards // 2 <= len(per_shard) <= params.num_shards
     assert sum(per_shard.values()) == n
-    assert max(per_shard.values()) < n  # no single-task concentration
+    assert max(per_shard.values()) <= 2 * (n // params.num_shards) + 1
 
     oracle = OracleIndex.build(rows)
     queries = [(0, "the"), (1, "the common"), (2, "rare mid5")]

@@ -79,7 +79,7 @@ def test_admission_refuses_undersharded_build(spark, tmp_path):
     )
     fake_stats = CorpusStats(
         n_docs=10**10, avgdl=60.0, min_doc=0, max_doc=10**10,
-        shard_span=10**10 // 4 + 1,
+        shard_shift=32,
     )
     with pytest.raises(MemoryError, match="num_shards"):
         build_index(
