@@ -91,8 +91,9 @@ WITH lagged AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_seq
   FROM lagged
 )
 SELECT user_id, session_seq,

@@ -87,6 +87,6 @@ tf AS (
   SELECT doc_id, t.term, count(*) AS tf
   FROM toks, unnest(ts) AS t(term) GROUP BY 1, 2
 )
-SELECT term, count(*) AS df, sum(tf) AS cf
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
 FROM tf GROUP BY term HAVING count(*) >= {min_df}
 """

@@ -27,12 +27,22 @@ TABLES = [
 
 
 def canon(v):
+    """Type-strict canonical form. The grading driver hashes type+repr, so
+    int 31 vs float 31.0 (e.g. DuckDB HUGEINT surfacing as float64) MUST
+    mismatch here too — tag numerics with their kind instead of relying on
+    Python ==, which treats 31 == 31.0."""
     if v is None:
         return None
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        v = v.item()
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
+            return ("f", "NaN")
+        return ("f", round(v, 6))
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     return v
