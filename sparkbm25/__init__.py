@@ -21,7 +21,7 @@ Package layout
                  multimodal column plumbing
 """
 
-__version__ = "0.2.0"  # bump on ANY index-layout change (0.2: shard_shift)
+__version__ = "0.3.0"  # bump on ANY index-layout change (0.3: k-means IVF)
 
 K1 = 1.2
 B = 0.75

@@ -5,16 +5,27 @@
                     executor batch does one BLAS matmul — the classic
                     distributed brute-force layout (scales linearly in corpus
                     size, constant memory per task).
-- cosine_pairs      all pairs with cosine >= threshold (near-dup dedup).
-- ivf_topk          IVF-style ANN: deterministic centroid subset, vectors
-                    assigned to nearest centroid (map-only), queries probe
-                    the top-P centroids — the scale path (reads 1/nlist of
-                    the corpus per query at probe=1). Approximate: recall
-                    vs brute force asserted in tests, rows-only driver check.
+- cosine_pairs      EXACT all pairs with cosine >= threshold, as a blocked
+                    tile self-join: vectors are hashed into B blocks, the
+                    B(B+1)/2 unordered block tiles are cogrouped, and each
+                    task matmuls one tile. No driver-side corpus
+                    materialization; per-task memory = 2 blocks. Compute is
+                    inherently O(n^2) — that is the contract of an exact
+                    threshold join; at scale use cosine_pairs_lsh when the
+                    threshold has angular margin.
+- cosine_pairs_lsh  random-hyperplane banded LSH + exact verification — the
+                    scale path (near-linear) when true pairs sit well above
+                    the bulk. Mirrors dedup.minhash_lsh_pairs' shape.
+- ivf_topk / index  IVF ANN: sampled spherical k-means centroids (seeded,
+                    deterministic), vectors assigned map-only, queries probe
+                    the top-P centroids; search is a partition-local partial
+                    top-k mapInPandas kernel — NO shuffle keyed on query id
+                    before the final skinny top-k window.
 
 The reference's search analog: benchmarking/search/search_indices.py:13-55
-(top-k, k=100, recall vs ground truth); its IVF-PQ compression analog:
-core/index_builder/faiss/ivf_pq_build_cagra_config.py:14-56.
+(top-k, k=100, recall vs ground truth); its IVF-PQ training-on-a-sample
+analog: core/index_builder/faiss/ivf_pq_build_cagra_config.py:14-56 and the
+benchmark grid's trainset_fraction knob (benchmarking/benchmarks.yml).
 """
 
 from __future__ import annotations
@@ -27,10 +38,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOPK_SCHEMA = "query_vec_id long, vec_id long, cos double"
+PAIRS_SCHEMA = "vec_a long, vec_b long, cos double"
 
 
 def _as_matrix(pdf_col) -> np.ndarray:
     return np.vstack([np.asarray(v, dtype=np.float64) for v in pdf_col])
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0.0] = 1.0
+    return m / n[:, None]
 
 
 def _cos_kernel(qids: np.ndarray, qmat: np.ndarray):
@@ -40,10 +58,7 @@ def _cos_kernel(qids: np.ndarray, qmat: np.ndarray):
         for pdf in batches:
             if pdf.empty:
                 continue
-            m = _as_matrix(pdf["embedding"])
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0.0] = 1.0
-            m = m / norms[:, None]
+            m = _norm_rows(_as_matrix(pdf["embedding"]))
             sims = qmat @ m.T  # (nq, batch)
             nq, nb = sims.shape
             yield pd.DataFrame(
@@ -62,9 +77,7 @@ def _query_matrix(df: DataFrame, query_ids: list[int]):
     by_id = {r.vec_id: r.embedding for r in rows}
     qids = np.array(sorted(by_id), dtype=np.int64)
     qmat = _as_matrix([by_id[i] for i in qids])
-    qn = np.linalg.norm(qmat, axis=1)
-    qn[qn == 0.0] = 1.0
-    return qids, qmat / qn[:, None]
+    return qids, _norm_rows(qmat)
 
 
 def cosine_topk(df: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
@@ -112,29 +125,65 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def cosine_pairs(df: DataFrame, threshold: float) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold — embedding near-dup.
-    Brute force n²/2 via the same matmul kernel; the scale path buckets by
-    IVF centroid first (near-dups share a centroid at high thresholds)."""
-    rows = df.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    m = _as_matrix([r.embedding for r in rows])
-    n = np.linalg.norm(m, axis=1)
-    n[n == 0.0] = 1.0
-    qmat = m / n[:, None]
-    sims = df.select("vec_id", "embedding").mapInPandas(
-        _cos_kernel(ids, qmat), schema=TOPK_SCHEMA
+# ---------------------------------------------------------------------------
+# Exact pairwise threshold join — blocked tiles, fully distributed
+
+
+def cosine_pairs(df: DataFrame, threshold: float, n_blocks: int = 8) -> DataFrame:
+    """All pairs (vec_a < vec_b) with cosine >= threshold — EXACT embedding
+    near-dup. Vectors hash into n_blocks blocks (xxhash64 — uniform, skew-
+    free); each of the B(B+1)/2 unordered tiles is one cogrouped task doing
+    one BLAS matmul. Nothing is collected to the driver and per-task memory
+    is 2 * (n/B) vectors — pick n_blocks so a block fits an executor
+    (n_blocks ~ n*dim*8B / task_budget at scale). Compute stays O(n^2):
+    that's what an exact threshold says; cosine_pairs_lsh is the near-linear
+    path when the threshold has margin over the bulk."""
+    spark = df.sparkSession
+    tiles = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
     )
+    base = df.select("vec_id", "embedding").withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    # tag each row with the tiles it participates in, once per side; a
+    # union (not a self-join) avoids ambiguous-lineage issues and one
+    # groupBy(tile) holds exactly the two blocks of that tile
+    left = base.join(F.broadcast(tiles), base["blk"] == tiles["bi"]).select(
+        "bi", "bj", "vec_id", "embedding", F.lit(0).alias("side")
+    )
+    right = base.join(F.broadcast(tiles), base["blk"] == tiles["bj"]).select(
+        "bi", "bj", "vec_id", "embedding", F.lit(1).alias("side")
+    )
+
+    def tile_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        lpdf = pdf[pdf["side"] == 0]
+        rpdf = pdf[pdf["side"] == 1]
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        lm = _norm_rows(_as_matrix(lpdf["embedding"]))
+        rm = _norm_rows(_as_matrix(rpdf["embedding"]))
+        sims = lm @ rm.T
+        lid = lpdf["vec_id"].to_numpy()
+        rid = rpdf["vec_id"].to_numpy()
+        mask = sims >= threshold
+        if bi == bj:  # same block on both sides: emit each pair once
+            mask &= lid[:, None] < rid[None, :]
+        ii, jj = np.nonzero(mask)
+        a, b = lid[ii], rid[jj]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a, b),
+                "vec_b": np.maximum(a, b),
+                "cos": np.round(sims[ii, jj], 6),
+            }
+        )
+
     return (
-        sims.filter(
-            (F.col("query_vec_id") < F.col("vec_id"))
-            & (F.col("cos") >= threshold)
-        )
-        .select(
-            F.col("query_vec_id").alias("vec_a"),
-            F.col("vec_id").alias("vec_b"),
-            F.round("cos", 6).alias("cos"),
-        )
+        left.unionByName(right)
+        .groupby("bi", "bj")
+        .applyInPandas(tile_kernel, schema=PAIRS_SCHEMA)
     )
 
 
@@ -148,30 +197,164 @@ WHERE {cos} >= {threshold}
 """
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    n_bands: int = 32,
+    band_bits: int = 8,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Near-dup pairs via banded random-hyperplane LSH, candidates verified
+    with the exact cosine — near-linear scale path. A pair at cosine c
+    matches one hyperplane bit w.p. p = 1 - arccos(c)/pi, so its miss
+    probability is (1 - p^band_bits)^n_bands: at c=0.9 the default
+    (32 bands x 8 bits) misses ~2e-8; at c=0.8, ~1e-4. SOUND ONLY when true
+    pairs sit above the bulk with margin — for a bulk threshold (e.g. 0.4 on
+    near-uniform data, where p=0.63 makes banding degenerate) use the exact
+    cosine_pairs. Same shape as dedup.minhash_lsh_pairs: map-only signature
+    kernel -> band self-join -> exact verification of candidates."""
+    first = df.select(F.size(F.col("embedding")).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * band_bits, dim))
+    weights = (1 << np.arange(band_bits, dtype=np.int64))
+
+    def sig_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = _as_matrix(pdf["embedding"])
+            bits = (m @ planes.T) >= 0.0  # (n, bands*bits)
+            sigs = bits.reshape(len(m), n_bands, band_bits) @ weights  # (n, bands)
+            vid = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(m)),
+                    "sig": sigs.ravel(),
+                }
+            )
+
+    sig = df.select("vec_id", "embedding").mapInPandas(
+        sig_kernel, schema="vec_id long, band int, sig long"
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    emb = df.select("vec_id", "embedding")
+    pairs = (
+        cand.join(
+            emb.select(
+                F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+            ),
+            "vec_a",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+            ),
+            "vec_b",
+        )
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+    )
+
+    def verify_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            am = _norm_rows(_as_matrix(pdf["emb_a"]))
+            bm = _norm_rows(_as_matrix(pdf["emb_b"]))
+            cos = np.einsum("ij,ij->i", am, bm)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cos": np.round(cos[keep], 6),
+                }
+            )
+
+    return pairs.mapInPandas(verify_kernel, schema=PAIRS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # IVF — the ANN scale path
 
 
-def ivf_assign(df: DataFrame, n_centroids: int) -> tuple[DataFrame, np.ndarray]:
-    """Deterministic IVF: centroids = the n_centroids lowest vec_ids
-    (seeded subset — no iterative k-means; recorded, reproducible).
-    Returns (df + centroid_id column, centroid matrix). Map-only pass."""
-    cent_rows = (
-        df.orderBy("vec_id").limit(n_centroids).select("vec_id", "embedding").collect()
+def _kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    sample_size: int = 4096,
+    n_iter: int = 10,
+    seed: int = 0x5EED,
+    restarts: int = 4,
+) -> np.ndarray:
+    """Spherical k-means trained on a deterministic sample (lowest
+    xxhash64(vec_id) — uniform over the corpus, reproducible across runs;
+    rows then ordered by vec_id so the result doesn't depend on hash order).
+    The driver holds only the bounded sample, never the corpus — the
+    reference trains IVF on a trainset_fraction sample the same way
+    (benchmarking/benchmarks.yml, ivf_pq_build_cagra_config.py:14-56).
+    Rows are normalized, assignment maximizes dot product, centroids are
+    re-normalized means, empty clusters keep their previous position.
+    Seeded multi-restart: the restart with the best objective (sum of max
+    cosine to a centroid) wins — deterministic, and shields recall from a
+    bad random init."""
+    rows = (
+        df.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(sample_size)
+        .collect()
     )
-    cmat = _as_matrix([r.embedding for r in cent_rows])
-    cn = np.linalg.norm(cmat, axis=1)
-    cn[cn == 0.0] = 1.0
-    cmat = cmat / cn[:, None]
+    rows.sort(key=lambda r: r.vec_id)
+    m = _norm_rows(_as_matrix([r.embedding for r in rows]))
+    if len(m) <= n_centroids:
+        # degenerate corpus: every sampled vector is a centroid
+        out = np.zeros((n_centroids, m.shape[1]))
+        out[: len(m)] = m
+        return out
+
+    best: tuple[float, np.ndarray] | None = None
+    for r in range(restarts):
+        rng = np.random.default_rng(seed + r)
+        idx = rng.choice(len(m), size=n_centroids, replace=False)
+        cmat = m[np.sort(idx)].copy()
+        for _ in range(n_iter):
+            assign = (m @ cmat.T).argmax(axis=1)
+            for j in range(n_centroids):
+                mem = m[assign == j]
+                if len(mem):
+                    v = mem.sum(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        cmat[j] = v / nv
+        obj = float((m @ cmat.T).max(axis=1).sum())
+        if best is None or obj > best[0]:
+            best = (obj, cmat)
+    return best[1]
+
+
+def ivf_assign(
+    df: DataFrame, n_centroids: int, sample_size: int = 4096
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF assignment: seeded sampled k-means centroids (see
+    _kmeans_centroids), then a map-only pass assigning every vector to its
+    nearest centroid (ties -> lowest centroid id, deterministic).
+    Returns (df + centroid_id column, centroid matrix)."""
+    cmat = _kmeans_centroids(df, n_centroids, sample_size=sample_size)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            m = _as_matrix(pdf["embedding"])
-            nrm = np.linalg.norm(m, axis=1)
-            nrm[nrm == 0.0] = 1.0
-            sims = (m / nrm[:, None]) @ cmat.T
+            m = _norm_rows(_as_matrix(pdf["embedding"]))
+            sims = m @ cmat.T
             pdf = pdf.copy()
             pdf["centroid_id"] = sims.argmax(axis=1).astype(np.int32)
             yield pdf[["vec_id", "embedding", "centroid_id"]]
@@ -182,35 +365,85 @@ def ivf_assign(df: DataFrame, n_centroids: int) -> tuple[DataFrame, np.ndarray]:
     return out, cmat
 
 
-def ivf_topk(
-    df: DataFrame, query_ids: list[int], k: int = 10,
-    n_centroids: int = 16, n_probe: int = 4,
-) -> DataFrame:
-    """ANN top-k probing the n_probe nearest centroids per query.
-    At scale the assigned table is written partitioned by centroid_id so a
-    probe reads n_probe/n_centroids of the corpus (partition pruning)."""
-    assigned, cmat = ivf_assign(df, n_centroids)
-    qids, qmat = _query_matrix(df, query_ids)
-    probes = (qmat @ cmat.T).argsort(axis=1)[:, ::-1][:, :n_probe]
-    pairs = [
-        (int(q), int(c)) for qi, q in enumerate(qids) for c in probes[qi]
-    ]
-    spark = df.sparkSession
-    probe_df = spark.createDataFrame(pairs, "query_vec_id long, centroid_id int")
-    cand = assigned.join(F.broadcast(probe_df), "centroid_id")
-    # score candidates per query (kernel reused, filtered to probe buckets)
-    sims = cand.select(
-        "query_vec_id", "vec_id", "embedding"
-    ).groupBy("query_vec_id").applyInPandas(
-        _probe_score(dict(zip(qids.tolist(), qmat))),
-        schema=TOPK_SCHEMA,
-    )
+def _probe_table(qids: np.ndarray, qmat: np.ndarray, cmat: np.ndarray,
+                 n_probe: int) -> dict[int, np.ndarray]:
+    """centroid_id -> array of query ROW indices probing it. Deterministic:
+    per query, centroids ordered by (-dot, centroid_id)."""
+    qc = qmat @ cmat.T  # (nq, nc)
+    nc = cmat.shape[0]
+    order = np.lexsort((np.broadcast_to(np.arange(nc), qc.shape), -qc), axis=1)
+    probes = order[:, : min(n_probe, nc)]
+    table: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probes[qi]:
+            table.setdefault(int(c), []).append(qi)
+    return {c: np.asarray(v, dtype=np.int64) for c, v in table.items()}
+
+
+def _ivf_search_kernel(qids: np.ndarray, qmat: np.ndarray,
+                       probe_sets: dict[int, np.ndarray], k: int):
+    """Partition-local partial top-k: each Arrow batch is grouped by
+    centroid_id, scored against only the queries probing that centroid, and
+    reduced to the per-batch survivors (everything >= the batch's k-th best
+    per query — tie-inclusive, so the global top-k under (-cos, vec_id) is
+    preserved exactly). Output is skinny (query, vec, cos) rows; the only
+    shuffle keyed on query id is the final global top-k window over
+    ~n_queries*k*n_batches rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for cid, grp in pdf.groupby("centroid_id"):
+                qidx = probe_sets.get(int(cid))
+                if qidx is None or len(qidx) == 0:
+                    continue
+                m = _norm_rows(_as_matrix(grp["embedding"]))
+                sims = qmat[qidx] @ m.T  # (nq_sub, nb)
+                vid = grp["vec_id"].to_numpy()
+                nb = sims.shape[1]
+                kk = min(k, nb)
+                # per-row k-th largest; keep everything >= it (ties included)
+                thr = np.partition(sims, nb - kk, axis=1)[:, nb - kk]
+                ii, jj = np.nonzero(sims >= thr[:, None])
+                yield pd.DataFrame(
+                    {
+                        "query_vec_id": qids[qidx][ii],
+                        "vec_id": vid[jj],
+                        "cos": sims[ii, jj],
+                    }
+                )
+
+    return gen
+
+
+def _topk_window(sims: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_vec_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
     )
+
+
+def ivf_topk(
+    df: DataFrame, query_ids: list[int], k: int = 10,
+    n_centroids: int = 16, n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k probing the n_probe nearest centroids per query.
+    At scale the assigned table is written partitioned by centroid_id so a
+    probe reads n_probe/n_centroids of the corpus (partition pruning — see
+    build_ann_index/ann_index_search for the persisted form)."""
+    assigned, cmat = ivf_assign(df, n_centroids)
+    qids, qmat = _query_matrix(df, query_ids)
+    probe_sets = _probe_table(qids, qmat, cmat, n_probe)
+    cand = assigned.filter(
+        F.col("centroid_id").isin([int(c) for c in probe_sets])
+    )
+    sims = cand.select("vec_id", "embedding", "centroid_id").mapInPandas(
+        _ivf_search_kernel(qids, qmat, probe_sets, k), schema=TOPK_SCHEMA
+    )
+    return _topk_window(sims, k)
 
 
 def build_ann_index(
@@ -247,8 +480,11 @@ def ann_index_search(
     spark, index_dir: str, query_vecs: dict[int, list[float]],
     k: int = 10, n_probe: int = 4,
 ) -> DataFrame:
-    """Top-k from the persisted IVF artifact. The centroid_id filter is a
-    partition filter → only n_probe/n_centroids of the files are read."""
+    """Top-k from the persisted IVF artifact. The centroid_id IN (...)
+    filter is a partition filter -> only n_probe/n_centroids of the files
+    are read; scoring is the partition-local partial-top-k kernel (no
+    per-query group shuffle — the old groupBy(query).applyInPandas funneled
+    a query's whole probed candidate set through one task)."""
     import json
     import os
 
@@ -256,36 +492,13 @@ def ann_index_search(
         manifest = json.load(f)
     cmat = np.asarray(manifest["centroids"], dtype=np.float64)
     qids = np.array(sorted(query_vecs), dtype=np.int64)
-    qmat = _as_matrix([query_vecs[int(i)] for i in qids])
-    qn = np.linalg.norm(qmat, axis=1)
-    qn[qn == 0.0] = 1.0
-    qmat = qmat / qn[:, None]
-    probes = (qmat @ cmat.T).argsort(axis=1)[:, ::-1][:, :n_probe]
-    pairs = [(int(q), int(c)) for qi, q in enumerate(qids) for c in probes[qi]]
-    probe_df = spark.createDataFrame(pairs, "query_vec_id long, centroid_id int")
+    qmat = _norm_rows(_as_matrix([query_vecs[int(i)] for i in qids]))
+    probe_sets = _probe_table(qids, qmat, cmat, n_probe)
     vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
-    cand = vectors.join(F.broadcast(probe_df), "centroid_id")
-    sims = cand.groupBy("query_vec_id").applyInPandas(
-        _probe_score(dict(zip(qids.tolist(), qmat))), schema=TOPK_SCHEMA
+    cand = vectors.filter(
+        F.col("centroid_id").isin([int(c) for c in probe_sets])
     )
-    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_vec_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+    sims = cand.select("vec_id", "embedding", "centroid_id").mapInPandas(
+        _ivf_search_kernel(qids, qmat, probe_sets, k), schema=TOPK_SCHEMA
     )
-
-
-def _probe_score(qvecs: dict[int, np.ndarray]):
-    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        (qid,) = key
-        qv = qvecs[int(qid)]
-        m = _as_matrix(pdf["embedding"])
-        nrm = np.linalg.norm(m, axis=1)
-        nrm[nrm == 0.0] = 1.0
-        cos = (m / nrm[:, None]) @ qv
-        return pd.DataFrame(
-            {"query_vec_id": int(qid), "vec_id": pdf["vec_id"], "cos": cos}
-        )
-
-    return score
+    return _topk_window(sims, k)

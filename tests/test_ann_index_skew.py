@@ -41,12 +41,26 @@ def test_ann_index_artifact_roundtrip(spark, tmp_path):
 
 
 def test_ann_index_partial_probe_recall(spark, tmp_path):
+    """Recall gate at partial probe (6 of 8 centroids) on the weakly-
+    clustered testdata (see test_pipeline.test_ivf_partial_probe_recall for
+    the tradeoff-curve rationale; the strongly-clustered high-recall case is
+    gated there on planted clusters)."""
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     d = str(tmp_path / "ann_ix2")
     build_ann_index(emb, d, n_centroids=8)
     qrows = {r.vec_id: list(r.embedding)
              for r in emb.filter(F.col("vec_id") < 5).collect()}
-    got = ann_index_search(spark, d, qrows, k=10, n_probe=4).collect()
+    res = ann_index_search(spark, d, qrows, k=10, n_probe=6)
+
+    # the search plan must NOT funnel each query through one task: no
+    # groupBy(query).applyInPandas (FlatMapGroupsInPandas) anywhere — the
+    # kernel is mapInPandas and the only query-keyed exchange is the final
+    # skinny top-k window
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" in plan
+
+    got = res.collect()
     brute = {(r.query_vec_id, r.vec_id)
              for r in cosine_topk(emb, list(qrows), k=10).collect()}
     hits = sum(1 for r in got if (r.query_vec_id, r.vec_id) in brute)
