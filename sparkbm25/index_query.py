@@ -62,10 +62,7 @@ def _query_weights(ix: Index, queries: list[tuple[int, str]]):
             terms.add(t)
     if not terms:
         return [], []
-    stats = {
-        r.term: (r.df, r.max_tf_norm)
-        for r in ix.term_stats().filter(F.col("term").isin(list(terms))).collect()
-    }
+    stats = ix.term_stats_lookup(sorted(terms))
     rows = []
     per_query: dict[int, list[tuple[str, float, float]]] = {}
     for (qid, t), c in qtf.items():
@@ -264,6 +261,148 @@ def _sharded_topk_fn(by_term: dict[str, list[tuple[int, float]]],
     return topk
 
 
+def _wand_topk_fn(by_term: dict[str, list[tuple[int, float]]],
+                  k1: float, b: float, avgdl: float, k: int):
+    """Shard-local block-max WAND kernel: the module doc's 3-phase pruned
+    traversal executed INSIDE the shard task on block metadata, so pruned
+    search keeps the sharded path's one-shuffle plan (the DataFrame 3-phase
+    plan spent ~8 Spark jobs per batch — VERDICT r01 #5). All bounds are
+    shard-local (tighter than the global plan's) and epsilon-widened, so the
+    result is EXACT under the total order (score desc, doc_id asc):
+
+    phase 1  θ = per-term bootstrap from block minima (k docs provably ≥ θ)
+    phase 2  decode only blocks with w·max_tf_norm + rest ≥ θ; partial P
+    phase 3  τ = kth P; re-decode pruned blocks covering candidates with
+             P + missing-UB ≥ τ (a doc lives in exactly ONE block per term,
+             so adding a pruned block's contribution cannot double-count).
+
+    Decoded blocks are cached per task, so a term shared by many queries
+    decodes once, like the dense sharded kernel."""
+    EPS = 1e-9
+
+    def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int32"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        if pdf.empty:
+            return empty
+        tdata: dict[str, dict] = {}
+        for term, grp in pdf.groupby("term", sort=False):
+            if term not in by_term:
+                continue
+            tdata[term] = {
+                "n": grp["n_docs"].to_numpy(),
+                "first": grp["first_doc"].to_numpy(),
+                "last": grp["last_doc"].to_numpy(),
+                "maxt": grp["max_tf_norm"].to_numpy(),
+                "mint": grp["min_tf_norm"].to_numpy(),
+                "dv": grp["docs_vbyte"].to_list(),
+                "tv": grp["tfs_vbyte"].to_list(),
+                "lv": grp["dls_vbyte"].to_list(),
+                "dec": [None] * len(grp),
+            }
+
+        def dec(td: dict, j: int):
+            if td["dec"][j] is None:
+                n = int(td["n"][j])
+                ids = delta_decode(vbyte_decode(td["dv"][j], n))
+                tfs = vbyte_decode(td["tv"][j], n).astype(np.float64)
+                dls = vbyte_decode(td["lv"][j], n).astype(np.float64)
+                tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                td["dec"][j] = (ids, tfn)
+            return td["dec"][j]
+
+        q_terms: dict[int, list[tuple[str, float]]] = {}
+        for t, lst in by_term.items():
+            if t in tdata:
+                for qid, w in lst:
+                    q_terms.setdefault(qid, []).append((t, w))
+
+        rows_q, rows_d, rows_s = [], [], []
+        for qid, tw in q_terms.items():
+            ub = {t: w * float(tdata[t]["maxt"].max()) for t, w in tw}
+            S = sum(ub.values())
+            # phase 1: θ from metadata minima
+            theta = 0.0
+            for t, w in tw:
+                td = tdata[t]
+                L = w * td["mint"]
+                order = np.argsort(-L, kind="stable")
+                cum = np.cumsum(td["n"][order])
+                hit = np.flatnonzero(cum >= k)
+                if len(hit):
+                    theta = max(theta, float(L[order[hit[0]]]))
+            theta_eps = theta - abs(theta) * EPS
+            # phase 2: decode survivors, partial scores
+            parts = []
+            pruned: list[tuple[str, float, np.ndarray]] = []
+            for t, w in tw:
+                td = tdata[t]
+                ub_b = w * td["maxt"] + (S - ub[t])
+                surv = ub_b >= theta_eps
+                for j in np.flatnonzero(surv):
+                    ids, tfn = dec(td, int(j))
+                    parts.append((ids, w * tfn, ub[t]))
+                pr = np.flatnonzero(~surv)
+                if len(pr):
+                    pruned.append((t, w, pr))
+            if not parts:
+                continue
+            ids_all = np.concatenate([p[0] for p in parts])
+            sc_all = np.concatenate([p[1] for p in parts])
+            ub_all = np.concatenate(
+                [np.full(len(p[0]), p[2]) for p in parts]
+            )
+            uids, inv = np.unique(ids_all, return_inverse=True)
+            P = np.bincount(inv, weights=sc_all, minlength=len(uids))
+            CU = np.bincount(inv, weights=ub_all, minlength=len(uids))
+            if len(uids) > k:
+                tau = float(-np.partition(-P, k - 1)[k - 1])
+            else:
+                tau = float("-inf")
+            M = np.maximum(S - CU, 0.0)
+            cand_mask = P + M >= tau - abs(tau) * EPS
+            cand_ids = uids[cand_mask]  # sorted (np.unique output)
+            scores = P.copy()
+            # phase 3: exact missing contributions for candidates
+            for t, w, pr in pruned:
+                td = tdata[t]
+                lo = np.searchsorted(cand_ids, td["first"][pr], side="left")
+                hi = np.searchsorted(cand_ids, td["last"][pr], side="right")
+                for jj in np.flatnonzero(hi > lo):
+                    j = int(pr[jj])
+                    ids, tfn = dec(td, j)
+                    keep = np.isin(ids, cand_ids)
+                    if not keep.any():
+                        continue
+                    pos = np.searchsorted(uids, ids[keep])
+                    scores[pos] += w * tfn[keep]
+            cidx = np.flatnonzero(cand_mask)
+            cs, cd = scores[cidx], uids[cidx]
+            kk = min(k, len(cd))
+            kth = -np.partition(-cs, kk - 1)[kk - 1]
+            sel = np.flatnonzero(cs >= kth)
+            keep2 = sel[np.lexsort((cd[sel], -cs[sel]))][:k]
+            rows_q.append(np.full(len(keep2), qid, dtype=np.int32))
+            rows_d.append(cd[keep2])
+            rows_s.append(cs[keep2])
+        if not rows_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(rows_q),
+                "doc_id": np.concatenate(rows_d),
+                "score": np.concatenate(rows_s),
+            }
+        )
+
+    return topk
+
+
 def index_search(
     ix: Index,
     queries: list[tuple[int, str]],
@@ -274,14 +413,17 @@ def index_search(
     """Exact top-k BM25 from the index.
 
     strategy:
-      "sharded"    (default) shard-grouped exact scoring: posting blocks of
-                   the query terms shuffle ONCE by shard (never replicated
-                   per query); each shard task scores every query in numpy
-                   and emits only its local top-k. Minimal shuffle, exact.
-      "blockmax"   three-phase block-max pruned traversal (see module doc) —
-                   decodes only blocks that can affect the top-k; exact.
-      "exhaustive" decode every block of the query's terms — the
-                   cross-check baseline.
+      "sharded"     (default) shard-grouped exact scoring: posting blocks of
+                    the query terms shuffle ONCE by shard (never replicated
+                    per query); each shard task scores every query in numpy
+                    and emits only its local top-k. Minimal shuffle, exact.
+      "blockmax"    same one-shuffle plan, but the shard kernel runs the
+                    3-phase block-max WAND (see _wand_topk_fn): only blocks
+                    that can affect the top-k are decoded; exact.
+      "blockmax_plan" legacy DataFrame-level 3-phase traversal (module doc)
+                    — retained as a cross-check; ~8 Spark jobs per batch.
+      "exhaustive"  decode every block of the query's terms — the
+                    cross-check baseline.
 
     `prune` is the legacy bool alias (True→blockmax, False→exhaustive).
     """
@@ -295,24 +437,33 @@ def index_search(
         )
     decode = _decode_gen(ix.k1, ix.b, ix.avgdl)
 
-    if strategy == "sharded":
+    if strategy in ("sharded", "blockmax"):
         from .xxhash64 import spark_pmod_bucket
 
+        meta_cols = (
+            ["first_doc", "last_doc", "max_tf_norm", "min_tf_norm"]
+            if strategy == "blockmax"
+            else []
+        )
         terms = sorted({t for _, t, *_ in weights})
         buckets = sorted({spark_pmod_bucket(t, ix.num_term_buckets) for t in terms})
         blocks = (
             ix.postings()
             .filter(F.col("term_bucket").isin(buckets))
             .filter(F.col("term").isin(terms))
-            .select("term", "shard_id", "n_docs",
+            .select("term", "shard_id", "n_docs", *meta_cols,
                     "docs_vbyte", "tfs_vbyte", "dls_vbyte")
         )
         by_term: dict[str, list[tuple[int, float]]] = {}
         for qid, t, w, _ub, _rest in weights:
             by_term.setdefault(t, []).append((qid, w))
+        kern = (
+            _wand_topk_fn(by_term, ix.k1, ix.b, ix.avgdl, k)
+            if strategy == "blockmax"
+            else _sharded_topk_fn(by_term, ix.k1, ix.b, ix.avgdl, k)
+        )
         shard_tops = blocks.groupBy("shard_id").applyInPandas(
-            _sharded_topk_fn(by_term, ix.k1, ix.b, ix.avgdl, k),
-            schema="query_id int, doc_id long, score double",
+            kern, schema="query_id int, doc_id long, score double"
         )
         return topk_window(shard_tops, k)
 
@@ -323,6 +474,9 @@ def index_search(
             F.sum("contrib").alias("score")
         )
         return topk_window(scored, k)
+
+    if strategy != "blockmax_plan":
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     theta = _theta(qblocks, k)  # (query_id, theta)
     qb = qblocks.join(F.broadcast(theta), "query_id", "left").withColumn(
@@ -383,14 +537,24 @@ def index_search(
         qterms_df = spark.createDataFrame(
             [(qid, t) for qid, t, *_ in weights], "query_id int, term string"
         )
+        # shard_id is computable on the candidate side (doc-range shards:
+        # shard_id = doc_id >> shard_shift), so the rescore equi-join key is
+        # (query, term, shard) — a head term with B pruned blocks and C
+        # candidates materializes B_shard x C_shard rows per shard instead
+        # of B x C per query (the quadratic head-term hazard, VERDICT #5);
+        # exact because a block's [first_doc, last_doc] lies inside one shard
+        shard_shift = int(ix.manifest["build"]["shard_shift"])
         missing = (
             cand.select("query_id", "doc_id", "cterms")
             .join(F.broadcast(qterms_df), "query_id")
             .filter(~F.array_contains("cterms", F.col("term")))
-            .select("query_id", "term", "doc_id")
+            .select(
+                "query_id", "term", "doc_id",
+                F.shiftright(F.col("doc_id"), shard_shift).alias("shard_id"),
+            )
         )
         to_rescore = (
-            pruned.join(missing, ["query_id", "term"])
+            pruned.join(missing, ["query_id", "term", "shard_id"])
             .filter(
                 (F.col("doc_id") >= F.col("first_doc"))
                 & (F.col("doc_id") <= F.col("last_doc"))

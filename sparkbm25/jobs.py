@@ -202,6 +202,9 @@ def build_index(
             blocks_all = spark.read.parquet(os.path.join(index_dir, "postings"))
             tdir = os.path.join(index_dir, "term_stats")
             term_stats_from_blocks(blocks_all).write.mode("overwrite").parquet(tdir)
+            # vocabulary size drives Index.term_stats_lookup's preload-vs-
+            # lazy decision (metadata-only count on the fresh parquet)
+            m["build"]["n_terms"] = spark.read.parquet(tdir).count()
             # artifact size metrics (reference logs artifact size at upload,
             # tasks.py:341-381; compression ratio is the PQ-compression
             # analog, SURVEY §4)
@@ -264,6 +267,8 @@ class Index:
         self.b: float = b["b"]
         self.num_term_buckets: int = b["num_term_buckets"]
         self._dfs: dict[str, DataFrame] = {}
+        self._stats_cache: dict[str, tuple[int, float] | None] = {}
+        self._stats_preloaded = False
 
     def _load(self, name: str) -> DataFrame:
         # cache the DataFrame handle: file listing + schema inference happen
@@ -273,6 +278,62 @@ class Index:
                 os.path.join(self.index_dir, name)
             )
         return self._dfs[name]
+
+    # vocabulary sizes up to this preload whole (at ~24 B/entry this is
+    # ~100 MB of driver heap); beyond it, per-term lazy caching bounds the
+    # driver by query traffic instead of corpus vocabulary
+    STATS_PRELOAD_MAX_TERMS = 4_000_000
+
+    def term_stats_lookup(
+        self, terms: list[str]
+    ) -> dict[str, tuple[int, float]]:
+        """Driver-side (df, max_tf_norm) for query terms, cached on the
+        handle: the first call preloads the whole vocabulary when it is
+        small enough, so WARM single-query searches launch zero extra Spark
+        jobs (the reference's query path is one index.search call,
+        search_indices.py:30-39). Terms absent from the index are cached as
+        absent. The index artifact is immutable; after finalize_stream use
+        refresh()/a new Index (streaming.py docs)."""
+        if not self._stats_preloaded and not self._stats_cache:
+            n_terms = self.manifest["build"].get("n_terms")
+            if n_terms is None:  # pre-0.3 manifest: metadata-only count
+                n_terms = self.term_stats().count()
+                self.manifest["build"]["n_terms"] = n_terms
+            if n_terms <= self.STATS_PRELOAD_MAX_TERMS:
+                for r in self.term_stats().select(
+                    "term", "df", "max_tf_norm"
+                ).collect():
+                    self._stats_cache[r.term] = (r.df, r.max_tf_norm)
+                self._stats_preloaded = True
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing and not self._stats_preloaded:
+            found = {
+                r.term: (r.df, r.max_tf_norm)
+                for r in self.term_stats()
+                .filter(F.col("term").isin(missing))
+                .collect()
+            }
+            for t in missing:
+                self._stats_cache[t] = found.get(t)
+        return {
+            t: v
+            for t in terms
+            if (v := self._stats_cache.get(t)) is not None
+        }
+
+    def refresh(self) -> "Index":
+        """Drop cached DataFrame handles and driver-side stats — REQUIRED
+        after finalize_stream rewrites term_stats/ or appends postings
+        groups (stale handles can otherwise miss new files or read deleted
+        ones)."""
+        self._dfs.clear()
+        self._stats_cache.clear()
+        self._stats_preloaded = False
+        self.manifest = read_manifest(self.index_dir)
+        b = self.manifest["build"]
+        self.n_docs = b["n_docs"]
+        self.avgdl = b["avgdl"]
+        return self
 
     def postings(self) -> DataFrame:
         return self._load("postings")

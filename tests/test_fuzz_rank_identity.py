@@ -63,7 +63,7 @@ def test_fuzz_full_engine_rank_identity(spark, tmp_path, seed):
         (q, r, did, round(s, 9)) for q, r, did, s in oracle.search_all(queries, k=7)
     )
 
-    for strategy in ("sharded", "blockmax", "exhaustive"):
+    for strategy in ("sharded", "blockmax", "blockmax_plan", "exhaustive"):
         got = sorted(
             (r.query_id, r.rank, r.doc_id, round(r.score, 9))
             for r in index_search(ix, queries, k=7, strategy=strategy).collect()
