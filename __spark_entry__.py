@@ -217,16 +217,21 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns + Arrow feature kernel (decode stubbed —
-    deterministic byte histogram; rows-only driver check, plumbing asserted
-    in tests)."""
+    deterministic byte histogram). The (doc_id, media_type, n_bytes)
+    projection is value-hashed against a DuckDB oracle; the histogram
+    features are value-checked against a numpy recompute in
+    tests/test_pipeline.py (bytes aren't portable ANSI SQL)."""
     from sparkbm25.pipeline.multimodal import attach_fake_media, fake_features
 
     media = attach_fake_media(_docs(spark, sf_dir))
-    out = fake_features(media)
-    return out.select(
-        "doc_id", "media_type", "n_bytes",
-        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
-    )
+    return fake_features(media).select("doc_id", "media_type", "n_bytes")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan over video rows (pure Catalyst explode)."""
+    from sparkbm25.pipeline.multimodal import attach_fake_media, frame_sample
+
+    return frame_sample(attach_fake_media(_docs(spark, sf_dir)), every=5)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -254,12 +259,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from sparkbm25.pipeline import dedup as DD
     from sparkbm25.pipeline import events as EV
+    from sparkbm25.pipeline import multimodal as MM
     from sparkbm25.pipeline import similarity as SIM
     from sparkbm25.pipeline import textstats as TS
 
@@ -282,5 +289,6 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": TS.fingerprint_sql(),
         "events_hourly": EV.hourly_rollup_sql(),
         "events_sessionize": EV.sessionize_sql(30),
-        # multimodal_features: binary kernel, not SQL-expressible -> rows-only
+        "multimodal_features": MM.media_summary_sql(),
+        "multimodal_frames": MM.frame_sample_sql(5),
     }

@@ -140,6 +140,15 @@ def compute_corpus_stats(corpus: DataFrame, params: BuildParams) -> CorpusStats:
     audit = params.doc_id_scheme == "hash64"
     if audit:
         aggs.append(F.countDistinct("doc_id").alias("nd"))
+    # user-supplied ids can be arbitrarily clustered (1M dense ids plus one
+    # outlier near 2^62 would put the whole corpus in one range-derived
+    # shard); derive the span from doc-COUNT quantiles instead for the
+    # `provided` scheme. conv_seq/row_number are dense and hash64 uniform
+    # by construction, so range/num_shards is already count-balanced there.
+    quantize = params.doc_id_scheme == "provided" and params.num_shards > 1
+    if quantize:
+        probs = [i / params.num_shards for i in range(1, params.num_shards)]
+        aggs.append(F.percentile_approx("doc_id", probs, 100000).alias("qs"))
     row = corpus.select(*aggs).first()
     if row.null_ids:
         raise ValueError(
@@ -160,6 +169,41 @@ def compute_corpus_stats(corpus: DataFrame, params: BuildParams) -> CorpusStats:
     id_range = int(row.hi) - int(row.lo) + 1
     span_target = max(1, (id_range + params.num_shards - 1) // params.num_shards)
     shift = max(0, (span_target - 1).bit_length())
+    extras: dict = {}
+    if quantize and int(row.n) > params.num_shards:
+        qs = [int(row.lo)] + sorted(int(q) for q in (row.qs or [])) + [int(row.hi)]
+        gaps = [b - a for a, b in zip(qs, qs[1:]) if b > a]
+        if gaps:
+            # span = largest power of two <= the smallest quantile gap: two
+            # quantile boundaries can then never share an aligned shard, so
+            # every shard overlaps at most 2 quantile intervals and holds
+            # <= ~2*n/num_shards docs regardless of id clustering
+            gap_shift = max(0, min(gaps).bit_length() - 1)
+            if gap_shift < shift:
+                shift = gap_shift
+        # exact audit (one light agg over the id column): per-shard balance
+        # and fragmentation under the chosen span
+        arow = (
+            corpus.select(F.shiftright("doc_id", shift).alias("s"))
+            .groupBy("s")
+            .count()
+            .agg(F.count("*").alias("nonempty"), F.max("count").alias("maxc"))
+            .first()
+        )
+        extras["nonempty_shards"] = int(arow.nonempty)
+        extras["max_shard_docs"] = int(arow.maxc)
+        if int(arow.nonempty) > 64 * params.num_shards:
+            raise ValueError(
+                f"provided doc_ids are too scattered for doc-range shards: "
+                f"{arow.nonempty} non-empty shards at span 2^{shift} "
+                f"(budget {64 * params.num_shards}); use the hash64 scheme"
+            )
+        if int(arow.maxc) > max(4 * int(row.n) // params.num_shards, 1024):
+            raise ValueError(
+                f"provided doc_ids defeat count-balanced sharding: one shard "
+                f"holds {arow.maxc} of {row.n} docs at span 2^{shift}; use "
+                f"the hash64 scheme"
+            )
     return CorpusStats(
         n_docs=int(row.n),
         avgdl=float(row.avgdl),
@@ -167,6 +211,7 @@ def compute_corpus_stats(corpus: DataFrame, params: BuildParams) -> CorpusStats:
         max_doc=int(row.hi),
         shard_shift=shift,
         total_tokens=int(row.tot),
+        extras=extras,
     )
 
 

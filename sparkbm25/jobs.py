@@ -141,12 +141,15 @@ def build_index(
     # merge task cannot fit executor memory — resize num_shards instead
     from .planner import BuildEstimate, admission_check
 
+    # audited per-shard max (count-quantile sharding, provided scheme)
+    # beats the even-split assumption when available
+    max_shard_docs = stats.extras.get(
+        "max_shard_docs", stats.n_docs // params.num_shards + 1
+    )
     est = BuildEstimate(
         total_postings=0, runs_shuffle_bytes=0, index_bytes=0,
-        max_merge_task_postings=stats.n_docs // params.num_shards + 1,
-        max_merge_task_bytes=int(
-            (stats.n_docs // params.num_shards + 1) * 16 * 1.2
-        ),
+        max_merge_task_postings=max_shard_docs,
+        max_merge_task_bytes=int(max_shard_docs * 16 * 1.2),
         suggested_num_shards=params.num_shards,
         suggested_salt_factor=params.salt_factor,
         suggested_shuffle_partitions=params.num_shards * params.salt_factor,

@@ -37,16 +37,19 @@ def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic fake media: payload = utf-8 bytes of the text, typed
     metadata derived from doc_id. Stands in for a real (binary, metadata)
     ingest so downstream plumbing is exercised with realistic shapes."""
+    # pmod, not %: Spark's % keeps the dividend's sign, so negative
+    # (hash64) doc_ids would yield element_at index 0 (invalid) or negative
+    # (wraps from the end) and negative widths — pmod is total over int64
     return df.select(
         "doc_id",
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
         ).alias("media_type"),
         F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8").alias("payload"),
-        (F.col("doc_id") % 640 + 32).cast("int").alias("width"),
-        (F.col("doc_id") % 480 + 32).cast("int").alias("height"),
-        (F.col("doc_id") % 30 + 1).cast("int").alias("n_frames"),
+        (F.pmod(F.col("doc_id"), F.lit(640)) + 32).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(480)) + 32).cast("int").alias("height"),
+        (F.pmod(F.col("doc_id"), F.lit(30)) + 1).cast("int").alias("n_frames"),
     )
 
 
@@ -87,6 +90,43 @@ def fake_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(gen, schema=FEATURES_SCHEMA)
+
+
+def media_summary_sql(table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """DuckDB oracle for the (doc_id, media_type, n_bytes) projection of
+    fake_features over attach_fake_media: media typing and payload byte
+    length are exactly computable in SQL (octet_length of the utf-8 blob);
+    the histogram features themselves are value-checked against a numpy
+    recompute in tests/test_pipeline.py (byte-level ops aren't portable
+    ANSI SQL)."""
+    return f"""
+SELECT {id_col} AS doc_id,
+       CASE CAST({id_col} % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(octet_length(CAST(coalesce({text_col}, '') AS BLOB)) AS INT)
+         AS n_bytes
+FROM {table}
+"""
+
+
+def frame_sample_sql(every: int = 5, table: str = "documents",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB oracle for frame_sample over attach_fake_media(documents)."""
+    return f"""
+WITH media AS (
+  SELECT {id_col} AS doc_id,
+         CASE CAST({id_col} % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CAST({id_col} % 640 + 32 AS INT) AS width,
+         CAST({id_col} % 480 + 32 AS INT) AS height,
+         CAST({id_col} % 30 + 1 AS INT) AS n_frames
+  FROM {table}
+)
+SELECT doc_id, CAST(u.f AS INT) AS frame_idx, width, height
+FROM media, unnest(generate_series(0, n_frames - 1, {every})) AS u(f)
+WHERE media_type = 'video'
+"""
 
 
 def frame_sample(media: DataFrame, every: int = 5) -> DataFrame:

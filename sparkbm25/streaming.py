@@ -135,11 +135,30 @@ def finalize_stream(spark: SparkSession, index_dir: str) -> None:
     m = read_manifest(index_dir)
     blocks = spark.read.parquet(os.path.join(index_dir, "postings"))
     tdir = os.path.join(index_dir, "term_stats")
-    term_stats_from_blocks(blocks).write.mode("overwrite").parquet(tdir)
-    total_docs = (
+    ts = term_stats_from_blocks(blocks)
+    ts.write.mode("overwrite").parquet(tdir)
+    # doc_id uniqueness audit across base + ALL streamed epochs: an id
+    # ingested twice (base/stream overlap, or one doc in two epochs' files)
+    # would silently double-count in every query path and violate the
+    # one-posting-per-(term,doc) invariant the block-max bounds and the
+    # merge kernel's strictly-increasing check rely on (which only runs
+    # within a single build). Mirrors compute_corpus_stats' hash64 audit.
+    row = (
         spark.read.parquet(os.path.join(index_dir, "doc_stats"))
-        .count()
+        .agg(
+            F.count("doc_id").alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .first()
     )
+    if int(row.n) != int(row.nd):
+        raise ValueError(
+            f"doc_id collision across base+streamed groups: {row.n} rows, "
+            f"{row.nd} distinct — a document was ingested twice; drop the "
+            "offending epoch group or rebuild"
+        )
+    total_docs = int(row.n)
     m["streamed_total_docs"] = total_docs
     m["build"]["n_docs"] = max(int(m["build"]["n_docs"]), int(total_docs))
+    m["build"]["n_terms"] = spark.read.parquet(tdir).count()
     _write_manifest(index_dir, m)

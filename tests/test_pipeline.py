@@ -265,3 +265,32 @@ def test_fake_features_deterministic(docs):
     b = sorted(tuple(r.features) for r in
                M.fake_features(M.attach_fake_media(docs)).collect())
     assert a == b
+
+
+def test_fake_features_values_match_numpy_recompute(docs):
+    """VALUE check of the feature kernel: the engine's features must equal
+    a direct driver-side numpy recompute of the byte histogram on the raw
+    text — the part of multimodal the DuckDB oracle can't express."""
+    got = {r.doc_id: (r.n_bytes, list(r.features)) for r in
+           M.fake_features(M.attach_fake_media(docs)).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        payload = (row.text or "").encode("utf-8")
+        want = M._extract(payload)
+        n_bytes, feats = got[row.doc_id]
+        assert n_bytes == len(payload)
+        assert np.allclose(feats, want, atol=1e-7), row.doc_id
+
+
+def test_attach_fake_media_total_over_negative_ids(spark):
+    """hash64 doc ids are negative half the time; media typing and the
+    metadata expressions must stay valid over the full signed-int64 range
+    (Spark % keeps the dividend's sign — pmod is required)."""
+    df = spark.createDataFrame(
+        [(-(1 << 62), "neg a"), (-5, "neg b"), (0, "zero"), (7, "pos")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in M.attach_fake_media(df).collect()}
+    assert all(r.media_type in ("image", "audio", "video")
+               for r in rows.values())
+    assert all(r.width >= 32 and r.height >= 32 and r.n_frames >= 1
+               for r in rows.values())

@@ -115,3 +115,61 @@ def test_single_file_fingerprint_tracks_content(spark, tmp_path):
         fh.write("a,b\n1,2\n3,4\n")
     os.utime(f)
     assert source_fingerprint(spark, f, "csv") != fp1
+
+
+def test_provided_clustered_ids_shard_balance(spark, tmp_path):
+    """ADVICE r01: 1M-dense-plus-far-outlier provided ids must NOT collapse
+    into one range-derived shard — the quantile-derived span keeps shards
+    count-balanced, and the whole engine stays rank-identical to the
+    oracle on such ids."""
+    from pyspark.sql import functions as F
+
+    from sparkbm25.build import BuildParams, compute_corpus_stats
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index, build_index
+    from sparkbm25.oracle import OracleIndex
+
+    n = 2000
+    rows = [(i, f"w{i % 37} common filler{i % 11}") for i in range(n)]
+    rows.append((1 << 62, "common outlier doc"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    params = BuildParams(num_shards=8, salt_factor=2, num_term_buckets=4,
+                         lineage_groups=1)
+    stats = compute_corpus_stats(df, params)
+    # the dense cluster must be split across shards, not lumped into one
+    assert stats.extras["max_shard_docs"] <= 2 * (n // params.num_shards) + 1
+    assert stats.extras["nonempty_shards"] <= 64 * params.num_shards
+
+    d = str(tmp_path / "clustered_ix")
+    build_index(df, d, params, "clustered")
+    ix = Index(spark, d)
+    per_shard = (
+        ix.postings().groupBy("shard_id")
+        .agg(F.sum("n_docs").alias("n")).collect()
+    )
+    assert len(per_shard) > 1
+    oracle = OracleIndex.build(rows)
+    queries = [(0, "common"), (1, "w3 filler2")]
+    got = sorted((r.query_id, r.rank, r.doc_id)
+                 for r in index_search(ix, queries, k=10).collect())
+    want = sorted((q, rk, did) for q, rk, did, _ in
+                  oracle.search_all(queries, k=10))
+    assert got == want
+
+
+def test_provided_pathological_ids_refused(spark):
+    """A dense run plus a uniformly-spread half defeats ANY single
+    power-of-two span (balancing the dense run fragments the spread half):
+    refused with guidance toward hash64 rather than silently building a
+    fragmented index."""
+    import pytest
+
+    from sparkbm25.build import BuildParams, compute_corpus_stats
+
+    rows = [(i, f"dense {i}") for i in range(300)]
+    rows += [(i * (1 << 50), f"spread {i}") for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="hash64"):
+        compute_corpus_stats(df, BuildParams(num_shards=4, salt_factor=2,
+                                             num_term_buckets=4,
+                                             lineage_groups=1))
