@@ -83,28 +83,36 @@ def main() -> int:
     )
     # warm-up build: python-worker spawn + JIT + page cache (throughput is a
     # steady-state metric; a cluster job amortizes these over hours)
+    from sparkbm25.memprof import MemorySampler
+
     shutil.rmtree(ix_dir, ignore_errors=True)
     build_index(corpus, ix_dir, params, source_fingerprint=corpus_path)
     shutil.rmtree(ix_dir, ignore_errors=True)
     t0 = time.time()
-    build_index(corpus, ix_dir, params, source_fingerprint=corpus_path)
+    with MemorySampler() as ms_build:
+        build_index(corpus, ix_dir, params, source_fingerprint=corpus_path)
     timings["build_index"] = round(time.time() - t0, 3)
     extras["build_throughput_turns_per_sec"] = round(
         n_turns / timings["build_index"], 1
     )
     extras["n_turns"] = n_turns
+    # peak process-tree RSS per stage (reference memory_monitor.py analog);
+    # feeds back into planner.admission_check's bytes-per-posting constants
+    extras["build_peak_rss_mb"] = ms_build.peak_mb
 
     ix = Index(spark, ix_dir)
     queries = make_queries(100)
 
     # --- batch query ------------------------------------------------------
     t0 = time.time()
-    n_res = index_search(ix, queries, k=10).count()
+    with MemorySampler() as ms_query:
+        n_res = index_search(ix, queries, k=10).count()
     timings["query_indexed_batch"] = round(time.time() - t0, 3)
     extras["batch_results"] = n_res
     extras["query_throughput_qps"] = round(
         len(queries) / timings["query_indexed_batch"], 2
     )
+    extras["query_peak_rss_mb"] = ms_query.peak_mb
 
     # --- single-query p50 ---------------------------------------------------
     lat = []
@@ -143,6 +151,47 @@ def main() -> int:
                 timings[f"pipeline_{name}"] = round(time.time() - t0, 3)
         except Exception as e:  # pipeline bench must not sink the headline
             extras["pipeline_error"] = str(e)[:200]
+
+    # --- build-parameter grid (the reference's benchmarks.yml sweep analog:
+    # refine_rate x trainset_fraction x compression -> block_size x
+    # salt_factor here), run on a 1/5 corpus so the grid stays cheap.
+    # Emits one row per config like benchmarking/results.py:14-122.
+    if os.environ.get("SPARKBM25_SKIP_GRID") != "1":
+        grid_rows = []
+        grid_corpus_path = prepare_corpus(spark, sf, max(n_convs // 5, 500))
+        grid_corpus = add_doc_id(
+            spark.read.parquet(grid_corpus_path), "conv_seq"
+        ).select("doc_id", "text")
+        g_turns = grid_corpus.count()
+        gq = make_queries(40)
+        for block_size in (64, 128, 256):
+            for salt_factor in (2, 4, 8):
+                gdir = f"/tmp/sparkbm25_bench/grid_{sf}_{block_size}_{salt_factor}"
+                shutil.rmtree(gdir, ignore_errors=True)
+                gp = BuildParams(
+                    num_shards=max(cpus, 8), salt_factor=salt_factor,
+                    num_term_buckets=32, lineage_groups=1,
+                    block_size=block_size,
+                )
+                t0 = time.time()
+                mman = build_index(grid_corpus, gdir, gp,
+                                   source_fingerprint=grid_corpus_path)
+                b_s = time.time() - t0
+                gix = Index(spark, gdir)
+                t0 = time.time()
+                index_search(gix, gq, k=10).count()
+                q_s = time.time() - t0
+                grid_rows.append({
+                    "block_size": block_size,
+                    "salt_factor": salt_factor,
+                    "build_s": round(b_s, 3),
+                    "build_turns_per_sec": round(g_turns / b_s, 1),
+                    "query40_s": round(q_s, 3),
+                    "bytes_per_posting": mman["metrics"].get("bytes_per_posting"),
+                })
+                shutil.rmtree(gdir, ignore_errors=True)
+        extras["param_grid"] = grid_rows
+        extras["param_grid_turns"] = g_turns
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -77,6 +77,58 @@ class InjectedFailure(RuntimeError):
     SURVEY.md §5 item the reference lacks)."""
 
 
+class ConcurrentBuildError(RuntimeError):
+    """A second submitter raced a RUNNING build of the same index_dir —
+    the analog of the reference's 429 from its job store
+    (app/services/job_service.py:60-83, app/routes/build.py:41-72)."""
+
+
+LOCKFILE = ".build.lock"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OverflowError):
+        return True
+    return True
+
+
+def _acquire_build_lock(index_dir: str, jid: str) -> str:
+    """O_EXCL lockfile under index_dir. Raises ConcurrentBuildError naming
+    the holder while it is alive; a lock left by a dead pid is stolen
+    (kill-resume support). Single-host semantics — a multi-driver cluster
+    deployment should use the store's conditional-put for the same CAS."""
+    os.makedirs(index_dir, exist_ok=True)
+    path = os.path.join(index_dir, LOCKFILE)
+    payload = json.dumps({"pid": os.getpid(), "job_id": jid}).encode()
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, payload)
+            os.close(fd)
+            return path
+        except FileExistsError:
+            try:
+                with open(path) as f:
+                    holder = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                holder = {}
+            pid = holder.get("pid")
+            if pid is not None and _pid_alive(int(pid)):
+                raise ConcurrentBuildError(
+                    f"index_dir {index_dir} is being built by pid {pid} "
+                    f"(job {str(holder.get('job_id', ''))[:12]}…); "
+                    "retry after it finishes"
+                ) from None
+            try:  # stale lock from a dead process: steal and retry
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
+
 def build_index(
     corpus: DataFrame,
     index_dir: str,
@@ -89,10 +141,38 @@ def build_index(
 
     Returns the final manifest. Orchestration mirrors core/tasks.py:80-211:
     stats → per-group build → finalize, with per-stage timings recorded.
-    """
+    Concurrent submits to one index_dir are arbitrated by an O_EXCL
+    lockfile: exactly one build runs; the loser gets ConcurrentBuildError
+    (the reference's 429 analog). A COMPLETED artifact short-circuits
+    without touching the lock."""
     params = params or BuildParams()
     params.validate()
     jid = job_id(params, source_fingerprint)
+    m0 = read_manifest(index_dir)
+    if m0 is not None and m0["job_id"] == jid and m0["status"] == STATUS_COMPLETED:
+        return m0  # idempotent short-circuit (job_service.py:176-183)
+    lock = _acquire_build_lock(index_dir, jid)
+    try:
+        return _build_index_locked(
+            corpus, index_dir, params, jid, source_fingerprint,
+            fail_after_group, stats_override,
+        )
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _build_index_locked(
+    corpus: DataFrame,
+    index_dir: str,
+    params: BuildParams,
+    jid: str,
+    source_fingerprint: str,
+    fail_after_group: int | None,
+    stats_override: "CorpusStats | None",
+) -> dict:
     timer = StageTimer()
 
     m = read_manifest(index_dir)

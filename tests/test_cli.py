@@ -61,3 +61,78 @@ def test_cli_status_missing_is_404(tmp_path_factory):
     r = run_cli("status", "--index-dir", d)
     assert r.returncode == 1
     assert json.loads(r.stdout) == {"error": "not found"}
+
+
+def test_concurrent_submit_locked(spark, tmp_path):
+    """Two submitters racing one index_dir: exactly one wins, the loser's
+    429-analog error names the running pid/job (reference:
+    job_service.py:60-83). A lock left by a dead process is stolen."""
+    import json
+    import os
+    import subprocess
+
+    import pytest
+
+    from sparkbm25.build import BuildParams
+    from sparkbm25.jobs import (
+        LOCKFILE,
+        ConcurrentBuildError,
+        build_index,
+        job_id,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 5} common") for i in range(50)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "locked_ix")
+    params = BuildParams(num_shards=2, salt_factor=2, num_term_buckets=2,
+                         lineage_groups=1)
+
+    # simulate a live concurrent builder holding the lock
+    os.makedirs(d, exist_ok=True)
+    lock = os.path.join(d, LOCKFILE)
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "job_id": "f" * 64}, f)
+    with pytest.raises(ConcurrentBuildError, match="ffffffffffff"):
+        build_index(df, d, params, "lock-test")
+
+    # a lock from a DEAD pid is stale: stolen, build proceeds
+    p = subprocess.Popen(["true"])
+    p.wait()  # reaped: the pid is guaranteed dead
+    with open(lock, "w") as f:
+        json.dump({"pid": p.pid, "job_id": "dead"}, f)
+    m = build_index(df, d, params, "lock-test")
+    assert m["status"] == "COMPLETED"
+    assert not os.path.exists(lock)  # released after the build
+
+    # threaded race: one build or clean 429s, never a corrupt artifact
+    import threading
+
+    outcomes = []
+
+    def submit():
+        try:
+            outcomes.append(("ok", build_index(df, d, params, "lock-test-2")))
+        except ConcurrentBuildError as e:
+            outcomes.append(("busy", str(e)))
+
+    d2 = str(tmp_path / "locked_ix2")
+
+    def submit2():
+        try:
+            outcomes.append(("ok", build_index(df, d2, params, "lock-test-2")))
+        except ConcurrentBuildError as e:
+            outcomes.append(("busy", str(e)))
+
+    ts = [threading.Thread(target=submit2) for _ in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert any(k == "ok" for k, _ in outcomes)
+    assert all(k in ("ok", "busy") for k, _ in outcomes)
+    # winner's artifact is valid regardless of how the race resolved
+    from sparkbm25.jobs import Index
+    ix = Index(spark, d2)
+    assert ix.n_docs == 50
