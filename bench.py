@@ -77,9 +77,12 @@ def main() -> int:
 
     # --- build ------------------------------------------------------------
     ix_dir = f"/tmp/sparkbm25_bench/ix_sf{sf}_{cpus}"
+    # ids come from add_doc_id("conv_seq"): declaring the scheme skips the
+    # provided-id quantile sharding audit (dense by construction)
     params = BuildParams(
         num_shards=max(cpus, 8), salt_factor=4,
         num_term_buckets=32, lineage_groups=1,
+        doc_id_scheme="conv_seq",
     )
     # warm-up build: python-worker spawn + JIT + page cache (throughput is a
     # steady-state metric; a cluster job amortizes these over hours)
@@ -171,7 +174,7 @@ def main() -> int:
                 gp = BuildParams(
                     num_shards=max(cpus, 8), salt_factor=salt_factor,
                     num_term_buckets=32, lineage_groups=1,
-                    block_size=block_size,
+                    block_size=block_size, doc_id_scheme="conv_seq",
                 )
                 t0 = time.time()
                 mman = build_index(grid_corpus, gdir, gp,

@@ -44,38 +44,50 @@ from .codecs import vbyte_decode, delta_decode
 from .jobs import Index
 from .query import topk_window
 
-DECODE_SCHEMA = "query_id int, doc_id long, term string, contrib double, w_term double"
-EXTRA_SCHEMA = "query_id int, doc_id long, extra double"
+DECODE_SCHEMA = (
+    "query_id int, doc_id long, term string, qpos int, "
+    "contrib double, w_term double"
+)
+EXTRA_SCHEMA = "query_id int, doc_id long, qpos int, extra double"
 
 
 def _query_weights(ix: Index, queries: list[tuple[int, str]]):
-    """Driver-side prep over the (tiny) query set: per-(query,term) weight
-    w = qtf·idf, per-term global UB, per-(query,term) rest-sum.
+    """Driver-side prep over the (tiny) query set, PER QUERY-TERM
+    OCCURRENCE: the oracle accumulates w·tf_norm once per token occurrence
+    in query order (oracle.py:60-77), and bit-exact tie agreement requires
+    the engine to add the same values in the same order — so a duplicated
+    query term yields two rows rather than a qtf-scaled weight.
 
-    Returns (weights rows, terms list) where weights rows are
-    (query_id, term, w, ub_term, rest)."""
-    qtf: dict[tuple[int, str], int] = {}
+    Returns (rows, occ):
+      rows — (query_id, term, w=idf, ub_term, rest, qpos) per occurrence,
+             qpos = token position among the query's indexed occurrences;
+      occ  — {query_id: [(term, idf), ...]} in query-token order (the
+             kernels' accumulation schedule)."""
+    occ: dict[int, list[tuple[str, float]]] = {}
     terms: set[str] = set()
     for qid, qtext in queries:
         for t in tokenize_py(qtext):
-            qtf[(qid, t)] = qtf.get((qid, t), 0) + 1
+            occ.setdefault(qid, []).append((t, 0.0))
             terms.add(t)
     if not terms:
-        return [], []
+        return [], {}
     stats = ix.term_stats_lookup(sorted(terms))
     rows = []
-    per_query: dict[int, list[tuple[str, float, float]]] = {}
-    for (qid, t), c in qtf.items():
-        if t not in stats:
-            continue  # absent term contributes nothing
-        df_t, mtn = stats[t]
-        w = c * idf_fn(df_t, ix.n_docs)
-        per_query.setdefault(qid, []).append((t, w, w * mtn))
-    for qid, lst in per_query.items():
-        total_ub = sum(ub for _, _, ub in lst)
-        for t, w, ub in lst:
-            rows.append((qid, t, w, ub, total_ub - ub))
-    return rows, sorted({r[1] for r in rows})
+    for qid in list(occ):
+        present = [
+            (t, idf_fn(stats[t][0], ix.n_docs))
+            for t, _ in occ[qid]
+            if t in stats  # absent term contributes nothing (oracle skips)
+        ]
+        occ[qid] = present
+        if not present:
+            del occ[qid]
+            continue
+        ubs = [w * stats[t][1] for t, w in present]
+        total_ub = sum(ubs)
+        for qpos, ((t, w), ub) in enumerate(zip(present, ubs)):
+            rows.append((qid, t, w, ub, total_ub - ub, qpos))
+    return rows, occ
 
 
 def _matched_blocks(ix: Index, weights: list[tuple]) -> DataFrame:
@@ -88,7 +100,9 @@ def _matched_blocks(ix: Index, weights: list[tuple]) -> DataFrame:
 
     buckets = sorted({spark_pmod_bucket(t, ix.num_term_buckets) for t in terms})
     w_df = spark.createDataFrame(
-        weights, "query_id int, term string, w double, ub_term double, rest double"
+        weights,
+        "query_id int, term string, w double, ub_term double, rest double, "
+        "qpos int",
     )
     blocks = (
         ix.postings()
@@ -99,10 +113,13 @@ def _matched_blocks(ix: Index, weights: list[tuple]) -> DataFrame:
 
 
 def _theta(qblocks: DataFrame, k: int) -> DataFrame:
-    """Phase 1: per-query pruning threshold from metadata only."""
+    """Phase 1: per-query pruning threshold from metadata only. Keyed per
+    OCCURRENCE (qpos) — duplicate query terms carry one row per occurrence,
+    and a bound derived from a single occurrence's contribution alone is
+    still a valid lower bound on the final kth score."""
     L = (F.col("w") * F.col("min_tf_norm")).alias("L")
-    meta = qblocks.select("query_id", "term", "n_docs", L)
-    w = Window.partitionBy("query_id", "term").orderBy(F.desc("L"))
+    meta = qblocks.select("query_id", "term", "qpos", "n_docs", L)
+    w = Window.partitionBy("query_id", "term", "qpos").orderBy(F.desc("L"))
     ranked = (
         meta.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)  # each block holds >=1 doc, k blocks suffice
@@ -115,7 +132,7 @@ def _theta(qblocks: DataFrame, k: int) -> DataFrame:
     )
     theta_t = (
         ranked.filter(F.col("cum") >= k)
-        .groupBy("query_id", "term")
+        .groupBy("query_id", "term", "qpos")
         .agg(F.max("L").alias("theta_t"))
     )
     return theta_t.groupBy("query_id").agg(F.max("theta_t").alias("theta"))
@@ -136,6 +153,7 @@ def _decode_gen(k1: float, b: float, avgdl: float):
                             "query_id": np.int32(r.query_id),
                             "doc_id": ids,
                             "term": r.term,
+                            "qpos": np.int32(r.qpos),
                             "contrib": r.w * tfn,
                             "w_term": np.float64(r.ub_term),
                         }
@@ -149,6 +167,7 @@ def _decode_gen(k1: float, b: float, avgdl: float):
                         "query_id": pd.Series(dtype="int32"),
                         "doc_id": pd.Series(dtype="int64"),
                         "term": pd.Series(dtype="object"),
+                        "qpos": pd.Series(dtype="int32"),
                         "contrib": pd.Series(dtype="float64"),
                         "w_term": pd.Series(dtype="float64"),
                     }
@@ -179,6 +198,7 @@ def _rescore_gen(k1: float, b: float, avgdl: float):
                         {
                             "query_id": np.int32(r.query_id),
                             "doc_id": ids[keep],
+                            "qpos": np.int32(r.qpos),
                             "extra": r.w * tfn,
                         }
                     )
@@ -190,6 +210,7 @@ def _rescore_gen(k1: float, b: float, avgdl: float):
                     {
                         "query_id": pd.Series(dtype="int32"),
                         "doc_id": pd.Series(dtype="int64"),
+                        "qpos": pd.Series(dtype="int32"),
                         "extra": pd.Series(dtype="float64"),
                     }
                 )
@@ -198,16 +219,22 @@ def _rescore_gen(k1: float, b: float, avgdl: float):
     return gen
 
 
-def _sharded_topk_fn(by_term: dict[str, list[tuple[int, float]]],
+def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                      k1: float, b: float, avgdl: float, k: int):
     """Per-shard exact scoring kernel: decode each query term's blocks ONCE,
     accumulate weighted contributions per query in numpy, emit only the
     shard-local top-k per query. The shard is a doc-id range, so global
     top-k = top-k over the union of shard top-ks (every global winner wins
-    its shard)."""
+    its shard).
+
+    q_terms holds each query's (term, w) list in QUERY-TOKEN order, and
+    every doc's contributions accumulate in exactly that order — mirroring
+    OracleIndex.search's accumulation (oracle.py:60-77) BIT-exactly, so
+    exact score ties (fuzz seed 23 found two different texts with equal
+    BM25 doubles) break by doc_id identically in both engines."""
 
     def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        accum: dict[int, list] = {}
+        dec: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for term, grp in pdf.groupby("term", sort=False):
             ids = np.concatenate(
                 [
@@ -222,10 +249,14 @@ def _sharded_topk_fn(by_term: dict[str, list[tuple[int, float]]],
                 [vbyte_decode(dv, n) for dv, n in zip(grp["dls_vbyte"], grp["n_docs"])]
             ).astype(np.float64)
             tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-            for qid, w in by_term.get(term, ()):
-                accum.setdefault(qid, []).append((ids, w * tfn))
+            dec[term] = (ids, tfn)
         rows_q, rows_d, rows_s = [], [], []
-        for qid, parts in accum.items():
+        for qid, tw in q_terms.items():
+            parts = [
+                (dec[t][0], w * dec[t][1]) for t, w in tw if t in dec
+            ]
+            if not parts:
+                continue
             ids = np.concatenate([p[0] for p in parts])
             sc = np.concatenate([p[1] for p in parts])
             uids, inv = np.unique(ids, return_inverse=True)
@@ -261,7 +292,7 @@ def _sharded_topk_fn(by_term: dict[str, list[tuple[int, float]]],
     return topk
 
 
-def _wand_topk_fn(by_term: dict[str, list[tuple[int, float]]],
+def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
                   k1: float, b: float, avgdl: float, k: int):
     """Shard-local block-max WAND kernel: the module doc's 3-phase pruned
     traversal executed INSIDE the shard task on block metadata, so pruned
@@ -277,8 +308,13 @@ def _wand_topk_fn(by_term: dict[str, list[tuple[int, float]]],
              so adding a pruned block's contribution cannot double-count).
 
     Decoded blocks are cached per task, so a term shared by many queries
-    decodes once, like the dense sharded kernel."""
+    decodes once, like the dense sharded kernel. q_occ holds each query's
+    (term, idf) list per token OCCURRENCE in query order; final candidate
+    scores are summed in exactly that order (lexsort by (doc, qpos) +
+    ordered reduceat), matching OracleIndex.search bit-exactly so exact
+    ties break by doc_id in both engines."""
     EPS = 1e-9
+    wanted = {t for tw in q_occ.values() for t, _ in tw}
 
     def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -292,7 +328,7 @@ def _wand_topk_fn(by_term: dict[str, list[tuple[int, float]]],
             return empty
         tdata: dict[str, dict] = {}
         for term, grp in pdf.groupby("term", sort=False):
-            if term not in by_term:
+            if term not in wanted:
                 continue
             tdata[term] = {
                 "n": grp["n_docs"].to_numpy(),
@@ -316,19 +352,22 @@ def _wand_topk_fn(by_term: dict[str, list[tuple[int, float]]],
                 td["dec"][j] = (ids, tfn)
             return td["dec"][j]
 
-        q_terms: dict[int, list[tuple[str, float]]] = {}
-        for t, lst in by_term.items():
-            if t in tdata:
-                for qid, w in lst:
-                    q_terms.setdefault(qid, []).append((t, w))
-
         rows_q, rows_d, rows_s = [], [], []
-        for qid, tw in q_terms.items():
-            ub = {t: w * float(tdata[t]["maxt"].max()) for t, w in tw}
+        for qid, tw_full in q_occ.items():
+            # occurrences present in this shard, with their query positions
+            tw = [
+                (qpos, t, w)
+                for qpos, (t, w) in enumerate(tw_full)
+                if t in tdata
+            ]
+            if not tw:
+                continue
+            ub = {qpos: w * float(tdata[t]["maxt"].max()) for qpos, t, w in tw}
             S = sum(ub.values())
-            # phase 1: θ from metadata minima
+            # phase 1: θ from metadata minima (per occurrence — a bound
+            # from one occurrence's contribution alone is still valid)
             theta = 0.0
-            for t, w in tw:
+            for qpos, t, w in tw:
                 td = tdata[t]
                 L = w * td["mint"]
                 order = np.argsort(-L, kind="stable")
@@ -338,24 +377,24 @@ def _wand_topk_fn(by_term: dict[str, list[tuple[int, float]]],
                     theta = max(theta, float(L[order[hit[0]]]))
             theta_eps = theta - abs(theta) * EPS
             # phase 2: decode survivors, partial scores
-            parts = []
-            pruned: list[tuple[str, float, np.ndarray]] = []
-            for t, w in tw:
+            parts = []  # (qpos, ids, contrib, ub_occ)
+            pruned: list[tuple[int, str, float, np.ndarray]] = []
+            for qpos, t, w in tw:
                 td = tdata[t]
-                ub_b = w * td["maxt"] + (S - ub[t])
+                ub_b = w * td["maxt"] + (S - ub[qpos])
                 surv = ub_b >= theta_eps
                 for j in np.flatnonzero(surv):
                     ids, tfn = dec(td, int(j))
-                    parts.append((ids, w * tfn, ub[t]))
+                    parts.append((qpos, ids, w * tfn, ub[qpos]))
                 pr = np.flatnonzero(~surv)
                 if len(pr):
-                    pruned.append((t, w, pr))
+                    pruned.append((qpos, t, w, pr))
             if not parts:
                 continue
-            ids_all = np.concatenate([p[0] for p in parts])
-            sc_all = np.concatenate([p[1] for p in parts])
+            ids_all = np.concatenate([p[1] for p in parts])
+            sc_all = np.concatenate([p[2] for p in parts])
             ub_all = np.concatenate(
-                [np.full(len(p[0]), p[2]) for p in parts]
+                [np.full(len(p[1]), p[3]) for p in parts]
             )
             uids, inv = np.unique(ids_all, return_inverse=True)
             P = np.bincount(inv, weights=sc_all, minlength=len(uids))
@@ -367,9 +406,16 @@ def _wand_topk_fn(by_term: dict[str, list[tuple[int, float]]],
             M = np.maximum(S - CU, 0.0)
             cand_mask = P + M >= tau - abs(tau) * EPS
             cand_ids = uids[cand_mask]  # sorted (np.unique output)
-            scores = P.copy()
+            # candidate contributions from surviving blocks, tagged by qpos
+            tri_d, tri_p, tri_v = [], [], []
+            for qpos, ids, contrib, _u in parts:
+                keep = np.isin(ids, cand_ids)
+                if keep.any():
+                    tri_d.append(ids[keep])
+                    tri_p.append(np.full(int(keep.sum()), qpos, dtype=np.int32))
+                    tri_v.append(contrib[keep])
             # phase 3: exact missing contributions for candidates
-            for t, w, pr in pruned:
+            for qpos, t, w, pr in pruned:
                 td = tdata[t]
                 lo = np.searchsorted(cand_ids, td["first"][pr], side="left")
                 hi = np.searchsorted(cand_ids, td["last"][pr], side="right")
@@ -379,10 +425,26 @@ def _wand_topk_fn(by_term: dict[str, list[tuple[int, float]]],
                     keep = np.isin(ids, cand_ids)
                     if not keep.any():
                         continue
-                    pos = np.searchsorted(uids, ids[keep])
-                    scores[pos] += w * tfn[keep]
-            cidx = np.flatnonzero(cand_mask)
-            cs, cd = scores[cidx], uids[cidx]
+                    tri_d.append(ids[keep])
+                    tri_p.append(np.full(int(keep.sum()), qpos, dtype=np.int32))
+                    tri_v.append(w * tfn[keep])
+            # canonical query-order summation per doc: lexsort by
+            # (doc, qpos) then a STRICTLY SEQUENTIAL per-doc fold —
+            # bit-identical to the oracle's per-occurrence accumulation.
+            # (np.add.reduceat is pairwise even for 4 elements: (a+b)+(c+d)
+            # differs from ((a+b)+c)+d by an ulp — measured.)
+            d_all = np.concatenate(tri_d)
+            p_all = np.concatenate(tri_p)
+            v_all = np.concatenate(tri_v)
+            order = np.lexsort((p_all, d_all))
+            d_s, v_s = d_all[order], v_all[order]
+            bounds = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+            counts = np.diff(np.r_[bounds, len(d_s)])
+            cs = np.zeros(len(bounds))
+            for r in range(int(counts.max())):  # <= #query occurrences
+                sel = counts > r
+                cs[sel] += v_s[bounds[sel] + r]
+            cd = d_s[bounds]
             kk = min(k, len(cd))
             kth = -np.partition(-cs, kk - 1)[kk - 1]
             sel = np.flatnonzero(cs >= kth)
@@ -430,7 +492,7 @@ def index_search(
     if prune is not None:
         strategy = "blockmax" if prune else "exhaustive"
     spark = ix.spark
-    weights, _ = _query_weights(ix, queries)
+    weights, occ = _query_weights(ix, queries)
     if not weights:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"
@@ -454,13 +516,10 @@ def index_search(
             .select("term", "shard_id", "n_docs", *meta_cols,
                     "docs_vbyte", "tfs_vbyte", "dls_vbyte")
         )
-        by_term: dict[str, list[tuple[int, float]]] = {}
-        for qid, t, w, _ub, _rest in weights:
-            by_term.setdefault(t, []).append((qid, w))
         kern = (
-            _wand_topk_fn(by_term, ix.k1, ix.b, ix.avgdl, k)
+            _wand_topk_fn(occ, ix.k1, ix.b, ix.avgdl, k)
             if strategy == "blockmax"
-            else _sharded_topk_fn(by_term, ix.k1, ix.b, ix.avgdl, k)
+            else _sharded_topk_fn(occ, ix.k1, ix.b, ix.avgdl, k)
         )
         shard_tops = blocks.groupBy("shard_id").applyInPandas(
             kern, schema="query_id int, doc_id long, score double"
@@ -468,10 +527,18 @@ def index_search(
         return topk_window(shard_tops, k)
 
     qblocks = _matched_blocks(ix, weights)
+    # canonical per-doc summation for the plan paths too: sum contributions
+    # in query-occurrence order (sort_array by qpos + ordered fold), so
+    # exact ties agree bit-for-bit with the oracle's accumulation
+    canonical_sum = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("qpos", "contrib"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
+    )
     if strategy == "exhaustive":
         contribs = qblocks.mapInPandas(decode, schema=DECODE_SCHEMA)
         scored = contribs.groupBy("query_id", "doc_id").agg(
-            F.sum("contrib").alias("score")
+            canonical_sum.alias("score")
         )
         return topk_window(scored, k)
 
@@ -497,7 +564,7 @@ def index_search(
     )
     # total UB per query (driver-side tiny)
     total_ub = {}
-    for qid, _t, _w, ub, rest in weights:
+    for qid, _t, _w, ub, rest, _qp in weights:
         total_ub[qid] = max(total_ub.get(qid, 0.0), ub + rest)
     tub = spark.createDataFrame(
         [(q, v) for q, v in total_ub.items()], "query_id int, total_ub double"
@@ -535,7 +602,8 @@ def index_search(
         # NOT contribute; then pruned blocks whose doc range covers that
         # candidate, with the wanted ids gathered per block.
         qterms_df = spark.createDataFrame(
-            [(qid, t) for qid, t, *_ in weights], "query_id int, term string"
+            [(qid, t, qpos) for qid, t, _w, _ub, _rest, qpos in weights],
+            "query_id int, term string, qpos int",
         )
         # shard_id is computable on the candidate side (doc-range shards:
         # shard_id = doc_id >> shard_shift), so the rescore equi-join key is
@@ -549,17 +617,17 @@ def index_search(
             .join(F.broadcast(qterms_df), "query_id")
             .filter(~F.array_contains("cterms", F.col("term")))
             .select(
-                "query_id", "term", "doc_id",
+                "query_id", "term", "qpos", "doc_id",
                 F.shiftright(F.col("doc_id"), shard_shift).alias("shard_id"),
             )
         )
         to_rescore = (
-            pruned.join(missing, ["query_id", "term", "shard_id"])
+            pruned.join(missing, ["query_id", "term", "qpos", "shard_id"])
             .filter(
                 (F.col("doc_id") >= F.col("first_doc"))
                 & (F.col("doc_id") <= F.col("last_doc"))
             )
-            .groupBy("query_id", "term", "shard_id", "block_id")
+            .groupBy("query_id", "term", "qpos", "shard_id", "block_id")
             .agg(
                 F.first("w").alias("w"),
                 F.first("n_docs").alias("n_docs"),
@@ -572,15 +640,20 @@ def index_search(
         extra = to_rescore.mapInPandas(
             _rescore_gen(ix.k1, ix.b, ix.avgdl), schema=EXTRA_SCHEMA
         )
-        extra_agg = extra.groupBy("query_id", "doc_id").agg(
-            F.sum("extra").alias("extra")
+        # final scores canonically: union the candidates' surviving-block
+        # contributions with the rescored missing ones and fold in query-
+        # occurrence order — bit-identical to the oracle on exact ties
+        base_rows = contribs.join(
+            cand.select("query_id", "doc_id"), ["query_id", "doc_id"],
+            "left_semi",
+        ).select("query_id", "doc_id", "qpos", "contrib")
+        extra_rows = extra.select(
+            "query_id", "doc_id", "qpos", F.col("extra").alias("contrib")
         )
         final = (
-            cand.join(extra_agg, ["query_id", "doc_id"], "left")
-            .withColumn(
-                "score", F.col("P") + F.coalesce(F.col("extra"), F.lit(0.0))
-            )
-            .select("query_id", "doc_id", "score")
+            base_rows.unionByName(extra_rows)
+            .groupBy("query_id", "doc_id")
+            .agg(canonical_sum.alias("score"))
         )
         out = topk_window(final, k)
         out = out.localCheckpoint(eager=True)

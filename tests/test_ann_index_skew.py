@@ -88,9 +88,10 @@ def test_head_term_in_every_doc(spark, tmp_path):
     per_shard = {r.shard_id: r.n for r in
                  blocks.groupBy("shard_id").agg(
                      F.sum("n_docs").alias("n")).collect()}
-    # power-of-two span rounding yields between num_shards/2 and num_shards
-    # shards; the bound that matters is that no shard concentrates the term
-    assert params.num_shards // 2 <= len(per_shard) <= params.num_shards
+    # count-quantile span derivation (provided scheme) may shard FINER than
+    # num_shards (never coarser than the fragmentation budget); the bound
+    # that matters is that no shard concentrates the term
+    assert params.num_shards // 2 <= len(per_shard) <= 64 * params.num_shards
     assert sum(per_shard.values()) == n
     assert max(per_shard.values()) <= 2 * (n // params.num_shards) + 1
 

@@ -46,7 +46,7 @@ def _random_corpus(rng: random.Random, n_docs: int):
     return docs, queries
 
 
-@pytest.mark.parametrize("seed", [7, 23, 99])
+@pytest.mark.parametrize("seed", [7, 23, 99, 1234, 4242])
 def test_fuzz_full_engine_rank_identity(spark, tmp_path, seed):
     rng = random.Random(seed)
     docs, queries = _random_corpus(rng, n_docs=120)
@@ -77,3 +77,37 @@ def test_fuzz_full_engine_rank_identity(spark, tmp_path, seed):
         for r in score_all_topk(df, queries, k=7).collect()
     )
     assert [g[:3] for g in got_sa] == [w[:3] for w in want]
+
+
+def test_exact_ties_and_duplicate_query_terms(spark, tmp_path):
+    """Tie-dense corpus (tiny vocab, many identical score sums) + queries
+    with duplicated terms: every strategy must agree with the oracle on
+    rank AND scores — this requires accumulating per query-term OCCURRENCE
+    in query order (the seed-23 regression: two different texts with
+    exactly equal BM25 doubles rank-flipped on a 1-ulp summation-order
+    difference)."""
+    rng = random.Random(5150)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [(i * 3 + 1, " ".join(rng.choices(vocab, k=rng.randint(1, 6))))
+            for i in range(300)]
+    queries = [(0, "aa"), (1, "aa aa bb"), (2, "cc cc cc dd"),
+               (3, "bb dd bb"), (4, "aa bb cc dd aa")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    d = str(tmp_path / "ties_ix")
+    build_index(df, d, BuildParams(num_shards=4, salt_factor=2,
+                                   num_term_buckets=2, lineage_groups=1,
+                                   block_size=16), "ties")
+    ix = Index(spark, d)
+    oracle = OracleIndex.build(docs)
+    want = sorted(
+        (q, r, did, s) for q, r, did, s in oracle.search_all(queries, k=12)
+    )
+    for strategy in ("sharded", "blockmax", "blockmax_plan", "exhaustive"):
+        got = sorted(
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in index_search(ix, queries, k=12, strategy=strategy).collect()
+        )
+        assert [g[:3] for g in got] == [w[:3] for w in want], strategy
+        # BIT-exact scores, not approx: the engines share the accumulation
+        # order, so even tied doubles must match exactly
+        assert [g[3] for g in got] == [w[3] for w in want], strategy

@@ -42,7 +42,7 @@ ix_dir = "/tmp/sparkbm25_scale/ix_%d" % cores
 # identical logical job at both levels: partitioning params FIXED (the
 # plan must not change shape with the resource level, only its parallelism)
 params = BuildParams(num_shards=32, salt_factor=4, num_term_buckets=32,
-                     lineage_groups=1)
+                     lineage_groups=1, doc_id_scheme="conv_seq")
 # warm-up build: python-worker spawn, JIT, page cache — throughput is a
 # steady-state metric; a real cluster job amortizes these over hours
 shutil.rmtree(ix_dir, ignore_errors=True)
