@@ -160,41 +160,51 @@ def main() -> int:
     # salt_factor here), run on a 1/5 corpus so the grid stays cheap.
     # Emits one row per config like benchmarking/results.py:14-122.
     if os.environ.get("SPARKBM25_SKIP_GRID") != "1":
-        grid_rows = []
-        grid_corpus_path = prepare_corpus(spark, sf, max(n_convs // 5, 500))
-        grid_corpus = add_doc_id(
-            spark.read.parquet(grid_corpus_path), "conv_seq"
-        ).select("doc_id", "text")
-        g_turns = grid_corpus.count()
-        gq = make_queries(40)
-        for block_size in (64, 128, 256):
-            for salt_factor in (2, 4, 8):
-                gdir = f"/tmp/sparkbm25_bench/grid_{sf}_{block_size}_{salt_factor}"
-                shutil.rmtree(gdir, ignore_errors=True)
-                gp = BuildParams(
-                    num_shards=max(cpus, 8), salt_factor=salt_factor,
-                    num_term_buckets=32, lineage_groups=1,
-                    block_size=block_size, doc_id_scheme="conv_seq",
-                )
-                t0 = time.time()
-                mman = build_index(grid_corpus, gdir, gp,
-                                   source_fingerprint=grid_corpus_path)
-                b_s = time.time() - t0
-                gix = Index(spark, gdir)
-                t0 = time.time()
-                index_search(gix, gq, k=10).count()
-                q_s = time.time() - t0
-                grid_rows.append({
-                    "block_size": block_size,
-                    "salt_factor": salt_factor,
-                    "build_s": round(b_s, 3),
-                    "build_turns_per_sec": round(g_turns / b_s, 1),
-                    "query40_s": round(q_s, 3),
-                    "bytes_per_posting": mman["metrics"].get("bytes_per_posting"),
-                })
-                shutil.rmtree(gdir, ignore_errors=True)
-        extras["param_grid"] = grid_rows
-        extras["param_grid_turns"] = g_turns
+        # like the pipeline stage: a grid failure must not sink the headline
+        try:
+            grid_rows = []
+            grid_corpus_path = prepare_corpus(spark, sf, max(n_convs // 5, 500))
+            grid_corpus = add_doc_id(
+                spark.read.parquet(grid_corpus_path), "conv_seq"
+            ).select("doc_id", "text")
+            g_turns = grid_corpus.count()
+            gq = make_queries(40)
+            for block_size in (64, 128, 256):
+                for salt_factor in (2, 4, 8):
+                    gdir = (
+                        f"/tmp/sparkbm25_bench/grid_{sf}_{block_size}_{salt_factor}"
+                    )
+                    shutil.rmtree(gdir, ignore_errors=True)
+                    gp = BuildParams(
+                        num_shards=max(cpus, 8), salt_factor=salt_factor,
+                        num_term_buckets=32, lineage_groups=1,
+                        block_size=block_size, doc_id_scheme="conv_seq",
+                    )
+                    try:
+                        t0 = time.time()
+                        mman = build_index(grid_corpus, gdir, gp,
+                                           source_fingerprint=grid_corpus_path)
+                        b_s = time.time() - t0
+                        gix = Index(spark, gdir)
+                        t0 = time.time()
+                        index_search(gix, gq, k=10).count()
+                        q_s = time.time() - t0
+                        grid_rows.append({
+                            "block_size": block_size,
+                            "salt_factor": salt_factor,
+                            "build_s": round(b_s, 3),
+                            "build_turns_per_sec": round(g_turns / b_s, 1),
+                            "query40_s": round(q_s, 3),
+                            "bytes_per_posting": mman["metrics"].get(
+                                "bytes_per_posting"
+                            ),
+                        })
+                    finally:
+                        shutil.rmtree(gdir, ignore_errors=True)
+            extras["param_grid"] = grid_rows
+            extras["param_grid_turns"] = g_turns
+        except Exception as e:
+            extras["param_grid_error"] = str(e)[:200]
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -439,5 +439,8 @@ def params_dict(params: BuildParams, stats: CorpusStats) -> dict:
         shard_shift=stats.shard_shift,
         shard_span=stats.shard_span,
         total_tokens=stats.total_tokens,
+        # audited shard-balance facts (provided-id quantile sharding) must
+        # survive kill/resume: the admission check reads max_shard_docs
+        extras=dict(stats.extras),
     )
     return d

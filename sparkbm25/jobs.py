@@ -97,36 +97,45 @@ def _pid_alive(pid: int) -> bool:
 
 
 def _acquire_build_lock(index_dir: str, jid: str) -> str:
-    """O_EXCL lockfile under index_dir. Raises ConcurrentBuildError naming
-    the holder while it is alive; a lock left by a dead pid is stolen
+    """Lockfile under index_dir, acquired ATOMICALLY WITH ITS CONTENT: the
+    payload is written to a temp file and hard-linked into place (link(2)
+    fails if the name exists), so a competitor can never observe an empty
+    lock and misread it as stale. Raises ConcurrentBuildError naming the
+    holder while it is alive; a lock left by a dead pid is stolen
     (kill-resume support). Single-host semantics — a multi-driver cluster
     deployment should use the store's conditional-put for the same CAS."""
     os.makedirs(index_dir, exist_ok=True)
     path = os.path.join(index_dir, LOCKFILE)
-    payload = json.dumps({"pid": os.getpid(), "job_id": jid}).encode()
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, payload)
-            os.close(fd)
-            return path
-        except FileExistsError:
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"pid": os.getpid(), "job_id": jid}, f)
+    try:
+        while True:
             try:
-                with open(path) as f:
-                    holder = json.load(f)
-            except (OSError, json.JSONDecodeError):
-                holder = {}
-            pid = holder.get("pid")
-            if pid is not None and _pid_alive(int(pid)):
-                raise ConcurrentBuildError(
-                    f"index_dir {index_dir} is being built by pid {pid} "
-                    f"(job {str(holder.get('job_id', ''))[:12]}…); "
-                    "retry after it finishes"
-                ) from None
-            try:  # stale lock from a dead process: steal and retry
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
+                os.link(tmp, path)
+                return path
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        holder = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    holder = {}
+                pid = holder.get("pid")
+                if pid is not None and _pid_alive(int(pid)):
+                    raise ConcurrentBuildError(
+                        f"index_dir {index_dir} is being built by pid {pid} "
+                        f"(job {str(holder.get('job_id', ''))[:12]}…); "
+                        "retry after it finishes"
+                    ) from None
+                try:  # stale lock from a dead process: steal and retry
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def build_index(
@@ -214,6 +223,7 @@ def _build_index_locked(
             n_docs=b["n_docs"], avgdl=b["avgdl"], min_doc=b["min_doc"],
             max_doc=b["max_doc"], shard_shift=b["shard_shift"],
             total_tokens=b.get("total_tokens", 0),
+            extras=b.get("extras", {}),
         )
 
     # admission gate (the reference's 507-capacity check at submit,
@@ -396,6 +406,11 @@ class Index:
                 .filter(F.col("term").isin(missing))
                 .collect()
             }
+            # bound the lazy cache: a long-lived handle serving arbitrary
+            # queries must not grow without limit (absent/garbage terms
+            # especially) — evict wholesale past the cap, it's just a cache
+            if len(self._stats_cache) + len(missing) > self.STATS_PRELOAD_MAX_TERMS:
+                self._stats_cache.clear()
             for t in missing:
                 self._stats_cache[t] = found.get(t)
         return {

@@ -99,10 +99,11 @@ def media_summary_sql(table: str = "documents", id_col: str = "doc_id",
     length are exactly computable in SQL (octet_length of the utf-8 blob);
     the histogram features themselves are value-checked against a numpy
     recompute in tests/test_pipeline.py (byte-level ops aren't portable
-    ANSI SQL)."""
+    ANSI SQL). ((x % m) + m) % m mirrors Spark's pmod for negative
+    (hash64) ids — SQL % follows the dividend's sign."""
     return f"""
 SELECT {id_col} AS doc_id,
-       CASE CAST({id_col} % 3 AS INT) WHEN 0 THEN 'image'
+       CASE CAST((({id_col} % 3) + 3) % 3 AS INT) WHEN 0 THEN 'image'
             WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
        CAST(octet_length(CAST(coalesce({text_col}, '') AS BLOB)) AS INT)
          AS n_bytes
@@ -112,15 +113,16 @@ FROM {table}
 
 def frame_sample_sql(every: int = 5, table: str = "documents",
                      id_col: str = "doc_id") -> str:
-    """DuckDB oracle for frame_sample over attach_fake_media(documents)."""
+    """DuckDB oracle for frame_sample over attach_fake_media(documents).
+    ((x % m) + m) % m mirrors Spark's pmod for negative (hash64) ids."""
     return f"""
 WITH media AS (
   SELECT {id_col} AS doc_id,
-         CASE CAST({id_col} % 3 AS INT) WHEN 0 THEN 'image'
+         CASE CAST((({id_col} % 3) + 3) % 3 AS INT) WHEN 0 THEN 'image'
               WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-         CAST({id_col} % 640 + 32 AS INT) AS width,
-         CAST({id_col} % 480 + 32 AS INT) AS height,
-         CAST({id_col} % 30 + 1 AS INT) AS n_frames
+         CAST((({id_col} % 640) + 640) % 640 + 32 AS INT) AS width,
+         CAST((({id_col} % 480) + 480) % 480 + 32 AS INT) AS height,
+         CAST((({id_col} % 30) + 30) % 30 + 1 AS INT) AS n_frames
   FROM {table}
 )
 SELECT doc_id, CAST(u.f AS INT) AS frame_idx, width, height

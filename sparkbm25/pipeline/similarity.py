@@ -238,6 +238,9 @@ def cosine_pairs_lsh(
     sig = df.select("vec_id", "embedding").mapInPandas(
         sig_kernel, schema="vec_id long, band int, sig long"
     )
+    # materialize once: the self-join would otherwise run the full-corpus
+    # signature kernel twice (same pattern as dedup.minhash_lsh_pairs)
+    sig = sig.localCheckpoint(eager=True)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(b, ["band", "sig"])

@@ -51,6 +51,7 @@ def _stats_from_manifest(m: dict) -> tuple[BuildParams, CorpusStats]:
         n_docs=b["n_docs"], avgdl=b["avgdl"], min_doc=b["min_doc"],
         max_doc=b["max_doc"], shard_shift=b["shard_shift"],
         total_tokens=b.get("total_tokens", 0),
+        extras=b.get("extras", {}),
     )
     return params, stats
 
