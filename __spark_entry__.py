@@ -215,6 +215,44 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, 30)
 
 
+def q_bm25_topk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k + stored-field fetch: a store_text=True index serves the
+    search AND the document text from its own artifact (the inverse of the
+    reference's skip-stored-vectors, SURVEY §2.2 P6) — the fetched text
+    must equal the source table's, value-hashed against the SQL top-k
+    joined to documents."""
+    import hashlib
+
+    from sparkbm25.build import BuildParams
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index, build_index
+
+    import sparkbm25
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tag = hashlib.sha1(
+        f"{sf_dir}@{sparkbm25.__version__}@text".encode()
+    ).hexdigest()[:10]
+    ix_dir = f"/tmp/sparkbm25_entry/ixt_{tag}"
+    params = BuildParams(num_shards=8, salt_factor=2, num_term_buckets=16,
+                         lineage_groups=1, store_text=True)
+    build_index(docs, ix_dir, params, source_fingerprint=sf_dir)
+    ix = Index(spark, ix_dir)
+    out = ix.fetch_text(index_search(ix, DOC_QUERIES, k=K))
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score"),
+        "text",
+    )
+
+
+def q_events_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type, top-3 users by event count (grouped-top-k window)."""
+    from sparkbm25.pipeline.events import user_topk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return user_topk(ev, 3)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns + Arrow feature kernel (decode stubbed —
     deterministic byte histogram). The (doc_id, media_type, n_bytes)
@@ -256,8 +294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "bm25_topk_text": q_bm25_topk_text,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "events_user_topk": q_events_user_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
     }
@@ -287,8 +327,16 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": TS.quality_score_sql(),
         "lang_id": TS.lang_id_sql(),
         "fingerprint": TS.fingerprint_sql(),
+        "bm25_topk_text": (
+            "WITH base AS ({}) SELECT base.query_id, base.rank, base.doc_id, "
+            "base.score, d.text FROM base JOIN documents d "
+            "ON base.doc_id = d.doc_id".format(
+                sqlgen.bm25_topk_sql(DOC_QUERIES, k=K)
+            )
+        ),
         "events_hourly": EV.hourly_rollup_sql(),
         "events_sessionize": EV.sessionize_sql(30),
+        "events_user_topk": EV.user_topk_sql(3),
         "multimodal_features": MM.media_summary_sql(),
         "multimodal_frames": MM.frame_sample_sql(5),
     }

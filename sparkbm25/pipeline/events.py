@@ -105,6 +105,45 @@ FROM sess GROUP BY 1, 2
 """
 
 
+def user_topk(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per event_type, top-k users by event count (ties -> lowest user_id).
+    Integer-keyed ranking: no float hazard in the order, the classic
+    grouped-top-k window (one shuffle on event_type after partial aggs)."""
+    from pyspark.sql import Window
+
+    agg = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("event_type", "rank", "user_id", "n_events", "sum_value")
+    )
+
+
+def user_topk_sql(k: int = 3, table: str = "events") -> str:
+    return f"""
+WITH agg AS (
+  SELECT event_type, user_id, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+  FROM {table} GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, user_id, n_events, sum_value,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY n_events DESC, user_id ASC)
+              AS INTEGER) AS rank
+  FROM agg
+)
+SELECT event_type, rank, user_id, n_events, sum_value
+FROM r WHERE rank <= {k}
+"""
+
+
 def streaming_hourly_rollup(stream: DataFrame, watermark: str = "2 hours"):
     """Streaming form: tumbling window + watermark so late events beyond
     the watermark are dropped and state is bounded (the state-retention

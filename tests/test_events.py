@@ -81,3 +81,23 @@ def test_streaming_rollup_with_watermark(spark, events, tmp_path):
     for k, v in got.items():
         assert want[k] == v
     assert len(got) >= len(want) - 3  # at most the tail windows still open
+
+
+def test_user_topk_tie_break(spark):
+    from sparkbm25.pipeline.events import user_topk
+
+    rows = [
+        # type a: u1 x3, u2 x3 (tie), u3 x1
+        ("a", 1, 1.0), ("a", 1, 1.0), ("a", 1, 1.0),
+        ("a", 2, 2.0), ("a", 2, 2.0), ("a", 2, 2.0),
+        ("a", 3, 5.0),
+        # type b: u9 x2
+        ("b", 9, 0.5), ("b", 9, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    got = {(r.event_type, r.rank): (r.user_id, r.n_events, r.sum_value)
+           for r in user_topk(df, 2).collect()}
+    assert got[("a", 1)] == (1, 3, 3.0)  # tie at n=3 -> lower user_id first
+    assert got[("a", 2)] == (2, 3, 6.0)
+    assert got[("b", 1)] == (9, 2, 1.0)
+    assert ("b", 2) not in got
