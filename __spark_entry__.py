@@ -124,6 +124,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_T)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs folded into dedup GROUPS: connected components over
+    the exact-Jaccard edge list (iterative min-label propagation; DuckDB
+    oracle is the recursive-CTE transitive closure)."""
+    from sparkbm25.pipeline.dedup import connected_components, jaccard_pairs
+
+    ensure_shipped(spark)
+    pairs = jaccard_pairs(_docs(spark, sf_dir), JACCARD_T)
+    return connected_components(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkbm25.pipeline.dedup import simhash_pairs
 
@@ -286,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -318,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": DD.exact_dedup_sql(),
         "dedup_ngram_jaccard": DD.jaccard_pairs_sql(JACCARD_T),
         "dedup_minhash": DD.jaccard_pairs_sql(JACCARD_T),
+        "dedup_clusters": DD.dedup_clusters_sql(JACCARD_T),
         "dedup_simhash": DD.simhash_pairs_sql(3),
         "ann_cosine_topk": SIM.cosine_topk_sql(ANN_QUERY_IDS, k=K),
         "embedding_neardup": SIM.cosine_pairs_sql(COS_PAIR_T),

@@ -181,6 +181,86 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold}
 """
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Undirected connected components over an edge list (doc_a, doc_b) →
+    (doc_id, cluster_id = min doc_id in the component) — turns near-dup
+    PAIRS into dedup GROUPS (keep one per cluster).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup clusters are clique-ish, diameter ~1-3).
+    Spark-first: one DataFrame plan per round (a single groupBy-u shuffle),
+    eagerly localCheckpoint-ed to cut lineage; data never leaves the
+    cluster — the driver sees only a per-round decimal label-sum used as
+    the convergence test (labels decrease monotonically, so the sum is
+    strictly decreasing iff anything changed). Iterative fixpoints are not
+    expressible in one Catalyst plan — a driver loop over distributed
+    rounds is the idiomatic Spark shape; at extreme scale the alternating
+    large-star/small-star formulation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") uses these same primitives with
+    provably fewer rounds."""
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    labels = labels.localCheckpoint(eager=True)
+    sig = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("nl")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sig = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters_sql(threshold: float, table: str = "documents",
+                       id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB oracle: transitive closure (recursive CTE) over the exact
+    Jaccard pairs, min reachable id per node = cluster id."""
+    inner = jaccard_pairs_sql(threshold, table, id_col, text_col)
+    return f"""
+WITH RECURSIVE jp AS (SELECT doc_a, doc_b FROM ({inner}) q),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jp
+  UNION ALL
+  SELECT doc_b, doc_a FROM jp
+),
+reach (u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
 def _shingle_hashes(df: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, xs array<long>) — per-shingle xxhash64 folded to [0, 2^31).
     JVM-side hashing (codegen); the minhash matrix math happens in numpy."""

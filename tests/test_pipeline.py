@@ -294,3 +294,23 @@ def test_attach_fake_media_total_over_negative_ids(spark):
                for r in rows.values())
     assert all(r.width >= 32 and r.height >= 32 and r.n_frames >= 1
                for r in rows.values())
+
+
+def test_connected_components_shapes(spark):
+    """Chain + clique + isolated pair: labels converge to the component
+    minimum over more rounds than a clique needs (chain has diameter 4)."""
+    pairs = spark.createDataFrame(
+        [
+            # chain 1-2-3-4-5 (diameter 4 — exercises multi-round prop)
+            (1, 2), (2, 3), (3, 4), (4, 5),
+            # clique {10, 11, 12}
+            (10, 11), (10, 12), (11, 12),
+            # isolated pair
+            (20, 21),
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_id
+           for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
