@@ -308,35 +308,19 @@ def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    threshold: float,
-    text_col: str = "text",
-    max_bucket: int | None = None,
-) -> DataFrame:
-    """Near-dup pairs with exact Jaccard >= threshold, found via banded
-    minhash LSH and verified exactly.
+def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, band_id, key binary) — the banded minhash LSH join keys,
+    shared by the one-shot pair finder and the persisted dedup artifact.
 
-    With r=2, b=64 the probability a pair at J=threshold collides in no band
-    is (1 - J^2)^64 — at J=0.5 that is 1e-8, so vs the exact-Jaccard oracle
-    this is equal in practice (and candidate verification removes all false
-    positives).
-
-    max_bucket (default None = exact): when set, band buckets larger than
-    the cap are SKIPPED — an APPROXIMATION for adversarial boilerplate at
-    extreme scale that can drop entire mega-clusters of near-identical
-    docs (a 10^6-doc duplicate cluster otherwise implies ~10^12 candidate
-    pairs). Production pipelines that set a cap should handle mega-clusters
-    separately via exact_dedup on the normalized text first."""
-    sig = minhash_signature(df, text_col)
-
-    # Banding happens in an Arrow kernel, NOT as explode(slice(sig, ...)):
-    # Catalyst's project-collapse would inline the 128-hash signature
-    # expression into every one of the 64 band slices (64x re-evaluation —
-    # measured 44s vs 1.6s on sf0.01). Crossing the Arrow boundary forces
-    # the signature to be evaluated exactly once per row.
+    Banding happens in an Arrow kernel, NOT as explode(slice(sig, ...)):
+    Catalyst's project-collapse would inline the 128-hash signature
+    expression into every one of the 64 band slices (64x re-evaluation —
+    measured 44s vs 1.6s on sf0.01). Crossing the Arrow boundary forces
+    the signature to be evaluated exactly once per row."""
     import numpy as np
     import pandas as pd
+
+    sig = minhash_signature(df, text_col)
 
     def band_gen(batches):
         for pdf in batches:
@@ -358,9 +342,32 @@ def minhash_lsh_pairs(
                 }
             )
 
-    bands = sig.mapInPandas(
+    return sig.mapInPandas(
         band_gen, schema="doc_id long, band_id int, key binary"
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with exact Jaccard >= threshold, found via banded
+    minhash LSH and verified exactly.
+
+    With r=2, b=64 the probability a pair at J=threshold collides in no band
+    is (1 - J^2)^64 — at J=0.5 that is 1e-8, so vs the exact-Jaccard oracle
+    this is equal in practice (and candidate verification removes all false
+    positives).
+
+    max_bucket (default None = exact): when set, band buckets larger than
+    the cap are SKIPPED — an APPROXIMATION for adversarial boilerplate at
+    extreme scale that can drop entire mega-clusters of near-identical
+    docs (a 10^6-doc duplicate cluster otherwise implies ~10^12 candidate
+    pairs). Production pipelines that set a cap should handle mega-clusters
+    separately via exact_dedup on the normalized text first."""
+    bands = minhash_bands(df, text_col)
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -523,3 +530,102 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# Persisted dedup artifact — incremental near-dup against an indexed corpus
+
+
+def build_dedup_index(df: DataFrame, index_dir: str,
+                      text_col: str = "text") -> dict:
+    """Persist the near-dup artifact: banded LSH keys (parquet partitioned
+    by band_id) + DISTINCT hashed shingle sets for verification. A 100 TB
+    corpus computes signatures ONCE; every incremental batch then joins
+    against the stored bands instead of re-signing the corpus — the same
+    build-once-serve-many artifact shape as the BM25 and IVF indexes (and
+    the reference's whole mission, faiss_index_build_service.py:47-163)."""
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    minhash_bands(df, text_col).write.partitionBy("band_id").mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "bands"))
+    (
+        _shingle_hashes(df, text_col)
+        .select("doc_id", F.array_distinct("xs").alias("xs"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "shingles"))
+    )
+    manifest = {
+        "kind": "minhash_lsh",
+        "bands": MH_BANDS,
+        "rows": MH_ROWS,
+        "ngram": NGRAM,
+        "n_docs": df.count(),
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def dedup_index_query(
+    spark, index_dir: str, new_docs: DataFrame,
+    threshold: float, text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, Jaccard >= threshold) TOUCHING the new
+    batch: new-vs-indexed and new-vs-new, without recomputing corpus
+    signatures (only the batch is signed; the corpus side is the stored
+    artifact). Jaccard here is over DISTINCT xxhash64-hashed shingle sets —
+    deterministic and self-consistent; it differs from raw string-shingle
+    Jaccard only through ~2^-31-probability hash collisions, which is what
+    makes cross-batch verification possible from the compact stored arrays.
+    Assumes batch doc_ids are disjoint from indexed ones (the streaming
+    ingest audit enforces that invariant upstream)."""
+    import os
+
+    nb = minhash_bands(new_docs, text_col).localCheckpoint(eager=True)
+    stored = spark.read.parquet(os.path.join(index_dir, "bands")).select(
+        "doc_id", "band_id", "key"
+    )
+    all_bands = stored.unionByName(nb)
+    cand = (
+        nb.alias("a")
+        .join(
+            all_bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    new_xs = _shingle_hashes(new_docs, text_col).select(
+        "doc_id", F.array_distinct("xs").alias("xs")
+    )
+    stored_xs = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    xs_all = stored_xs.unionByName(new_xs)
+    common = F.size(F.array_intersect("xs_a", "xs_b"))
+    raw_j = common.cast("double") / (
+        F.size("xs_a") + F.size("xs_b") - common
+    )
+    return (
+        cand.join(
+            xs_all.select(
+                F.col("doc_id").alias("doc_a"), F.col("xs").alias("xs_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            xs_all.select(
+                F.col("doc_id").alias("doc_b"), F.col("xs").alias("xs_b")
+            ),
+            "doc_b",
+        )
+        .filter(raw_j >= threshold)
+        .select("doc_a", "doc_b", F.round(raw_j, 6).alias("jaccard"))
+    )

@@ -314,3 +314,34 @@ def test_connected_components_shapes(spark):
            for r in D.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_index_incremental_query(docs, tmp_path, spark):
+    """Persisted dedup artifact: sign a 400-doc base once, then find every
+    near-dup pair TOUCHING a 100-doc batch without re-signing the base —
+    result must equal the hashed-shingle Jaccard over the union restricted
+    to pairs with a new-side member."""
+    base = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    d = str(tmp_path / "dedup_ix")
+    m = D.build_dedup_index(base, d)
+    assert m["n_docs"] == base.count()
+
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in D.dedup_index_query(spark, d, new, 0.5).collect()}
+
+    # reference: hashed-shingle jaccard over the union, pairs touching new
+    xs = D._shingle_hashes(docs, "text").select(
+        "doc_id", F.array_distinct("xs").alias("xs"))
+    a = xs.select(F.col("doc_id").alias("doc_a"), F.col("xs").alias("xs_a"))
+    b = xs.select(F.col("doc_id").alias("doc_b"), F.col("xs").alias("xs_b"))
+    common = F.size(F.array_intersect("xs_a", "xs_b"))
+    raw = common.cast("double") / (F.size("xs_a") + F.size("xs_b") - common)
+    want = {(r.doc_a, r.doc_b): r.jaccard
+            for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .filter(raw >= 0.5)
+            .filter((F.col("doc_a") >= 400) | (F.col("doc_b") >= 400))
+            .select("doc_a", "doc_b", F.round(raw, 6).alias("jaccard"))
+            .collect()}
+    assert len(want) > 0  # fixture has near-dups straddling the split
+    assert got == want
