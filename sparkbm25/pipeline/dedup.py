@@ -629,3 +629,30 @@ def dedup_index_query(
         .filter(raw_j >= threshold)
         .select("doc_a", "doc_b", F.round(raw_j, 6).alias("jaccard"))
     )
+
+
+def dedup_index_append(spark, index_dir: str, new_docs: DataFrame,
+                       text_col: str = "text") -> dict:
+    """Fold a new batch INTO the artifact (bands + shingles appended;
+    parquet append is atomic per file, idempotence is the caller's epoch
+    concern like streaming.append_batch). Run dedup_index_query BEFORE
+    appending to get the batch's near-dup report."""
+    import json
+    import os
+
+    minhash_bands(new_docs, text_col).write.partitionBy("band_id").mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "bands"))
+    (
+        _shingle_hashes(new_docs, text_col)
+        .select("doc_id", F.array_distinct("xs").alias("xs"))
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "shingles"))
+    )
+    mpath = os.path.join(index_dir, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["n_docs"] = int(manifest["n_docs"]) + new_docs.count()
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    return manifest

@@ -479,6 +479,38 @@ def build_ann_index(
     return manifest
 
 
+def ann_index_append(spark, index_dir: str, new_vecs: DataFrame) -> dict:
+    """Fold new vectors INTO the persisted IVF artifact: assign them to the
+    STORED centroids (map-only — centroids stay frozen like the BM25
+    streaming contract's corpus stats; re-train via periodic rebuild) and
+    append to the partitioned vector store. Searches pick the new rows up
+    on the next read."""
+    import json
+    import os
+
+    mpath = os.path.join(index_dir, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    cmat = np.asarray(manifest["centroids"], dtype=np.float64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = _norm_rows(_as_matrix(pdf["embedding"]))
+            pdf = pdf.copy()
+            pdf["centroid_id"] = (m @ cmat.T).argmax(axis=1).astype(np.int32)
+            yield pdf[["vec_id", "embedding", "centroid_id"]]
+
+    assigned = new_vecs.select("vec_id", "embedding").mapInPandas(
+        gen, schema="vec_id long, embedding array<float>, centroid_id int"
+    )
+    assigned.write.partitionBy("centroid_id").mode("append").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+    return manifest
+
+
 def ann_index_search(
     spark, index_dir: str, query_vecs: dict[int, list[float]],
     k: int = 10, n_probe: int = 4,

@@ -345,3 +345,47 @@ def test_dedup_index_incremental_query(docs, tmp_path, spark):
             .collect()}
     assert len(want) > 0  # fixture has near-dups straddling the split
     assert got == want
+
+
+def test_dedup_index_append_then_query(docs, tmp_path, spark):
+    """Append a batch into the artifact, then a later batch's query must see
+    near-dups against BOTH the base and the appended epoch."""
+    base = docs.filter(F.col("doc_id") < 300)
+    mid = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    new = docs.filter(F.col("doc_id") >= 400)
+    d = str(tmp_path / "dedup_ix2")
+    D.build_dedup_index(base, d)
+    m = D.dedup_index_append(spark, d, mid)
+    assert m["n_docs"] == 400
+    got = {(r.doc_a, r.doc_b)
+           for r in D.dedup_index_query(spark, d, new, 0.5).collect()}
+    # same reference as the build-then-query test: all union pairs touching new
+    xs = D._shingle_hashes(docs, "text").select(
+        "doc_id", F.array_distinct("xs").alias("xs"))
+    a = xs.select(F.col("doc_id").alias("doc_a"), F.col("xs").alias("xs_a"))
+    b = xs.select(F.col("doc_id").alias("doc_b"), F.col("xs").alias("xs_b"))
+    common = F.size(F.array_intersect("xs_a", "xs_b"))
+    raw = common.cast("double") / (F.size("xs_a") + F.size("xs_b") - common)
+    want = {(r.doc_a, r.doc_b)
+            for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .filter(raw >= 0.5)
+            .filter((F.col("doc_a") >= 400) | (F.col("doc_b") >= 400))
+            .select("doc_a", "doc_b").collect()}
+    assert got == want
+
+
+def test_ann_index_append_then_search(emb, tmp_path, spark):
+    """Vectors appended with frozen centroids must be findable: full-probe
+    search over the grown artifact equals brute force over the union."""
+    base = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    d = str(tmp_path / "ann_grow")
+    S.build_ann_index(base, d, n_centroids=8)
+    S.ann_index_append(spark, d, new)
+    qrows = {r.vec_id: list(r.embedding)
+             for r in emb.filter(F.col("vec_id").isin([0, 450])).collect()}
+    got = [(r.query_vec_id, r.rank, r.vec_id)
+           for r in S.ann_index_search(spark, d, qrows, k=5, n_probe=8).collect()]
+    want = [(r.query_vec_id, r.rank, r.vec_id)
+            for r in S.cosine_topk(emb, [0, 450], k=5).collect()]
+    assert sorted(got) == sorted(want)
