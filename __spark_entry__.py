@@ -203,6 +203,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-50 bigrams by occurrence count (vocabulary analysis)."""
+    from sparkbm25.pipeline.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=50)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkbm25.pipeline.textstats import fingerprint
 
@@ -306,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "top_ngrams": q_top_ngrams,
         "bm25_topk_text": q_bm25_topk_text,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -340,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": TS.quality_score_sql(),
         "lang_id": TS.lang_id_sql(),
         "fingerprint": TS.fingerprint_sql(),
+        "top_ngrams": TS.top_ngrams_sql(2, 50),
         "bm25_topk_text": (
             "WITH base AS ({}) SELECT base.query_id, base.rank, base.doc_id, "
             "base.score, d.text FROM base JOIN documents d "

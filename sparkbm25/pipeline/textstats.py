@@ -207,3 +207,54 @@ SELECT {id_col} AS doc_id,
        ) AS fingerprint
 FROM {table}
 """
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 50,
+               text_col: str = "text") -> DataFrame:
+    """Global top-k token n-grams by occurrence count (ties -> lexicographic
+    ngram) — corpus vocabulary analysis for training-data curation.
+    Catalyst-only: shifted-slice zip_with n-grams (O(tokens), the same
+    pattern as dedup.shingles_col but WITHOUT array_distinct — counts are
+    per occurrence), explode, one count shuffle, integer-keyed rank."""
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    m = F.size(toks) - (n - 1)
+    sh = F.slice(toks, 1, m)
+    for j in range(1, n):
+        sh = F.zip_with(sh, F.slice(toks, j + 1, m),
+                        lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(F.size(toks) >= n, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+    counted = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "ngram", "n_occurrences")
+    )
+
+
+def top_ngrams_sql(n: int = 2, k: int = 50, table: str = "documents",
+                   text_col: str = "text") -> str:
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+    return f"""
+WITH g AS (SELECT t.g AS ngram FROM {table}, unnest({grams}) AS t(g)),
+counted AS (SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY 1),
+r AS (
+  SELECT ngram, n_occurrences,
+         CAST(row_number() OVER (ORDER BY n_occurrences DESC, ngram ASC)
+              AS INTEGER) AS rank
+  FROM counted
+)
+SELECT rank, ngram, n_occurrences FROM r WHERE rank <= {k}
+"""

@@ -389,3 +389,17 @@ def test_ann_index_append_then_search(emb, tmp_path, spark):
     want = [(r.query_vec_id, r.rank, r.vec_id)
             for r in S.cosine_topk(emb, [0, 450], k=5).collect()]
     assert sorted(got) == sorted(want)
+
+
+def test_top_ngrams_counts_per_occurrence(spark):
+    """n-grams count per OCCURRENCE (unlike dedup shingles, which are
+    distinct-per-doc sets), ties break lexicographically."""
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], "doc_id long, text string"
+    )
+    rows = [(r.rank, r.ngram, r.n_occurrences)
+            for r in T.top_ngrams(df, n=2, k=10).collect()]
+    assert rows[0] == (1, "a b", 3)   # doc1 twice + doc2 once
+    assert (2, "b a", 1) in rows      # tie group at count 1, lex order
+    assert all(r[2] >= 1 for r in rows)
+    assert len(rows) == 3             # 'a b', 'b a', 'b c'; nothing from doc3
