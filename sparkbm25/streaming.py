@@ -163,3 +163,90 @@ def finalize_stream(spark: SparkSession, index_dir: str) -> None:
     m["build"]["n_docs"] = max(int(m["build"]["n_docs"]), int(total_docs))
     m["build"]["n_terms"] = spark.read.parquet(tdir).count()
     _write_manifest(index_dir, m)
+
+
+def streaming_sessionize(stream: DataFrame, gap_minutes: int = 30,
+                         idle_timeout_ms: int | None = None):
+    """Custom STATEFUL streaming operator: gap-based sessionization via
+    applyInPandasWithState — per-user session state lives in the state
+    store across micro-batches; a session CLOSES (and is emitted) when a
+    later event arrives more than `gap` after it, so emitted rows are
+    final (append mode, exactly-once with checkpointing). Each user's
+    still-open trailing session stays in state — the same semantics as
+    batch `events.sessionize` minus each user's last session, which is the
+    equivalence tested in tests/test_streaming.py.
+
+    State is bounded: one (start, last, n, sum) tuple per active user.
+    idle_timeout_ms (continuous deployments only) adds a processing-time
+    timeout that flushes users idle in wall-clock terms — the 10^12-event
+    stream's state-retention knob. Leave None for availableNow/backfill
+    runs: a pending processing-time timeout keeps an availableNow query
+    alive past its drained input (measured — the query never terminates)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start long, last long, n long, sv double"
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        closed: list[tuple] = []
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = None
+            n, sv = 0, 0.0
+        if state.hasTimedOut:
+            if start is not None:
+                closed.append((uid, start, last, n, sv))
+            state.remove()
+        else:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if not batch.empty:
+                batch = batch.sort_values("ts", kind="stable")
+                ep = (batch["ts"].astype("int64") // 1_000_000_000).to_numpy()
+                vals = batch["value"].to_numpy()
+                for t, v in zip(ep, vals):
+                    t = int(t)
+                    if start is None:
+                        start, last, n, sv = t, t, 1, float(v)
+                    elif t - last > gap_s:
+                        closed.append((uid, start, last, n, sv))
+                        start, last, n, sv = t, t, 1, float(v)
+                    else:
+                        last, n, sv = t, n + 1, sv + float(v)
+                state.update((start, last, n, sv))
+                if idle_timeout_ms is not None:
+                    state.setTimeoutDuration(idle_timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="s"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[2] for c in closed], unit="s"
+                    ),
+                    "n_events": [c[3] for c in closed],
+                    "sum_value": [round(c[4], 2) for c in closed],
+                }
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", timeout
+        )
+    )

@@ -13,6 +13,8 @@ from sparkbm25.corpus import add_doc_id
 from sparkbm25.fixtures import make_queries, make_transcripts_pdf
 from sparkbm25.index_query import index_search
 from sparkbm25.jobs import Index, build_index, read_manifest
+from pyspark.sql import functions as F
+
 from sparkbm25.streaming import stream_append
 
 PARAMS = BuildParams(num_shards=4, salt_factor=2, num_term_buckets=8,
@@ -97,3 +99,55 @@ def test_stream_is_exactly_once_on_rerun(spark, corpora, tmp_path):
     stream_append(spark, src, base_dir, ckpt)  # nothing new to consume
     groups2 = set(read_manifest(base_dir)["completed_groups"])
     assert groups1 == groups2
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: the streamed CLOSED sessions
+    must equal batch sessionize minus each user's trailing (still-open)
+    session — and the result must be invariant to micro-batch boundaries
+    (time-ordered batches extend the same state)."""
+    from sparkbm25.pipeline.events import sessionize
+    from sparkbm25.streaming import streaming_sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev_src")
+    # two time-ordered files -> two micro-batches sharing state
+    cut = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first()["m"]
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(f"{src}/b=0")
+    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(f"{src}/b=1")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp_ntz, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b=*")
+        .select("user_id", "ts", "value")
+    )
+    out = streaming_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory").queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, int(r.session_start.timestamp()),
+         int(r.session_end.timestamp()), r.n_events, round(r.sum_value, 2))
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+
+    batch = sessionize(ev.select("user_id", "ts", "value"), 30)
+    # drop each user's LAST session (still open in the stream)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("session_seq"))
+    closed = batch.withColumn("rn", F.row_number().over(w)).filter("rn > 1")
+    want = {
+        (r.user_id,
+         int(r.session_start.replace(tzinfo=__import__("datetime").timezone.utc)
+             .timestamp()),
+         int(r.session_end.replace(tzinfo=__import__("datetime").timezone.utc)
+             .timestamp()),
+         r.n_events, round(float(r.sum_value), 2))
+        for r in closed.collect()
+    }
+    assert len(want) > 0
+    assert got == want
