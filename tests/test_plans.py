@@ -129,3 +129,28 @@ def test_sharded_search_warm_index_plans_without_jobs(built):
     after = len(st.getJobIdsForGroup(None) or [])
     assert after == before, "warm plan construction launched a Spark job"
     assert df.count() > 0
+
+
+def test_cosine_pairs_plan_single_shuffle(spark):
+    """The exact tiled pair join must be ONE shuffle (the tile groupBy):
+    tiles broadcast onto both sides, no cartesian/BNLJ of corpus-sized
+    inputs anywhere."""
+    from sparkbm25.pipeline.similarity import cosine_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(cosine_pairs(emb, 0.4))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wand_plan_one_kernel_two_exchanges(built):
+    """The block-max WAND strategy keeps the sharded path's plan shape:
+    exactly one shard-grouped kernel (FlatMapGroupsInPandas) and two
+    exchanges total (shard groupBy + final skinny top-k window) — the
+    legacy DataFrame 3-phase plan this replaced ran ~8 jobs."""
+    from sparkbm25.index_query import index_search
+
+    df = index_search(built, [(0, "w0001 w0002")], k=5, strategy="blockmax")
+    plan = _plan(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
