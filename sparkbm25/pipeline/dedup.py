@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..analysis import DUCKDB_TOKENS, tokens_col
+from ..analysis import DUCKDB_TOKENS, ngrams_col, tokens_col
 
 # minhash parameters: h_i(x) = (a_i * x + b_i) mod P over x = shingle hash
 # folded into [0, 2^31). P Mersenne; a,b from a fixed seeded sequence.
@@ -91,22 +91,10 @@ FROM base
 
 def shingles_col(text_col: str = "text", n: int = NGRAM) -> Column:
     """Distinct token n-gram shingles (space-joined), [] when < n tokens.
-
-    O(total tokens): n shifted slices zipped pairwise. (The obvious
-    transform(sequence(...), i -> slice(toks, i, n)) is O(len²) per doc —
-    each slice copies O(len) — and measured 10s for 5000 long docs.)
-
-    Guarded with `when`: Spark's sequence(1, 0) yields a DESCENDING [1, 0],
-    and slice(toks, k, m) needs size >= n, so short docs short-circuit to []."""
-    toks = tokens_col(text_col)
-    m = F.size(toks) - (n - 1)  # number of shingles
-    sh = F.slice(toks, 1, m)
-    for j in range(1, n):
-        nxt = F.slice(toks, j + 1, m)
-        sh = F.zip_with(sh, nxt, lambda a, b: F.concat_ws(" ", a, b))
-    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+    The per-occurrence n-gram builder (and its O(total tokens) shifted-
+    slice construction) is shared with textstats.top_ngrams via
+    analysis.ngrams_col."""
+    return F.array_distinct(ngrams_col(text_col, n))
 
 
 DUCKDB_SHINGLES = (
@@ -235,6 +223,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # returning partially-propagated labels would silently split a
+        # component whose diameter exceeds max_iter — fail loudly instead
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds it); raise max_iter or switch "
+            "to the large-star/small-star variant for long-chain graphs"
+        )
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -269,8 +265,10 @@ def _shingle_hashes(df: DataFrame, text_col: str) -> DataFrame:
     return df.select("doc_id", xs.alias("xs")).filter(F.size("xs") > 0)
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_sh, sig array<long>) — 128 minhashes.
+def minhash_signature_from_xs(xs_df: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, sig array<long>) — 128 minhashes over precomputed
+    hashed shingle arrays (doc_id, xs). Min is duplicate-insensitive, so
+    raw or array_distinct xs give the same signature.
 
     Split of labor: Catalyst computes xxhash64 per shingle (JVM codegen);
     an Arrow kernel does min over (a_i·x + b_i) mod P for the 128 hash
@@ -303,14 +301,21 @@ def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
                 }
             )
 
-    return _shingle_hashes(df, text_col).mapInPandas(
+    return xs_df.mapInPandas(
         gen, schema="doc_id long, n_sh int, sig array<long>"
     )
 
 
-def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """minhash_signature_from_xs over freshly hashed shingles."""
+    return minhash_signature_from_xs(_shingle_hashes(df, text_col))
+
+
+def minhash_bands_from_xs(xs_df: DataFrame) -> DataFrame:
     """(doc_id, band_id, key binary) — the banded minhash LSH join keys,
-    shared by the one-shot pair finder and the persisted dedup artifact.
+    from precomputed hashed shingle arrays; shared by the one-shot pair
+    finder and the persisted dedup artifact (which hashes shingles ONCE
+    and feeds both banding and verification from the same pass).
 
     Banding happens in an Arrow kernel, NOT as explode(slice(sig, ...)):
     Catalyst's project-collapse would inline the 128-hash signature
@@ -320,7 +325,7 @@ def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    sig = minhash_signature(df, text_col)
+    sig = minhash_signature_from_xs(xs_df)
 
     def band_gen(batches):
         for pdf in batches:
@@ -345,6 +350,11 @@ def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     return sig.mapInPandas(
         band_gen, schema="doc_id long, band_id int, key binary"
     )
+
+
+def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """minhash_bands_from_xs over freshly hashed shingles."""
+    return minhash_bands_from_xs(_shingle_hashes(df, text_col))
 
 
 def minhash_lsh_pairs(
@@ -540,32 +550,57 @@ def build_dedup_index(df: DataFrame, index_dir: str,
                       text_col: str = "text") -> dict:
     """Persist the near-dup artifact: banded LSH keys (parquet partitioned
     by band_id) + DISTINCT hashed shingle sets for verification. A 100 TB
-    corpus computes signatures ONCE; every incremental batch then joins
-    against the stored bands instead of re-signing the corpus — the same
+    corpus tokenizes + shingle-hashes ONCE: the shingles are written first
+    and the bands derive from the WRITTEN shingles (one expensive pass, not
+    two independent plans); every incremental batch then joins against the
+    stored bands instead of re-signing the corpus — the same
     build-once-serve-many artifact shape as the BM25 and IVF indexes (and
     the reference's whole mission, faiss_index_build_service.py:47-163)."""
     import json
     import os
 
     os.makedirs(index_dir, exist_ok=True)
-    minhash_bands(df, text_col).write.partitionBy("band_id").mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, "bands"))
+    spark = df.sparkSession
+    sdir = os.path.join(index_dir, "shingles")
     (
         _shingle_hashes(df, text_col)
         .select("doc_id", F.array_distinct("xs").alias("xs"))
         .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, "shingles"))
+        .parquet(sdir)
     )
+    xs_stored = spark.read.parquet(sdir)
+    minhash_bands_from_xs(xs_stored).write.partitionBy("band_id").mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "bands"))
     manifest = {
         "kind": "minhash_lsh",
         "bands": MH_BANDS,
         "rows": MH_ROWS,
         "ngram": NGRAM,
-        "n_docs": df.count(),
+        "n_docs": xs_stored.count(),  # metadata-only count on fresh parquet
     }
     with open(os.path.join(index_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
+    return manifest
+
+
+def _check_dedup_manifest(index_dir: str) -> dict:
+    """The stored bands were computed under the manifest's recorded LSH
+    geometry; silently joining keys produced under DIFFERENT constants
+    would just miss every pair — refuse instead (the job_id-mismatch
+    refusal of jobs.build_index, transposed)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    current = {"bands": MH_BANDS, "rows": MH_ROWS, "ngram": NGRAM}
+    stored = {k: manifest.get(k) for k in current}
+    if stored != current:
+        raise ValueError(
+            f"dedup artifact at {index_dir} was built with LSH geometry "
+            f"{stored}, engine uses {current}; rebuild the artifact"
+        )
     return manifest
 
 
@@ -584,7 +619,15 @@ def dedup_index_query(
     ingest audit enforces that invariant upstream)."""
     import os
 
-    nb = minhash_bands(new_docs, text_col).localCheckpoint(eager=True)
+    _check_dedup_manifest(index_dir)
+    # hash the batch's shingles ONCE: banding and verification both feed
+    # from this checkpointed pass
+    new_xs = (
+        _shingle_hashes(new_docs, text_col)
+        .select("doc_id", F.array_distinct("xs").alias("xs"))
+        .localCheckpoint(eager=True)
+    )
+    nb = minhash_bands_from_xs(new_xs).localCheckpoint(eager=True)
     stored = spark.read.parquet(os.path.join(index_dir, "bands")).select(
         "doc_id", "band_id", "key"
     )
@@ -603,9 +646,6 @@ def dedup_index_query(
         )
         .distinct()
         .localCheckpoint(eager=True)
-    )
-    new_xs = _shingle_hashes(new_docs, text_col).select(
-        "doc_id", F.array_distinct("xs").alias("xs")
     )
     stored_xs = spark.read.parquet(os.path.join(index_dir, "shingles"))
     xs_all = stored_xs.unionByName(new_xs)
@@ -633,26 +673,29 @@ def dedup_index_query(
 
 def dedup_index_append(spark, index_dir: str, new_docs: DataFrame,
                        text_col: str = "text") -> dict:
-    """Fold a new batch INTO the artifact (bands + shingles appended;
-    parquet append is atomic per file, idempotence is the caller's epoch
-    concern like streaming.append_batch). Run dedup_index_query BEFORE
-    appending to get the batch's near-dup report."""
+    """Fold a new batch INTO the artifact. Shingles are written BEFORE
+    bands: a crash between the two leaves docs with shingles but no bands
+    (they are simply not yet discoverable — benign), never bands without
+    shingles (whose candidate pairs would be SILENTLY dropped by the
+    verification join). Idempotence across retries is the caller's epoch
+    concern, like streaming.append_batch. Run dedup_index_query BEFORE
+    appending to get the batch's near-dup report. The batch is shingle-
+    hashed once; bands derive from the written shingles."""
     import json
     import os
 
-    minhash_bands(new_docs, text_col).write.partitionBy("band_id").mode(
-        "append"
-    ).parquet(os.path.join(index_dir, "bands"))
-    (
+    manifest = _check_dedup_manifest(index_dir)
+    new_xs = (
         _shingle_hashes(new_docs, text_col)
         .select("doc_id", F.array_distinct("xs").alias("xs"))
-        .write.mode("append")
-        .parquet(os.path.join(index_dir, "shingles"))
+        .localCheckpoint(eager=True)
     )
+    new_xs.write.mode("append").parquet(os.path.join(index_dir, "shingles"))
+    minhash_bands_from_xs(new_xs).write.partitionBy("band_id").mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "bands"))
     mpath = os.path.join(index_dir, "manifest.json")
-    with open(mpath) as f:
-        manifest = json.load(f)
-    manifest["n_docs"] = int(manifest["n_docs"]) + new_docs.count()
+    manifest["n_docs"] = int(manifest["n_docs"]) + new_xs.count()
     with open(mpath, "w") as f:
         json.dump(manifest, f)
     return manifest

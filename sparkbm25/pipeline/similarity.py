@@ -343,14 +343,10 @@ def _kmeans_centroids(
     return best[1]
 
 
-def ivf_assign(
-    df: DataFrame, n_centroids: int, sample_size: int = 4096
-) -> tuple[DataFrame, np.ndarray]:
-    """IVF assignment: seeded sampled k-means centroids (see
-    _kmeans_centroids), then a map-only pass assigning every vector to its
-    nearest centroid (ties -> lowest centroid id, deterministic).
-    Returns (df + centroid_id column, centroid matrix)."""
-    cmat = _kmeans_centroids(df, n_centroids, sample_size=sample_size)
+def _assign_to_centroids(df: DataFrame, cmat: np.ndarray) -> DataFrame:
+    """Map-only nearest-centroid assignment (ties -> lowest centroid id,
+    deterministic) — ONE definition shared by build-time assignment and
+    ann_index_append, so the two can never drift apart."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -362,10 +358,19 @@ def ivf_assign(
             pdf["centroid_id"] = sims.argmax(axis=1).astype(np.int32)
             yield pdf[["vec_id", "embedding", "centroid_id"]]
 
-    out = df.select("vec_id", "embedding").mapInPandas(
+    return df.select("vec_id", "embedding").mapInPandas(
         gen, schema="vec_id long, embedding array<float>, centroid_id int"
     )
-    return out, cmat
+
+
+def ivf_assign(
+    df: DataFrame, n_centroids: int, sample_size: int = 4096
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF assignment: seeded sampled k-means centroids (see
+    _kmeans_centroids), then a map-only pass assigning every vector to its
+    nearest centroid. Returns (df + centroid_id column, centroid matrix)."""
+    cmat = _kmeans_centroids(df, n_centroids, sample_size=sample_size)
+    return _assign_to_centroids(df, cmat), cmat
 
 
 def _probe_table(qids: np.ndarray, qmat: np.ndarray, cmat: np.ndarray,
@@ -492,22 +497,9 @@ def ann_index_append(spark, index_dir: str, new_vecs: DataFrame) -> dict:
     with open(mpath) as f:
         manifest = json.load(f)
     cmat = np.asarray(manifest["centroids"], dtype=np.float64)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            m = _norm_rows(_as_matrix(pdf["embedding"]))
-            pdf = pdf.copy()
-            pdf["centroid_id"] = (m @ cmat.T).argmax(axis=1).astype(np.int32)
-            yield pdf[["vec_id", "embedding", "centroid_id"]]
-
-    assigned = new_vecs.select("vec_id", "embedding").mapInPandas(
-        gen, schema="vec_id long, embedding array<float>, centroid_id int"
-    )
-    assigned.write.partitionBy("centroid_id").mode("append").parquet(
-        os.path.join(index_dir, "vectors")
-    )
+    _assign_to_centroids(new_vecs, cmat).write.partitionBy(
+        "centroid_id"
+    ).mode("append").parquet(os.path.join(index_dir, "vectors"))
     return manifest
 
 

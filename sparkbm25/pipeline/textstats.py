@@ -213,30 +213,25 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 50,
                text_col: str = "text") -> DataFrame:
     """Global top-k token n-grams by occurrence count (ties -> lexicographic
     ngram) — corpus vocabulary analysis for training-data curation.
-    Catalyst-only: shifted-slice zip_with n-grams (O(tokens), the same
-    pattern as dedup.shingles_col but WITHOUT array_distinct — counts are
-    per occurrence), explode, one count shuffle, integer-keyed rank."""
+    Catalyst-only: shared per-occurrence n-gram builder (analysis.
+    ngrams_col), explode, one count shuffle, then a DISTRIBUTED top-k:
+    orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
+    partial top-k + driver merge — an unpartitioned rank window would
+    funnel the whole distinct-ngram table through one task); the rank
+    window then runs over only the k survivors."""
     from pyspark.sql import Window
 
-    toks = tokens_col(text_col)
-    m = F.size(toks) - (n - 1)
-    sh = F.slice(toks, 1, m)
-    for j in range(1, n):
-        sh = F.zip_with(sh, F.slice(toks, j + 1, m),
-                        lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.when(F.size(toks) >= n, sh).otherwise(
-        F.array().cast("array<string>")
-    )
+    from ..analysis import ngrams_col
+
     counted = (
-        df.select(F.explode(grams).alias("ngram"))
+        df.select(F.explode(ngrams_col(text_col, n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n_occurrences"))
     )
+    top = counted.orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(k)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "ngram", "n_occurrences")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "ngram", "n_occurrences"
     )
 
 

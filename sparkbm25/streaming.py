@@ -208,13 +208,23 @@ def streaming_sessionize(stream: DataFrame, gap_minutes: int = 30,
             batch = pd.concat(list(pdfs), ignore_index=True)
             if not batch.empty:
                 batch = batch.sort_values("ts", kind="stable")
-                ep = (batch["ts"].astype("int64") // 1_000_000_000).to_numpy()
+                # state keeps NANOSECONDS (full event-time precision for the
+                # emitted boundaries); the gap test truncates to seconds to
+                # match batch sessionize's unix_timestamp semantics
+                ep = batch["ts"].astype("int64").to_numpy()
                 vals = batch["value"].to_numpy()
                 for t, v in zip(ep, vals):
                     t = int(t)
                     if start is None:
                         start, last, n, sv = t, t, 1, float(v)
-                    elif t - last > gap_s:
+                    elif t < last:
+                        # cross-batch LATE event: absorbed conservatively
+                        # into the open session (never moves `last`
+                        # backwards — end<start corruption otherwise);
+                        # strict late-data semantics need event-time
+                        # watermarking upstream
+                        start, n, sv = min(start, t), n + 1, sv + float(v)
+                    elif t // 1_000_000_000 - last // 1_000_000_000 > gap_s:
                         closed.append((uid, start, last, n, sv))
                         start, last, n, sv = t, t, 1, float(v)
                     else:
@@ -227,10 +237,10 @@ def streaming_sessionize(stream: DataFrame, gap_minutes: int = 30,
                 {
                     "user_id": [c[0] for c in closed],
                     "session_start": pd.to_datetime(
-                        [c[1] for c in closed], unit="s"
+                        [c[1] for c in closed], unit="ns"
                     ),
                     "session_end": pd.to_datetime(
-                        [c[2] for c in closed], unit="s"
+                        [c[2] for c in closed], unit="ns"
                     ),
                     "n_events": [c[3] for c in closed],
                     "sum_value": [round(c[4], 2) for c in closed],
