@@ -151,3 +151,36 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_index_refresh_after_finalize(spark, corpora, tmp_path):
+    """ADVICE r01: an Index handle constructed BEFORE finalize_stream holds
+    stale parquet handles and a stale driver stats cache; refresh() must
+    restore correct results without constructing a new handle."""
+    from sparkbm25.jobs import build_index as bi
+    from sparkbm25.streaming import append_batch, finalize_stream
+
+    full, a, b = corpora
+    full_stats = compute_corpus_stats(full.select("doc_id", "text"), PARAMS)
+    d = str(tmp_path / "refresh_ix")
+    bi(a.select("doc_id", "text"), d, PARAMS, "partA",
+       stats_override=full_stats)
+    ix = Index(spark, d)
+    queries = make_queries(10)
+    index_search(ix, queries, k=5).count()  # warm: stats cache + handles
+
+    bdocs = add_doc_id(b, "conv_seq").select("doc_id", "text")
+    append_batch(bdocs, d, epoch_id=0)
+    finalize_stream(spark, d)
+
+    ix.refresh()
+    ref_dir = str(tmp_path / "refresh_ref")
+    bi(full.select("doc_id", "text"), ref_dir, PARAMS, "full",
+       stats_override=full_stats)
+    ref = Index(spark, ref_dir)
+    want = sorted((r.query_id, r.rank, r.doc_id)
+                  for r in index_search(ref, queries, k=5).collect())
+    got = sorted((r.query_id, r.rank, r.doc_id)
+                 for r in index_search(ix, queries, k=5).collect())
+    assert got == want
+    assert ix.n_docs == ref.n_docs
