@@ -100,6 +100,9 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_T = 0.5  # every real near-dup pair in the data is >= 0.5; at this
 # threshold the r=2,b=64 LSH miss probability per pair is (1-0.25)^64 ~ 1e-8
+JACCARD_MAX_DF = 1024  # stop-shingle cap: bounds the inverted-index self-
+# join fan-out to max_df^2/2 rows per shingle at 100 TB; exact on the
+# testdata (measured max shingle df: 7 at sf0.01, 25 at sf0.1)
 COS_PAIR_T = 0.4
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
@@ -111,9 +114,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs with the stop-shingle guard pinned: a
+    boilerplate shingle can no longer quadratically dominate the self-join
+    (conservative approximation, exact at the measured testdata dfs)."""
     from sparkbm25.pipeline.dedup import jaccard_pairs
 
-    return jaccard_pairs(_docs(spark, sf_dir), JACCARD_T)
+    return jaccard_pairs(_docs(spark, sf_dir), JACCARD_T, max_df=JACCARD_MAX_DF)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,12 +132,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs folded into dedup GROUPS: connected components over
-    the exact-Jaccard edge list (iterative min-label propagation; DuckDB
-    oracle is the recursive-CTE transitive closure)."""
-    from sparkbm25.pipeline.dedup import connected_components, jaccard_pairs
+    the MinHash-LSH edge list — the near-linear scale path (banded
+    candidate join + exact verification), not the quadratic shingle
+    self-join. The DuckDB oracle stays the recursive-CTE transitive closure
+    over EXACT Jaccard pairs: sound because at J>=0.5 the r=2,b=64 banding
+    misses a true edge w.p. ~1e-8 and verification removes false edges, so
+    the edge lists (hence components) coincide."""
+    from sparkbm25.pipeline.dedup import connected_components, minhash_lsh_pairs
 
     ensure_shipped(spark)
-    pairs = jaccard_pairs(_docs(spark, sf_dir), JACCARD_T)
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_T)
     return connected_components(pairs)
 
 
@@ -150,11 +160,16 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparkbm25.pipeline.similarity import cosine_pairs
+    """Threshold pair join via the ROUTER: cos 0.4 is a bulk threshold (no
+    angular margin -> LSH degenerates), so this runs the exact tile join
+    with n_blocks auto-derived from (count, dim) — per-task memory stays
+    inside the task budget at any corpus size; margin thresholds (>=0.7)
+    would route to the near-linear LSH path automatically."""
+    from sparkbm25.pipeline.similarity import cosine_pairs_auto
 
     ensure_shipped(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_pairs(emb, COS_PAIR_T)
+    return cosine_pairs_auto(emb, COS_PAIR_T)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,19 +185,24 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import sparkbm25
 
+    import json
+    import os
+
     ensure_shipped(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     tag = hashlib.sha1(f"{sf_dir}@{sparkbm25.__version__}".encode()).hexdigest()[:10]
     d = f"/tmp/sparkbm25_entry/ann_{tag}"
-    import os
-
     if not os.path.exists(f"{d}/manifest.json"):
-        build_ann_index(emb, d, n_centroids=16)
+        # n_centroids auto-derived: max(16, floor(sqrt(n))) — the
+        # reference's n_lists rule (index_builder_utils.py:29-41)
+        build_ann_index(emb, d)
     qvecs = {
         r.vec_id: list(r.embedding)
         for r in emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).collect()
     }
-    return ann_index_search(spark, d, qvecs, k=K, n_probe=16)
+    with open(f"{d}/manifest.json") as f:
+        n_centroids = int(json.load(f)["n_centroids"])
+    return ann_index_search(spark, d, qvecs, k=K, n_probe=n_centroids)
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

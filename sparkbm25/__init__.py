@@ -21,7 +21,7 @@ Package layout
                  multimodal column plumbing
 """
 
-__version__ = "0.3.0"  # bump on ANY index-layout change (0.3: k-means IVF)
+__version__ = "0.4.0"  # bump on ANY index-layout change (0.4: auto ANN params + default_n_probe in IVF manifest)
 
 K1 = 1.2
 B = 0.75

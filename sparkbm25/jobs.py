@@ -127,10 +127,18 @@ def _acquire_build_lock(index_dir: str, jid: str) -> str:
                         f"(job {str(holder.get('job_id', ''))[:12]}…); "
                         "retry after it finishes"
                     ) from None
-                try:  # stale lock from a dead process: steal and retry
-                    os.unlink(path)
+                # Stale lock from a dead process: steal ATOMICALLY via
+                # rename-to-unique-name — exactly one of several racing
+                # stealers wins the rename (losers get ENOENT and retry);
+                # a plain unlink here would race a faster stealer's fresh
+                # lock (observe-dead → it steals+relinks → we unlink ITS
+                # lock → two builds run).
+                stale = f"{path}.stale.{os.getpid()}"
+                try:
+                    os.rename(path, stale)
+                    os.unlink(stale)
                 except FileNotFoundError:
-                    pass
+                    pass  # another stealer won; loop re-examines the lock
     finally:
         try:
             os.unlink(tmp)

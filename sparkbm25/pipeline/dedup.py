@@ -110,15 +110,38 @@ def _duckdb_shingles(text_col: str) -> str:
 
 
 def jaccard_pairs(
-    df: DataFrame, threshold: float, text_col: str = "text"
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold)
-    via the shingle inverted index (explode → self-join on shingle)."""
+    via the shingle inverted index (explode → self-join on shingle).
+
+    max_df (stop-shingle guard, default None = exact): a shingle present in
+    k docs contributes k(k-1)/2 candidate rows to the self-join — one
+    boilerplate shingle in 10^6 docs is ~10^12 rows, i.e. the whole job.
+    With max_df set, shingles whose document frequency exceeds the cap are
+    dropped from the INVERTED INDEX ONLY (set sizes stay full), bounding
+    per-shingle fan-out to max_df^2/2. This is a documented CONSERVATIVE
+    approximation (same pattern as minhash_lsh_pairs' max_bucket): the
+    intersection count — and hence the Jaccard estimate — can only shrink,
+    so it never emits a false pair; it can miss pairs whose overlap is
+    mostly stop-shingles. Exact whenever no shingle's df exceeds the cap."""
     sh = df.select(
         F.col("doc_id"), shingles_col(text_col).alias("sh")
     ).filter(F.size("sh") > 0)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        # hot-shingle list is tiny by construction (only df>cap survive) —
+        # broadcast anti-join, one map-side-combined count shuffle
+        hot = (
+            ex.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
     a, b_ = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b_, (F.col("a.s") == F.col("b.s"))
@@ -556,8 +579,9 @@ def build_dedup_index(df: DataFrame, index_dir: str,
     stored bands instead of re-signing the corpus — the same
     build-once-serve-many artifact shape as the BM25 and IVF indexes (and
     the reference's whole mission, faiss_index_build_service.py:47-163)."""
-    import json
     import os
+
+    from ..ioutil import write_json_atomic
 
     os.makedirs(index_dir, exist_ok=True)
     spark = df.sparkSession
@@ -579,8 +603,7 @@ def build_dedup_index(df: DataFrame, index_dir: str,
         "ngram": NGRAM,
         "n_docs": xs_stored.count(),  # metadata-only count on fresh parquet
     }
-    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f)
+    write_json_atomic(os.path.join(index_dir, "manifest.json"), manifest)
     return manifest
 
 
@@ -681,8 +704,9 @@ def dedup_index_append(spark, index_dir: str, new_docs: DataFrame,
     concern, like streaming.append_batch. Run dedup_index_query BEFORE
     appending to get the batch's near-dup report. The batch is shingle-
     hashed once; bands derive from the written shingles."""
-    import json
     import os
+
+    from ..ioutil import write_json_atomic
 
     manifest = _check_dedup_manifest(index_dir)
     new_xs = (
@@ -694,8 +718,6 @@ def dedup_index_append(spark, index_dir: str, new_docs: DataFrame,
     minhash_bands_from_xs(new_xs).write.partitionBy("band_id").mode(
         "append"
     ).parquet(os.path.join(index_dir, "bands"))
-    mpath = os.path.join(index_dir, "manifest.json")
     manifest["n_docs"] = int(manifest["n_docs"]) + new_xs.count()
-    with open(mpath, "w") as f:
-        json.dump(manifest, f)
+    write_json_atomic(os.path.join(index_dir, "manifest.json"), manifest)
     return manifest

@@ -187,6 +187,76 @@ def cosine_pairs(df: DataFrame, threshold: float, n_blocks: int = 8) -> DataFram
     )
 
 
+# above this threshold random-hyperplane banding has real angular margin
+# (per-bit collision p = 1 - arccos(c)/pi >= 0.745 at c=0.7, so 32x8-bit
+# banding misses a true pair w.p. <= 2e-3 and candidates stay sparse);
+# below it the bulk of the distribution collides and LSH degenerates —
+# the exact tile join is the honest plan there.
+LSH_MARGIN_THRESHOLD = 0.7
+
+
+def auto_n_blocks(
+    n: int,
+    dim: int,
+    task_budget_bytes: int = 256 << 20,
+    parallelism: int = 32,
+) -> int:
+    """Derive cosine_pairs' n_blocks from corpus stats — the
+    planner.admission_check analog for the tile join (the reference sizes
+    its build from (n, dim, m, dtype) the same way, app/utils/memory.py).
+
+    Three lower bounds, take the max:
+    - memory: a task holds TWO blocks as float64 matrices (plus the
+      normalized copy) -> 2 * (n/B) * dim * 8 * overhead <= budget
+    - sims tile: the (n/B)^2 float64 similarity matrix must also fit
+    - parallelism: B(B+1)/2 tiles should cover the cluster's cores
+    """
+    import math
+
+    if n <= 0:
+        return 1
+    overhead = 2.5  # raw arrow column + float64 matrix + normalized copy
+    mem_bound = math.ceil(2 * n * dim * 8 * overhead / task_budget_bytes)
+    sims_bound = math.ceil(n / math.sqrt(task_budget_bytes / 8))
+    par_bound = math.ceil((math.sqrt(8 * parallelism + 1) - 1) / 2)
+    return max(1, mem_bound, sims_bound, par_bound)
+
+
+def cosine_pairs_auto(
+    df: DataFrame,
+    threshold: float,
+    task_budget_bytes: int = 256 << 20,
+    margin_threshold: float = LSH_MARGIN_THRESHOLD,
+) -> DataFrame:
+    """Threshold-pair router — the driver-facing entry point.
+
+    Margin thresholds (>= margin_threshold) route to the near-linear
+    cosine_pairs_lsh; bulk thresholds run the exact tile join with n_blocks
+    DERIVED from (count, dim) so a tile always fits the task budget, and a
+    warning names the O(n^2) contract when the compute is genuinely large
+    (the admission-control analog: here the exact semantics are the user's
+    explicit ask, so we warn-and-run rather than refuse)."""
+    import warnings
+
+    if threshold >= margin_threshold:
+        return cosine_pairs_lsh(df, threshold)
+    row = df.agg(
+        F.count("vec_id").alias("n"), F.min(F.size("embedding")).alias("d")
+    ).first()
+    n, dim = int(row["n"] or 0), int(row["d"] or 0)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n_blocks = auto_n_blocks(n, dim, task_budget_bytes, parallelism=par)
+    if n * n * dim > 1e12:
+        warnings.warn(
+            f"cosine_pairs_auto: exact threshold join over n={n} vectors is "
+            f"O(n^2) by contract (~{n * n * dim:.1e} flops across "
+            f"{n_blocks * (n_blocks + 1) // 2} tiles); if the threshold has "
+            f"angular margin use cosine_pairs_lsh instead",
+            stacklevel=2,
+        )
+    return cosine_pairs(df, threshold, n_blocks=n_blocks)
+
+
 def cosine_pairs_sql(threshold: float, table: str = "embeddings") -> str:
     cos = _DUCK_COS.format(a="a.embedding", b="b.embedding")
     return f"""
@@ -318,10 +388,12 @@ def _kmeans_centroids(
     rows.sort(key=lambda r: r.vec_id)
     m = _norm_rows(_as_matrix([r.embedding for r in rows]))
     if len(m) <= n_centroids:
-        # degenerate corpus: every sampled vector is a centroid
-        out = np.zeros((n_centroids, m.shape[1]))
-        out[: len(m)] = m
-        return out
+        # degenerate corpus: every sampled vector is a centroid. Return
+        # ONLY the real rows — zero-padding to n_centroids would create
+        # cosine-0 phantom centroids that outrank real ones for queries
+        # with all-negative sims and silently eat probe slots (callers
+        # treat n_centroids as an upper bound).
+        return m
 
     best: tuple[float, np.ndarray] | None = None
     for r in range(restarts):
@@ -364,11 +436,28 @@ def _assign_to_centroids(df: DataFrame, cmat: np.ndarray) -> DataFrame:
 
 
 def ivf_assign(
-    df: DataFrame, n_centroids: int, sample_size: int = 4096
+    df: DataFrame,
+    n_centroids: int | None = None,
+    sample_size: int | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF assignment: seeded sampled k-means centroids (see
     _kmeans_centroids), then a map-only pass assigning every vector to its
-    nearest centroid. Returns (df + centroid_id column, centroid matrix)."""
+    nearest centroid. Returns (df + centroid_id column, centroid matrix).
+
+    n_centroids/sample_size default to planner.auto_ann_params(count) —
+    the sqrt(n) rule (index_builder_utils.py:29-41 analog); pass explicit
+    values to override."""
+    if n_centroids is None:
+        from ..planner import auto_ann_params
+
+        auto = auto_ann_params(df.count())  # one column-pruned count job
+        n_centroids = auto.n_centroids
+        if sample_size is None:
+            sample_size = auto.sample_size
+    if sample_size is None:
+        # explicit n_centroids, auto sample: no count needed — the sample
+        # rule depends only on the centroid count
+        sample_size = min(max(4096, 32 * n_centroids), 1 << 20)
     cmat = _kmeans_centroids(df, n_centroids, sample_size=sample_size)
     return _assign_to_centroids(df, cmat), cmat
 
@@ -436,13 +525,18 @@ def _topk_window(sims: DataFrame, k: int) -> DataFrame:
 
 def ivf_topk(
     df: DataFrame, query_ids: list[int], k: int = 10,
-    n_centroids: int = 16, n_probe: int = 4,
+    n_centroids: int | None = None, n_probe: int | None = None,
 ) -> DataFrame:
     """ANN top-k probing the n_probe nearest centroids per query.
     At scale the assigned table is written partitioned by centroid_id so a
     probe reads n_probe/n_centroids of the corpus (partition pruning — see
-    build_ann_index/ann_index_search for the persisted form)."""
+    build_ann_index/ann_index_search for the persisted form).
+    n_centroids/n_probe default to the sqrt(n) auto rule."""
     assigned, cmat = ivf_assign(df, n_centroids)
+    if n_probe is None:
+        import math
+
+        n_probe = max(4, math.isqrt(cmat.shape[0]))
     qids, qmat = _query_matrix(df, query_ids)
     probe_sets = _probe_table(qids, qmat, cmat, n_probe)
     cand = assigned.filter(
@@ -455,7 +549,7 @@ def ivf_topk(
 
 
 def build_ann_index(
-    df: DataFrame, index_dir: str, n_centroids: int = 16
+    df: DataFrame, index_dir: str, n_centroids: int | None = None
 ) -> dict:
     """Persist an IVF index artifact: vectors partitioned by centroid_id +
     a manifest with the centroid matrix — the vector-side mirror of the
@@ -464,32 +558,48 @@ def build_ann_index(
     faiss_index_build_service.py:47-163, ivf list structure analog).
 
     Probing n_probe of n_centroids reads n_probe/n_centroids of the corpus
-    via parquet PARTITION PRUNING on centroid_id — the scale path."""
-    import json
+    via parquet PARTITION PRUNING on centroid_id — the scale path.
+    n_centroids=None derives max(16, floor(sqrt(n))) via
+    planner.auto_ann_params (the reference's n_lists rule); the manifest
+    records the derived default_n_probe for searches to inherit."""
     import os
+
+    from ..ioutil import write_json_atomic
 
     assigned, cmat = ivf_assign(df, n_centroids)
     os.makedirs(index_dir, exist_ok=True)
     assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
         os.path.join(index_dir, "vectors")
     )
+    import math
+
     manifest = {
-        "n_centroids": n_centroids,
+        # actual count, not the requested upper bound (degenerate corpora
+        # train fewer centroids than asked)
+        "n_centroids": int(cmat.shape[0]),
         "dim": int(cmat.shape[1]),
         "metric": "cosine",
+        "default_n_probe": max(4, math.isqrt(int(cmat.shape[0]))),
         "centroids": [[float(x) for x in row] for row in cmat],
     }
-    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f)
+    write_json_atomic(os.path.join(index_dir, "manifest.json"), manifest)
     return manifest
 
 
-def ann_index_append(spark, index_dir: str, new_vecs: DataFrame) -> dict:
+def ann_index_append(
+    spark, index_dir: str, new_vecs: DataFrame, audit_ids: bool = True
+) -> dict:
     """Fold new vectors INTO the persisted IVF artifact: assign them to the
     STORED centroids (map-only — centroids stay frozen like the BM25
     streaming contract's corpus stats; re-train via periodic rebuild) and
     append to the partitioned vector store. Searches pick the new rows up
-    on the next read."""
+    on the next read.
+
+    Validates the batch UP FRONT instead of failing deep in the numpy
+    kernel: embedding width must equal the manifest's dim, and (unless
+    audit_ids=False — callers that enforce disjointness upstream, like the
+    streaming ingest's collision audit) new vec_ids must be disjoint from
+    the stored ones, else searches would return duplicate rows."""
     import json
     import os
 
@@ -497,27 +607,53 @@ def ann_index_append(spark, index_dir: str, new_vecs: DataFrame) -> dict:
     with open(mpath) as f:
         manifest = json.load(f)
     cmat = np.asarray(manifest["centroids"], dtype=np.float64)
+    dim = int(manifest["dim"])
+    vec_dir = os.path.join(index_dir, "vectors")
+    bad = (
+        new_vecs.select(F.size("embedding").alias("d"))
+        .filter(F.col("d") != dim)
+        .first()
+    )
+    if bad is not None:
+        raise ValueError(
+            f"ann_index_append: batch has embeddings of dim {bad['d']}, "
+            f"index at {index_dir} was built with dim {dim}"
+        )
+    if audit_ids:
+        stored_ids = spark.read.parquet(vec_dir).select("vec_id")
+        n_dup = new_vecs.select("vec_id").join(stored_ids, "vec_id").count()
+        if n_dup:
+            raise ValueError(
+                f"ann_index_append: {n_dup} vec_ids in the batch already "
+                f"exist in the index at {index_dir}; appending would "
+                "duplicate search results (pass audit_ids=False only if "
+                "disjointness is enforced upstream)"
+            )
     _assign_to_centroids(new_vecs, cmat).write.partitionBy(
         "centroid_id"
-    ).mode("append").parquet(os.path.join(index_dir, "vectors"))
+    ).mode("append").parquet(vec_dir)
     return manifest
 
 
 def ann_index_search(
     spark, index_dir: str, query_vecs: dict[int, list[float]],
-    k: int = 10, n_probe: int = 4,
+    k: int = 10, n_probe: int | None = None,
 ) -> DataFrame:
     """Top-k from the persisted IVF artifact. The centroid_id IN (...)
     filter is a partition filter -> only n_probe/n_centroids of the files
     are read; scoring is the partition-local partial-top-k kernel (no
     per-query group shuffle — the old groupBy(query).applyInPandas funneled
-    a query's whole probed candidate set through one task)."""
+    a query's whole probed candidate set through one task).
+    n_probe=None inherits the manifest's default_n_probe (sqrt rule)."""
     import json
     import os
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
     cmat = np.asarray(manifest["centroids"], dtype=np.float64)
+    if n_probe is None:
+        n_probe = int(manifest.get("default_n_probe")
+                      or max(4, int(len(cmat) ** 0.5)))
     qids = np.array(sorted(query_vecs), dtype=np.int64)
     qmat = _norm_rows(_as_matrix([query_vecs[int(i)] for i in qids]))
     probe_sets = _probe_table(qids, qmat, cmat, n_probe)

@@ -88,6 +88,39 @@ def auto_params(n_docs: int, avgdl: float, cores: int = 32) -> BuildParams:
     )
 
 
+@dataclass
+class AnnParams:
+    n_centroids: int
+    sample_size: int
+    n_probe: int
+
+
+def auto_ann_params(n_vecs: int) -> AnnParams:
+    """IVF parameter derivation from corpus size — the direct analog of the
+    reference's n_lists = floor(sqrt(doc_count)) rule
+    (core/index_builder/index_builder_utils.py:29-41).
+
+    - n_centroids = max(16, floor(sqrt(n))): sqrt balances list length
+      (n/k vectors scanned per probed list) against probe fan-out (k lists
+      ranked per query) — at 10^9 vectors that is ~31.6k lists of ~31.6k
+      vectors, so a 32-probe search reads ~1e-3 of the corpus instead of
+      the 1/16 a fixed k=16 would leave us with.
+    - sample_size >= 32 points per centroid (k-means needs cluster mass),
+      floor 4096, cap 1<<20 — the cap bounds DRIVER memory (the sample is
+      the only thing collected; ~1M * dim * 8 B) exactly like the
+      reference's trainset_fraction knob (benchmarking/benchmarks.yml).
+    - n_probe = max(4, floor(sqrt(n_centroids))): the recall/latency
+      default; callers sweep it against the bench recall curve (the
+      ef_search sweep analog) when they need a recall target.
+    """
+    import math
+
+    n_centroids = max(16, math.isqrt(max(0, n_vecs)))
+    sample_size = min(max(4096, 32 * n_centroids), 1 << 20)
+    n_probe = max(4, math.isqrt(n_centroids))
+    return AnnParams(n_centroids, sample_size, n_probe)
+
+
 def admission_check(
     est: BuildEstimate, executor_mem_bytes: int = 4 << 30
 ) -> tuple[bool, str]:

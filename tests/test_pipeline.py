@@ -403,3 +403,136 @@ def test_top_ngrams_counts_per_occurrence(spark):
     assert (2, "b a", 1) in rows      # tie group at count 1, lex order
     assert all(r[2] >= 1 for r in rows)
     assert len(rows) == 3             # 'a b', 'b a', 'b c'; nothing from doc3
+
+
+# --- round-3: scale guards + routing ----------------------------------------
+
+def test_jaccard_pairs_stop_shingle_guard(spark):
+    """max_df drops hot shingles from the inverted index only: pairs whose
+    overlap is mostly boilerplate disappear (conservative miss), real
+    near-dups survive via their other shingles, and the guard is exact
+    when no shingle exceeds the cap."""
+    rows = [
+        (i, f"u{i} v{i} w{i} x y z") for i in range(1, 9)  # share ONLY "x y z"
+    ] + [
+        (9, "a b c d e f g x y z"),
+        (10, "a b c d e f g q x y z"),  # near-dup of 9 + the hot shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in D.jaccard_pairs(df, 0.1).collect()}
+    capped = {(r.doc_a, r.doc_b): r.jaccard
+              for r in D.jaccard_pairs(df, 0.1, max_df=5).collect()}
+    # "x y z" has df=10 > 5: the boilerplate-only pairs are gone
+    assert (1, 2) in exact and (1, 2) not in capped
+    # the real near-dup pair survives, with a conservative (<=) estimate
+    assert (9, 10) in capped
+    assert capped[(9, 10)] <= exact[(9, 10)]
+    assert set(capped) <= set(exact)
+    # cap above every df -> exact
+    uncapped = {(r.doc_a, r.doc_b): r.jaccard
+                for r in D.jaccard_pairs(df, 0.1, max_df=1024).collect()}
+    assert uncapped == exact
+
+
+def test_auto_n_blocks_sizing():
+    """Derived n_blocks keeps both the two-block working set and the sims
+    tile inside the task budget, covers parallelism, and grows with n."""
+    budget = 256 << 20
+    for n, dim in [(500, 64), (1_000_000, 768), (50_000_000, 128)]:
+        B = S.auto_n_blocks(n, dim, budget, parallelism=32)
+        blk = -(-n // B)  # ceil block size
+        assert 2 * blk * dim * 8 * 2.5 <= budget * 1.01  # two-block bound
+        assert blk * blk * 8 <= budget * 1.01            # sims tile bound
+        assert B * (B + 1) // 2 >= 32                    # parallelism bound
+    assert S.auto_n_blocks(10, 8) >= 1
+    assert (S.auto_n_blocks(2_000_000, 768, budget)
+            >= S.auto_n_blocks(1_000_000, 768, budget))
+
+
+def test_cosine_pairs_auto_routing(emb, spark):
+    """Bulk threshold (0.4) -> exact tile join results; margin threshold
+    (0.9) -> LSH path, equal to exact on planted near-dup data."""
+    got = {(r.vec_a, r.vec_b): r.cos
+           for r in S.cosine_pairs_auto(emb, 0.4).collect()}
+    want = {(r.vec_a, r.vec_b): r.cos
+            for r in S.cosine_pairs(emb, 0.4, n_blocks=8).collect()}
+    assert got == want and len(got) > 0
+    # planted margin data: base vectors + tiny-noise copies at cos ~0.99
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    noisy = base + 0.01 * rng.standard_normal((40, 16))
+    vecs = np.vstack([base, noisy]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    got_lsh = {(r.vec_a, r.vec_b) for r in S.cosine_pairs_auto(df, 0.9).collect()}
+    want_ex = {(r.vec_a, r.vec_b) for r in S.cosine_pairs(df, 0.9, 4).collect()}
+    assert got_lsh == want_ex and len(want_ex) >= 40
+
+
+def test_ann_index_append_validates(emb, tmp_path, spark):
+    """Dim mismatch and vec_id collisions are refused up front, not deep in
+    the numpy kernel / silently duplicated in search results."""
+    d = str(tmp_path / "ann_valid")
+    S.build_ann_index(emb.filter(F.col("vec_id") < 400), d, n_centroids=8)
+    wrong_dim = spark.createDataFrame(
+        [(9001, [0.1, 0.2, 0.3])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        S.ann_index_append(spark, d, wrong_dim)
+    dup_ids = emb.filter(F.col("vec_id") < 5)  # already indexed
+    with pytest.raises(ValueError, match="already"):
+        S.ann_index_append(spark, d, dup_ids)
+
+
+def test_kmeans_degenerate_returns_real_centroids_only(spark):
+    """Fewer vectors than centroids: no zero-padded phantom centroids."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    c = S._kmeans_centroids(df, 8)
+    assert c.shape == (3, 2)
+    assert (np.linalg.norm(c, axis=1) > 0.99).all()
+
+
+def test_auto_ann_params_two_corpus_sizes():
+    """sqrt(n) rule at two scales (reference index_builder_utils parity) +
+    the driver-memory cap on the training sample."""
+    from sparkbm25.planner import auto_ann_params
+
+    small = auto_ann_params(500)
+    assert small.n_centroids == 22          # isqrt(500)
+    assert small.sample_size == 4096        # floor binds
+    assert small.n_probe == 4
+    big = auto_ann_params(1_000_000)
+    assert big.n_centroids == 1000
+    assert big.sample_size == 32_000        # 32 per centroid
+    assert big.n_probe == 31
+    huge = auto_ann_params(10**12)
+    assert huge.n_centroids == 10**6
+    assert huge.sample_size == 1 << 20      # driver cap binds
+    # tiny corpora never drop below the floor
+    assert auto_ann_params(10).n_centroids == 16
+
+
+def test_build_ann_index_auto_full_probe_exact(emb, tmp_path, spark):
+    """Auto-derived index: manifest records the actual centroid count and
+    default_n_probe; full probe over the artifact is exact vs brute force."""
+    import math
+
+    d = str(tmp_path / "ann_auto")
+    n = emb.count()
+    m = S.build_ann_index(emb, d)  # no n_centroids given -> auto
+    assert m["n_centroids"] == max(16, math.isqrt(n))
+    assert m["default_n_probe"] == max(4, math.isqrt(m["n_centroids"]))
+    qrows = {r.vec_id: list(r.embedding)
+             for r in emb.filter(F.col("vec_id").isin([0, 3])).collect()}
+    got = [(r.query_vec_id, r.rank, r.vec_id)
+           for r in S.ann_index_search(spark, d, qrows, k=5,
+                                       n_probe=m["n_centroids"]).collect()]
+    want = [(r.query_vec_id, r.rank, r.vec_id)
+            for r in S.cosine_topk(emb, [0, 3], k=5).collect()]
+    assert sorted(got) == sorted(want)
