@@ -42,7 +42,7 @@ from .analysis import tokenize_py
 from .bm25 import idf as idf_fn
 from .codecs import vbyte_decode, delta_decode
 from .jobs import Index
-from .query import topk_window
+from .query import canonical_score_sum, topk_window
 
 DECODE_SCHEMA = (
     "query_id int, doc_id long, term string, qpos int, "
@@ -529,12 +529,9 @@ def index_search(
     qblocks = _matched_blocks(ix, weights)
     # canonical per-doc summation for the plan paths too: sum contributions
     # in query-occurrence order (sort_array by qpos + ordered fold), so
-    # exact ties agree bit-for-bit with the oracle's accumulation
-    canonical_sum = F.aggregate(
-        F.sort_array(F.collect_list(F.struct("qpos", "contrib"))),
-        F.lit(0.0),
-        lambda acc, x: acc + x["contrib"],
-    )
+    # exact ties agree bit-for-bit with the oracle's accumulation — the
+    # same fold score_all uses (sparkbm25.query.canonical_score_sum)
+    canonical_sum = canonical_score_sum()
     if strategy == "exhaustive":
         contribs = qblocks.mapInPandas(decode, schema=DECODE_SCHEMA)
         scored = contribs.groupBy("query_id", "doc_id").agg(

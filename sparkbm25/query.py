@@ -13,7 +13,11 @@ returning distance-ordered ids). Two engine paths exist:
   posting index and prunes with block-max metadata — the scale path.
 
 Determinism contract (rank-identity with the oracle):
-- duplicate query terms weight contributions by multiplicity (qtf)
+- duplicate query terms contribute once PER OCCURRENCE, and per-doc scores
+  accumulate in query token order (canonical fold — the same bit-exact-tie
+  guarantee the four indexed strategies carry: two docs whose BM25 doubles
+  are exactly equal must not rank-flip on a 1-ulp summation-order
+  difference, the fuzz-seed-23 class)
 - absent terms contribute nothing
 - final order: score DESC, doc_id ASC (reference analog: faiss returns
   distance-ordered ids; search_indices.py:30-39)
@@ -26,39 +30,48 @@ from pyspark.sql import functions as F
 
 from .analysis import tokenize_py
 from .bm25 import B, K1
+from .bm25 import idf as idf_py
 from .corpus import corpus_stats, doc_stats
 from .kernels import doc_term_freqs
 
 
-def query_terms_df(
+def query_occurrences_df(
     spark: SparkSession, queries: list[tuple[int, str]]
 ) -> DataFrame:
-    """(query_id, term, qtf) — tokenized driver-side (query sets are tiny;
-    the reference also feeds queries one host-side array at a time,
-    search_indices.py:30-33)."""
+    """(query_id, term, qpos) — one row per query-term OCCURRENCE, qpos the
+    token position. Tokenized driver-side (query sets are tiny; the
+    reference also feeds queries one host-side array at a time,
+    search_indices.py:30-33). Occurrence rows — not (term, qtf) counts —
+    let the scorer fold per-doc contributions in query token order, which
+    is what makes exact score ties bit-identical to the oracle (qtf*x vs
+    x+x+x differ in the last ulp for qtf >= 3)."""
     rows = []
     for qid, qtext in queries:
-        counts: dict[str, int] = {}
-        for t in tokenize_py(qtext):
-            counts[t] = counts.get(t, 0) + 1
-        rows.extend((qid, t, c) for t, c in counts.items())
-    return spark.createDataFrame(rows, "query_id int, term string, qtf int")
+        rows.extend(
+            (qid, t, pos) for pos, t in enumerate(tokenize_py(qtext))
+        )
+    return spark.createDataFrame(rows, "query_id int, term string, qpos int")
 
 
-def bm25_contrib_col(
-    n_docs: int, avgdl: float, k1: float = K1, b: float = B
-) -> F.Column:
-    """Per-(query,term,doc) contribution, pure Catalyst double arithmetic.
-
-    Matches sparkbm25.bm25.idf/tf_norm exactly (same expression tree).
-    Expects columns: qtf, df, tf, doc_len.
-    """
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+def canonical_score_sum() -> F.Column:
+    """Per-doc score fold in query-occurrence order: sort the collected
+    (qpos, contrib) structs and left-fold the doubles. Shared by score_all
+    and the two plan-level indexed strategies so every engine path
+    accumulates in EXACTLY the oracle's order (OracleIndex.score iterates
+    tokenize_py(query) left to right) — bit-exact ties across all paths."""
+    return F.aggregate(
+        F.sort_array(F.collect_list(F.struct("qpos", "contrib"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
     )
+
+
+def tf_norm_col(avgdl: float, k1: float = K1, b: float = B) -> F.Column:
+    """Catalyst tf_norm over columns (tf, doc_len) — pure +,*,/ double
+    arithmetic, which IEEE-754 rounds identically in the JVM, numpy and
+    CPython, so this sub-expression is bit-exact across all engine paths."""
     tf = F.col("tf").cast("double")
-    tf_norm = (
+    return (
         tf
         * F.lit(k1 + 1.0)
         / (
@@ -67,7 +80,26 @@ def bm25_contrib_col(
             * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len").cast("double") / F.lit(avgdl))
         )
     )
-    return F.col("qtf").cast("double") * idf * tf_norm
+
+
+def bm25_contrib_col(
+    n_docs: int, avgdl: float, k1: float = K1, b: float = B
+) -> F.Column:
+    """Per-(query-term-OCCURRENCE, doc) contribution, pure Catalyst double
+    arithmetic. Expects columns: df, tf, doc_len.
+
+    CAVEAT (why only the lazy plan uses this): the JVM's Math.log and
+    glibc's log both have a <=1-ulp error bound but round DIFFERENTLY on
+    ~9% of idf inputs (measured), so an F.log-computed idf is not
+    bit-identical to sparkbm25.bm25.idf. The default score_all path instead
+    computes idf driver-side in Python over the collected (tiny) term-df
+    map — see score_all — giving bit-exact scores vs the oracle.
+    """
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    return idf * tf_norm_col(avgdl, k1, b)
 
 
 def topk_window(scored: DataFrame, k: int) -> DataFrame:
@@ -97,41 +129,54 @@ def score_all(
     """Exact BM25 scores for every (query, matching doc) pair.
 
     Plan: Arrow tf kernel over the corpus scan → broadcast-join the query
-    terms (tiny side broadcast, no shuffle of the corpus stream) → per-term
-    df via an aggregate over the matched subset only → Catalyst double
-    expression → hash aggregate on (query_id, doc_id).
+    occurrences (tiny side broadcast, no shuffle of the corpus stream) →
+    per-term df via an aggregate over the matched subset only → idf
+    computed DRIVER-side in Python over that tiny df map (bounded by the
+    number of distinct query terms — JVM Math.log rounds differently from
+    glibc log on ~9% of inputs, so idf must come from the same libm the
+    oracle uses for bit-exact scores) → broadcast (term, idf) → Catalyst
+    tf_norm (pure +,*,/ — bit-exact everywhere) → hash aggregate on
+    (query_id, doc_id) with the canonical query-order fold.
     """
     spark = corpus.sparkSession
     if n_docs is None or avgdl is None:
         n_docs, avgdl = corpus_stats(doc_stats(corpus))
-    qterms = query_terms_df(spark, queries)
-    distinct_terms = qterms.select("term").distinct()
+    qocc = query_occurrences_df(spark, queries)
+    distinct_terms = qocc.select("term").distinct()
 
     tf = doc_term_freqs(corpus)
     # keep only postings of query terms; this is the only pass over the corpus
     matched = tf.join(F.broadcast(distinct_terms), "term")
+
     if not materialize:
-        # lazy plan (two passes over the tf kernel) — used for plan
-        # inspection in tests; production path caches + checkpoints below
+        # fully lazy plan (no driver action; two passes over the tf kernel,
+        # idf via F.log) — used for plan inspection in tests; the production
+        # path below caches + checkpoints and computes idf driver-side
         term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
         contrib = (
             matched.join(F.broadcast(term_df), "term")
-            .join(F.broadcast(qterms), "term")
+            .join(F.broadcast(qocc), "term")
             .withColumn("contrib", bm25_contrib_col(n_docs, avgdl))
         )
         return contrib.groupBy("query_id", "doc_id").agg(
-            F.sum("contrib").alias("score")
+            canonical_score_sum().alias("score")
         )
     matched.cache()
     try:
-        term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
+        # bounded collect: one row per distinct query term (same class of
+        # bounded driver state as the query vectors themselves)
+        df_rows = matched.groupBy("term").agg(F.count("*").alias("df")).collect()
+        idf_df = spark.createDataFrame(
+            [(r.term, idf_py(r.df, n_docs)) for r in df_rows],
+            "term string, idf double",
+        )
         contrib = (
-            matched.join(F.broadcast(term_df), "term")
-            .join(F.broadcast(qterms), "term")
-            .withColumn("contrib", bm25_contrib_col(n_docs, avgdl))
+            matched.join(F.broadcast(idf_df), "term")
+            .join(F.broadcast(qocc), "term")
+            .withColumn("contrib", F.col("idf") * tf_norm_col(avgdl))
         )
         scored = contrib.groupBy("query_id", "doc_id").agg(
-            F.sum("contrib").alias("score")
+            canonical_score_sum().alias("score")
         )
         # materialize while `matched` is still cached
         scored = scored.localCheckpoint(eager=True)

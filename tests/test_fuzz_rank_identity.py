@@ -111,3 +111,13 @@ def test_exact_ties_and_duplicate_query_terms(spark, tmp_path):
         # BIT-exact scores, not approx: the engines share the accumulation
         # order, so even tied doubles must match exactly
         assert [g[3] for g in got] == [w[3] for w in want], strategy
+
+    # the declarative path carries the same guarantee: score_all folds
+    # per-occurrence contributions in query order (canonical_score_sum),
+    # so its tied doubles are bit-identical to the oracle's too
+    got_sa = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in score_all_topk(df, queries, k=12).collect()
+    )
+    assert [g[:3] for g in got_sa] == [w[:3] for w in want]
+    assert [g[3] for g in got_sa] == [w[3] for w in want]
