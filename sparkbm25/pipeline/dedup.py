@@ -288,13 +288,18 @@ def _shingle_hashes(df: DataFrame, text_col: str) -> DataFrame:
     return df.select("doc_id", xs.alias("xs")).filter(F.size("xs") > 0)
 
 
-def minhash_signature_from_xs(xs_df: DataFrame) -> DataFrame:
-    """(doc_id, n_sh, sig array<long>) — 128 minhashes over precomputed
-    hashed shingle arrays (doc_id, xs). Min is duplicate-insensitive, so
-    raw or array_distinct xs give the same signature.
+def minhash_signature_from_xs(
+    xs_df: DataFrame, n_bands: int = MH_BANDS
+) -> DataFrame:
+    """(doc_id, n_sh, sig array<long>) — n_bands*MH_ROWS minhashes over
+    precomputed hashed shingle arrays (doc_id, xs). Min is
+    duplicate-insensitive, so raw or array_distinct xs give the same
+    signature. Signature cost is linear in n_bands: b=32 (64 hashes)
+    halves the kernel work of the default b=64; the banding miss
+    probability trade-off is quantified in minhash_lsh_pairs.
 
     Split of labor: Catalyst computes xxhash64 per shingle (JVM codegen);
-    an Arrow kernel does min over (a_i·x + b_i) mod P for the 128 hash
+    an Arrow kernel does min over (a_i·x + b_i) mod P for the hash
     functions as one numpy matrix op + minimum.reduceat over doc segments.
     (A pure-Catalyst nested transform/array_min expression evaluates
     interpreted per element — measured ~50s for 500 docs; the kernel does
@@ -302,8 +307,9 @@ def minhash_signature_from_xs(xs_df: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    A = np.array([a for a, _ in _mh_params()], dtype=np.int64)[:, None]
-    Bp = np.array([b for _, b in _mh_params()], dtype=np.int64)[:, None]
+    n_hashes = n_bands * MH_ROWS
+    A = np.array([a for a, _ in _mh_params(n_hashes)], dtype=np.int64)[:, None]
+    Bp = np.array([b for _, b in _mh_params(n_hashes)], dtype=np.int64)[:, None]
 
     def gen(batches):
         for pdf in batches:
@@ -313,9 +319,9 @@ def minhash_signature_from_xs(xs_df: DataFrame) -> DataFrame:
             xs = np.concatenate(
                 [np.asarray(x, dtype=np.int64) for x in pdf["xs"]]
             )
-            hv = (A * xs[None, :] + Bp) % MH_P  # (128, total_shingles)
+            hv = (A * xs[None, :] + Bp) % MH_P  # (n_hashes, total_shingles)
             starts = np.r_[0, np.cumsum(lens)[:-1]]
-            sig = np.minimum.reduceat(hv, starts, axis=1)  # (128, n_docs)
+            sig = np.minimum.reduceat(hv, starts, axis=1)  # (n_hashes, n_docs)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
@@ -329,12 +335,16 @@ def minhash_signature_from_xs(xs_df: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", n_bands: int = MH_BANDS
+) -> DataFrame:
     """minhash_signature_from_xs over freshly hashed shingles."""
-    return minhash_signature_from_xs(_shingle_hashes(df, text_col))
+    return minhash_signature_from_xs(_shingle_hashes(df, text_col), n_bands)
 
 
-def minhash_bands_from_xs(xs_df: DataFrame) -> DataFrame:
+def minhash_bands_from_xs(
+    xs_df: DataFrame, n_bands: int = MH_BANDS
+) -> DataFrame:
     """(doc_id, band_id, key binary) — the banded minhash LSH join keys,
     from precomputed hashed shingle arrays; shared by the one-shot pair
     finder and the persisted dedup artifact (which hashes shingles ONCE
@@ -348,7 +358,7 @@ def minhash_bands_from_xs(xs_df: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    sig = minhash_signature_from_xs(xs_df)
+    sig = minhash_signature_from_xs(xs_df, n_bands)
 
     def band_gen(batches):
         for pdf in batches:
@@ -356,15 +366,15 @@ def minhash_bands_from_xs(xs_df: DataFrame) -> DataFrame:
             if n == 0:
                 continue
             sigs = np.vstack([np.asarray(s, dtype=np.int64) for s in pdf["sig"]])
-            rows = sigs.reshape(n * MH_BANDS, MH_ROWS)
+            rows = sigs.reshape(n * n_bands, MH_ROWS)
             # band key = raw little-endian bytes of its MH_ROWS minhashes
             # (binary join key; no per-key string formatting)
             keys = [r.tobytes() for r in rows]
             yield pd.DataFrame(
                 {
-                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), MH_BANDS),
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_bands),
                     "band_id": np.tile(
-                        np.arange(MH_BANDS, dtype=np.int32), n
+                        np.arange(n_bands, dtype=np.int32), n
                     ),
                     "key": keys,
                 }
@@ -375,9 +385,11 @@ def minhash_bands_from_xs(xs_df: DataFrame) -> DataFrame:
     )
 
 
-def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_bands(
+    df: DataFrame, text_col: str = "text", n_bands: int = MH_BANDS
+) -> DataFrame:
     """minhash_bands_from_xs over freshly hashed shingles."""
-    return minhash_bands_from_xs(_shingle_hashes(df, text_col))
+    return minhash_bands_from_xs(_shingle_hashes(df, text_col), n_bands)
 
 
 def minhash_lsh_pairs(
@@ -385,14 +397,21 @@ def minhash_lsh_pairs(
     threshold: float,
     text_col: str = "text",
     max_bucket: int | None = None,
+    n_bands: int = MH_BANDS,
 ) -> DataFrame:
     """Near-dup pairs with exact Jaccard >= threshold, found via banded
     minhash LSH and verified exactly.
 
-    With r=2, b=64 the probability a pair at J=threshold collides in no band
-    is (1 - J^2)^64 — at J=0.5 that is 1e-8, so vs the exact-Jaccard oracle
-    this is equal in practice (and candidate verification removes all false
-    positives).
+    With r=2 the probability a pair at Jaccard J collides in no band is
+    (1 - J^2)^n_bands — candidate verification then removes all false
+    positives, so miss probability is the ONLY approximation. At the
+    default b=64: 1e-8 at J=0.5. At the half-cost b=32 (64 hashes —
+    signature kernel work is linear in band count): 1e-4 at J=0.5, but
+    9e-10 at J=0.7 and 6.5e-15 at J=0.8 — callers whose true near-dup
+    population sits well above the threshold (the usual case: thresholds
+    are picked BELOW the dup cluster, e.g. the driver corpus' measured
+    minimum true-pair J is 0.8 at a 0.5 threshold) can halve signature
+    cost with no practical recall change.
 
     max_bucket (default None = exact): when set, band buckets larger than
     the cap are SKIPPED — an APPROXIMATION for adversarial boilerplate at
@@ -400,7 +419,7 @@ def minhash_lsh_pairs(
     docs (a 10^6-doc duplicate cluster otherwise implies ~10^12 candidate
     pairs). Production pipelines that set a cap should handle mega-clusters
     separately via exact_dedup on the normalized text first."""
-    bands = minhash_bands(df, text_col)
+    bands = minhash_bands(df, text_col, n_bands)
     if max_bucket is not None:
         from pyspark.sql import Window
 

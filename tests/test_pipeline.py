@@ -52,10 +52,31 @@ def test_minhash_lsh_equals_exact_jaccard(docs):
     assert len(exact) > 0  # fixture data has real near-dups
 
 
+def test_minhash_lsh_b32_equals_exact_jaccard(docs):
+    """Half-cost geometry (r=2, b=32 = 64 hashes): still finds every true
+    pair on the fixture corpus — measured minimum true-pair J is 0.9 at
+    sf0.01, where the per-pair miss probability is (1-0.81)^32 ~ 6e-24."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard for r in D.jaccard_pairs(docs, 0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, 0.5, n_bands=32).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0
+
+
 def test_minhash_signature_shape(docs):
     r = D.minhash_signature(docs).first()
     assert len(r.sig) == D.MH_ROWS * D.MH_BANDS
     assert all(0 <= v < D.MH_P for v in r.sig)
+    # n_bands scales the signature length; the first 2*n_bands hash
+    # functions are a PREFIX of the default family (same seeded sequence),
+    # so a b=32 signature equals the first 64 entries of the b=64 one
+    r32 = D.minhash_signature(docs, n_bands=32).first()
+    assert len(r32.sig) == 64
+    assert list(r32.sig) == list(r.sig)[:64]
 
 
 def test_simhash_pairs_pigeonhole_exact(spark, docs):
