@@ -260,3 +260,119 @@ def streaming_sessionize(stream: DataFrame, gap_minutes: int = 30,
             fn, out_schema, state_schema, "append", timeout
         )
     )
+
+
+def streaming_sessionize_event_time(
+    stream: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes"
+):
+    """Event-time sessionization: ``withWatermark(ts)`` + EventTimeTimeout.
+
+    Differences from ``streaming_sessionize`` (the processing-time base
+    variant), both deliberate:
+
+    - STRICT late-data semantics: an event older than the current
+      event-time watermark is DROPPED (the base variant absorbs it
+      conservatively into the open session). The drop happens in the
+      kernel against ``state.getCurrentWatermarkMs()`` — explicit and
+      engine-version-independent, rather than relying on the planner's
+      late-row filtering for arbitrary stateful ops.
+    - trailing sessions CLOSE: each update arms an event-time timeout at
+      ``last_event + gap``; when the watermark passes it the session is
+      final and emitted (Spark's no-data micro-batches fire pending
+      timeouts after input drains). So over a drained stream the emitted
+      set equals batch ``events.sessionize`` over the watermark-filtered
+      input, RESTRICTED to sessions whose ``end + gap`` the final
+      watermark passed — the base variant instead holds every user's
+      trailing session open forever (bounded state, but never final).
+
+    State stays one (start, last, n, sum) tuple per OPEN user session; the
+    watermark bounds it further: idle users' state is removed at timeout,
+    so state size tracks concurrently-active users, not all users ever
+    seen. That is the correct 10^12-event retention story — wall-clock
+    idle_timeout_ms approximates it only when processing time tracks event
+    time (not true for backfills)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start long, last long, n long, sv double"
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        closed: list[tuple] = []
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = None
+            n, sv = 0, 0.0
+        if state.hasTimedOut:
+            # watermark passed last + gap: the session can never be
+            # extended by a non-late event -> it is final
+            if start is not None:
+                closed.append((uid, start, last, n, sv))
+            state.remove()
+        else:
+            wm_ms = state.getCurrentWatermarkMs()
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if not batch.empty:
+                batch = batch.sort_values("ts", kind="stable")
+                ep = batch["ts"].astype("int64").to_numpy()  # ns
+                vals = batch["value"].to_numpy()
+                for t, v in zip(ep, vals):
+                    t = int(t)
+                    if t // 1_000_000 < wm_ms:
+                        continue  # beyond-watermark late event: dropped
+                    if start is None:
+                        start, last, n, sv = t, t, 1, float(v)
+                    elif t < last:
+                        # late but within watermark: absorbed (same as the
+                        # base variant's conservative cross-batch rule)
+                        start, n, sv = min(start, t), n + 1, sv + float(v)
+                    elif (
+                        # second-truncated diff: matches batch sessionize's
+                        # unix_timestamp semantics (same rule as the base
+                        # variant)
+                        t // 1_000_000_000 - last // 1_000_000_000
+                        > gap_ms // 1000
+                    ):
+                        closed.append((uid, start, last, n, sv))
+                        start, last, n, sv = t, t, 1, float(v)
+                    else:
+                        last, n, sv = t, n + 1, sv + float(v)
+            if start is not None:
+                state.update((start, last, n, sv))
+                # must be strictly above the current watermark or Spark
+                # rejects it (can happen when every event in the batch was
+                # older than wm + gap)
+                state.setTimeoutTimestamp(
+                    max(last // 1_000_000 + gap_ms + 1, wm_ms + 1)
+                )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="ns"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[2] for c in closed], unit="ns"
+                    ),
+                    "n_events": [c[3] for c in closed],
+                    "sum_value": [round(c[4], 2) for c in closed],
+                }
+            )
+
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -184,3 +184,76 @@ def test_index_refresh_after_finalize(spark, corpora, tmp_path):
                  for r in index_search(ix, queries, k=5).collect())
     assert got == want
     assert ix.n_docs == ref.n_docs
+
+
+def test_streaming_sessionize_event_time(spark, tmp_path):
+    """Event-time variant: beyond-watermark events are DROPPED, and
+    trailing sessions CLOSE once the watermark passes last+gap — so the
+    streamed output equals batch sessionize over the watermark-filtered
+    input, restricted to sessions the final watermark finalized."""
+    import datetime as dt
+
+    from sparkbm25.pipeline.events import sessionize
+    from sparkbm25.streaming import streaming_sessionize_event_time
+
+    def ts(s):  # epoch seconds -> naive UTC timestamp
+        return dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None)
+
+    GAP_MIN, WM = 30, "10 minutes"  # gap 1800 s, watermark delay 600 s
+    # batch 0: two sessions in the past + a watermark driver far ahead
+    b0 = [
+        (1, ts(1000), 1.0), (1, ts(1100), 2.0),   # user 1 session A
+        (2, ts(1200), 3.0),                        # user 2 session
+        (99, ts(100_000), 9.0),                    # drives wm to 99_400
+    ]
+    # batch 1: a beyond-watermark late event (1150 < 99_400 -> dropped)
+    # and a fresh user-1 event that stays open at end of stream
+    b1 = [
+        (1, ts(1150), 100.0),                      # DROPPED (late)
+        (1, ts(200_000), 4.0),                     # open trailing session
+    ]
+    src = str(tmp_path / "etsrc")
+    schema = "user_id long, ts timestamp_ntz, value double"
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src}/b=0")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/b=1")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b=*")
+        .select("user_id", "ts", "value")
+    )
+    q = (
+        streaming_sessionize_event_time(stream, GAP_MIN, WM)
+        .writeStream.format("memory").queryName("et_sess")
+        .option("checkpointLocation", str(tmp_path / "et_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, int(r.session_start.timestamp()),
+         int(r.session_end.timestamp()), r.n_events, round(r.sum_value, 2))
+        for r in spark.sql("SELECT * FROM et_sess").collect()
+    }
+
+    # expected: batch sessionize over input MINUS the dropped late event,
+    # restricted to sessions finalized by the final watermark
+    # (end + gap < max(ts) - delay); user 1's trailing session stays open
+    kept = [r for r in b0 + b1 if r != (1, ts(1150), 100.0)]
+    ev = spark.createDataFrame(kept, schema)
+    final_wm = 200_000 - 600
+    want = set()
+    for r in sessionize(ev.select("user_id", "ts", "value"), GAP_MIN).collect():
+        end_s = int(r.session_end.replace(tzinfo=dt.timezone.utc).timestamp())
+        if end_s + GAP_MIN * 60 < final_wm:
+            want.add((
+                r.user_id,
+                int(r.session_start.replace(tzinfo=dt.timezone.utc).timestamp()),
+                end_s, r.n_events, round(float(r.sum_value), 2),
+            ))
+    assert want == {
+        (1, 1000, 1100, 2, 3.0),   # session A closed by the gap rule
+        (2, 1200, 1200, 1, 3.0),   # closed by event-time TIMEOUT
+        (99, 100_000, 100_000, 1, 9.0),  # closed by the no-data batch
+    }
+    assert got == want
