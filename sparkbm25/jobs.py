@@ -106,7 +106,13 @@ def _acquire_build_lock(index_dir: str, jid: str) -> str:
     deployment should use the store's conditional-put for the same CAS."""
     os.makedirs(index_dir, exist_ok=True)
     path = os.path.join(index_dir, LOCKFILE)
-    tmp = f"{path}.{os.getpid()}.tmp"
+    # unique per pid AND thread: concurrent submitters inside ONE driver
+    # process (thread pools) must not share scratch names — a shared name
+    # lets thread A's cleanup unlink thread B's not-yet-linked payload
+    import threading
+
+    uniq = f"{os.getpid()}.{threading.get_ident()}"
+    tmp = f"{path}.{uniq}.tmp"
     with open(tmp, "w") as f:
         json.dump({"pid": os.getpid(), "job_id": jid}, f)
     try:
@@ -133,12 +139,39 @@ def _acquire_build_lock(index_dir: str, jid: str) -> str:
                 # a plain unlink here would race a faster stealer's fresh
                 # lock (observe-dead → it steals+relinks → we unlink ITS
                 # lock → two builds run).
-                stale = f"{path}.stale.{os.getpid()}"
+                stale = f"{path}.stale.{uniq}"
                 try:
                     os.rename(path, stale)
-                    os.unlink(stale)
                 except FileNotFoundError:
-                    pass  # another stealer won; loop re-examines the lock
+                    continue  # another stealer won; loop re-examines
+                # The rename is atomic but BLIND: between our dead-pid read
+                # and the rename, a faster stealer may have completed its
+                # whole steal + re-link, in which case we just grabbed its
+                # FRESH lock. Verify what we renamed; if its holder is
+                # alive, give it back via link(2) (atomic: fails rather
+                # than clobbers if yet another racer took the name).
+                try:
+                    with open(stale) as f:
+                        gpid = json.load(f).get("pid")
+                except (OSError, json.JSONDecodeError):
+                    gpid = None
+                if (
+                    gpid is not None
+                    and int(gpid) != os.getpid()
+                    and _pid_alive(int(gpid))
+                ):
+                    try:
+                        os.link(stale, path)
+                    except FileExistsError:
+                        pass  # a third racer took the name; surface below
+                    finally:
+                        os.unlink(stale)
+                    raise ConcurrentBuildError(
+                        f"index_dir {index_dir} is being built by pid "
+                        f"{gpid} (lock stolen-and-restored during a "
+                        "dead-lock race); retry after it finishes"
+                    ) from None
+                os.unlink(stale)
     finally:
         try:
             os.unlink(tmp)

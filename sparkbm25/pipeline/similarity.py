@@ -665,3 +665,75 @@ def ann_index_search(
         _ivf_search_kernel(qids, qmat, probe_sets, k), schema=TOPK_SCHEMA
     )
     return _topk_window(sims, k)
+
+
+def tune_n_probe(
+    spark, index_dir: str, query_vecs: dict[int, list[float]],
+    k: int = 10, target_recall: float = 0.9,
+) -> dict:
+    """Probe-to-recall auto-tune over a persisted IVF artifact: walk
+    n_probe up (doubling from the manifest's sqrt-rule default) until
+    measured recall@k on the given sample queries reaches the target, and
+    return the chosen n_probe plus the measured curve.
+
+    The reference exposes the same trade-off as a benchmark-time ef_search
+    sweep (benchmarking/benchmarks.yml:14-15, search_indices.py:41-44
+    recall-vs-ground-truth); here it is a first-class API so a pipeline
+    can pin its own recall target instead of shipping a magic n_probe.
+    Ground truth is exact brute-force cosine over the SAME stored vectors
+    (one full scan per tune — a tuning-time cost, amortized over every
+    search that then runs at the chosen n_probe).
+
+    Returns {"n_probe", "recall", "target_recall", "met", "curve":
+    [{"n_probe", "recall"}...]} — "met" False means even a full probe
+    (n_probe = n_centroids, which scans every list and is EXACT for the
+    stored vectors) fell short, which can only happen if k exceeds
+    distinct stored neighbors; callers should treat that as data, not
+    retry."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    n_cent = int(manifest["n_centroids"])
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+
+    qids = np.array(sorted(query_vecs), dtype=np.int64)
+    qmat = _norm_rows(_as_matrix([query_vecs[int(i)] for i in qids]))
+    exact_df = _topk_window(
+        vectors.select("vec_id", "embedding").mapInPandas(
+            _cos_kernel(qids, qmat), schema=TOPK_SCHEMA
+        ),
+        k,
+    )
+    exact: dict[int, set] = {}
+    for r in exact_df.collect():
+        exact.setdefault(int(r.query_vec_id), set()).add(int(r.vec_id))
+
+    n_probe = int(manifest.get("default_n_probe") or 4)
+    n_probe = min(max(1, n_probe), n_cent)
+    curve = []
+    while True:
+        got: dict[int, set] = {}
+        for r in ann_index_search(
+            spark, index_dir, query_vecs, k=k, n_probe=n_probe
+        ).collect():
+            got.setdefault(int(r.query_vec_id), set()).add(int(r.vec_id))
+        recall = (
+            sum(
+                len(got.get(q, set()) & t) / len(t)
+                for q, t in exact.items()
+            ) / len(exact)
+            if exact else 1.0
+        )
+        curve.append({"n_probe": n_probe, "recall": round(recall, 4)})
+        if recall >= target_recall or n_probe >= n_cent:
+            break
+        n_probe = min(n_cent, n_probe * 2)
+    return {
+        "n_probe": n_probe,
+        "recall": round(recall, 4),
+        "target_recall": target_recall,
+        "met": recall >= target_recall,
+        "curve": curve,
+    }

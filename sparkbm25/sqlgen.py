@@ -28,7 +28,16 @@ def bm25_topk_sql(
     round_dp: int = 6,
 ) -> str:
     """Full BM25 top-k in one DuckDB query (rank over raw score, score
-    rounded only in the projection — the Spark side does the same)."""
+    rounded only in the projection — the Spark side does the same).
+
+    This oracle sums qtf-weighted contributions; the engine folds per
+    query-term OCCURRENCE in token order (query.canonical_score_sum, the
+    bit-exact-tie contract proven against the pure-Python oracle). The two
+    accumulations can differ in the last ulp, which the shared round-to-6dp
+    projection absorbs; exact ties rank identically in both because tied
+    docs have identical per-term (tf, dl) compositions, so both
+    accumulations yield them bitwise-equal scores and the shared
+    (score DESC, doc_id ASC) tie-break decides."""
     toks = DUCKDB_TOKENS.format(col=text_col)
     idf = idf_sql("tdf.df", "cs.n")
     tfn = tf_norm_sql("tf.tf", "dstats.dl", "cs.avgdl")

@@ -104,3 +104,35 @@ def test_head_term_in_every_doc(spark, tmp_path):
     assert [g[:3] for g in got] == [w[:3] for w in want]
     for g, w in zip(got, want):
         assert g[3] == pytest.approx(w[3], rel=1e-9)
+
+
+def test_tune_n_probe_reaches_target(spark, tmp_path):
+    """Probe-to-recall auto-tune: walking n_probe from the sqrt default
+    must reach the target recall (full probe is exact, so target 1.0 is
+    always reachable), the curve must be monotone in probe count on this
+    data, and the returned n_probe must actually deliver the recall."""
+    from sparkbm25.pipeline.similarity import tune_n_probe
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    d = str(tmp_path / "ann_tune")
+    build_ann_index(emb, d, n_centroids=8)
+    qrows = {r.vec_id: list(r.embedding)
+             for r in emb.filter(F.col("vec_id") < 5).collect()}
+
+    out = tune_n_probe(spark, d, qrows, k=10, target_recall=1.0)
+    assert out["met"] and out["recall"] == 1.0
+    assert out["n_probe"] <= 8
+    probes = [c["n_probe"] for c in out["curve"]]
+    assert probes == sorted(probes)
+    # a modest target stops earlier (or at the same probe) than the exact one
+    out9 = tune_n_probe(spark, d, qrows, k=10, target_recall=0.9)
+    assert out9["met"] and out9["n_probe"] <= out["n_probe"]
+    # the chosen n_probe reproduces the measured recall when searched again
+    got = {}
+    for r in ann_index_search(spark, d, qrows, k=10, n_probe=out9["n_probe"]).collect():
+        got.setdefault(r.query_vec_id, set()).add(r.vec_id)
+    brute = {}
+    for r in cosine_topk(emb, list(qrows), k=10).collect():
+        brute.setdefault(r.query_vec_id, set()).add(r.vec_id)
+    rec = sum(len(got[q] & brute[q]) / len(brute[q]) for q in brute) / len(brute)
+    assert abs(rec - out9["recall"]) < 1e-9

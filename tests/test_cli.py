@@ -136,3 +136,37 @@ def test_concurrent_submit_locked(spark, tmp_path):
     from sparkbm25.jobs import Index
     ix = Index(spark, d2)
     assert ix.n_docs == 50
+
+
+def test_stale_steal_gives_back_fresh_lock(tmp_path, monkeypatch):
+    """The observe-dead -> rename window: if a faster stealer completed its
+    whole steal and re-linked a FRESH (live) lock in between, the blind
+    rename grabs that fresh lock. The verify-after-rename must detect the
+    live holder, restore the lock file, and raise ConcurrentBuildError —
+    never proceed into a second concurrent build. Simulated by flipping
+    _pid_alive between the observe read and the post-rename verify."""
+    import json as _json
+    import os as _os
+
+    from sparkbm25 import jobs as J
+
+    d = str(tmp_path / "race_ix")
+    _os.makedirs(d, exist_ok=True)
+    lock = _os.path.join(d, J.LOCKFILE)
+    with open(lock, "w") as f:
+        _json.dump({"pid": 12345, "job_id": "fresh"}, f)
+
+    calls = {"n": 0}
+
+    def flip_alive(pid):
+        calls["n"] += 1
+        return calls["n"] > 1  # observe: dead; verify (and later): alive
+
+    monkeypatch.setattr(J, "_pid_alive", flip_alive)
+    with pytest.raises(J.ConcurrentBuildError, match="stolen-and-restored"):
+        J._acquire_build_lock(d, "a" * 64)
+    # the fresh lock was restored intact, not lost
+    with open(lock) as f:
+        restored = _json.load(f)
+    assert restored == {"pid": 12345, "job_id": "fresh"}
+    assert not any(".stale." in p for p in _os.listdir(d))
