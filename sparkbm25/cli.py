@@ -82,6 +82,24 @@ def _status(args) -> int:
     return 0
 
 
+def _compact(args) -> int:
+    """Merge all lineage groups (base + streamed epochs) into one — the
+    segment-merge maintenance job (streaming.compact_index)."""
+    from .session import get_spark
+    from .streaming import compact_index
+
+    spark = get_spark("sparkbm25-compact", cores=args.cores)
+    try:
+        m = compact_index(spark, args.index_dir)
+    finally:
+        spark.stop()
+    print(json.dumps({
+        "status": m["status"],
+        "compaction": m.get("metrics", {}).get("compaction"),
+    }, indent=2))
+    return 0
+
+
 def _package(args) -> int:
     """Emit the --py-files zip (the deployable artifact for spark-submit)."""
     import shutil
@@ -149,6 +167,11 @@ def main(argv: list[str] | None = None) -> int:
     j = sub.add_parser("jobs")
     j.add_argument("--index-root", required=True)
     j.set_defaults(fn=_jobs)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--index-dir", required=True)
+    c.add_argument("--cores", type=int, default=None)
+    c.set_defaults(fn=_compact)
 
     p = sub.add_parser("package")
     p.add_argument("--out", default="sparkbm25.zip")

@@ -376,3 +376,128 @@ def streaming_sessionize_event_time(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Merge ALL lineage groups (base ``0..G-1`` + streamed ``stream_*``)
+    into one ``compacted`` group — the segment-merge every
+    streaming-appended index eventually needs (Lucene's merge policy; the
+    reference's one-artifact-per-build mission makes merge implicit, we
+    make it an operator). Without it a long-lived stream accumulates one
+    group per micro-batch: per-query file listing, parquet footers and
+    block fragmentation all grow linearly with uptime.
+
+    ZERO retokenization, corpus never re-read: a block's binary payload
+    (first-absolute + positive-gaps varbyte, codecs.delta_encode) is
+    byte-compatible with a stage-2 merge RUN (codecs.segment_delta_gaps of
+    a single segment), so compaction is read blocks (all groups) → project
+    to RUN_SCHEMA → the SAME repartition(term, shard)+sortWithinPartitions
+    + streaming-merge kernel the build uses (build._make_merge_gen) → one
+    group. Scales like the build's stage 2 alone: one compact shuffle of
+    compressed runs, ~4 B/posting.
+
+    Audits before swap: merged posting count must equal the sum over input
+    groups (the merge kernel additionally raises on any cross-group
+    duplicate doc_id). Swap protocol: stage under ``compact_staging/``
+    (OUTSIDE postings/ so concurrent directory-scans never see doubled
+    postings), set manifest status COMPACTING, swap dirs, re-finalize
+    term_stats from the new blocks, set COMPLETED. A crash mid-swap leaves
+    status COMPACTING and Index() refuses to open — loud and recoverable
+    (staging + doc_stats are still on disk), never silently wrong. Takes
+    the build lock, so builds/appends/compactions exclude each other;
+    warm Index handles must .refresh() afterwards (same contract as
+    finalize_stream)."""
+    import shutil
+
+    from .build import BLOCK_SCHEMA, _make_merge_gen
+    from .jobs import STATUS_COMPLETED, _acquire_build_lock
+
+    m = read_manifest(index_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {index_dir}")
+    if m["status"] != STATUS_COMPLETED:
+        raise ValueError(
+            f"index at {index_dir} is {m['status']}, not COMPLETED; "
+            "repair/rebuild before compacting"
+        )
+    params, stats = _stats_from_manifest(m)
+    lock = _acquire_build_lock(index_dir, f"compact:{m['job_id'][:52]}")
+    t0 = time.time()
+    try:
+        pdir = os.path.join(index_dir, "postings")
+        sdir = os.path.join(index_dir, "compact_staging")
+        shutil.rmtree(sdir, ignore_errors=True)
+        blocks = spark.read.parquet(pdir)
+        groups_before = sorted(m["completed_groups"])
+        n_before = blocks.groupBy().sum("n_docs").first()[0] or 0
+        runs = blocks.select(
+            "term", "shard_id", "n_docs",
+            F.col("docs_vbyte").alias("docs_vb"),
+            F.col("tfs_vbyte").alias("tfs_vb"),
+            F.col("dls_vbyte").alias("dls_vb"),
+        )
+        merged_parts = max(params.num_shards, 8)
+        new_blocks = (
+            runs.repartition(merged_parts, "term", "shard_id")
+            .sortWithinPartitions("term", "shard_id")
+            .mapInPandas(_make_merge_gen(params, stats.avgdl), schema=BLOCK_SCHEMA)
+            .withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(params.num_term_buckets)),
+            )
+        )
+        new_blocks.write.partitionBy("term_bucket").mode("overwrite").parquet(
+            os.path.join(sdir, "postings", "group=compacted")
+        )
+        staged = spark.read.parquet(os.path.join(sdir, "postings"))
+        n_after = staged.groupBy().sum("n_docs").first()[0] or 0
+        if n_after != n_before:
+            raise ValueError(
+                f"compaction dropped postings: {n_before} before, "
+                f"{n_after} after — staging kept at {sdir} for inspection"
+            )
+        # doc_stats: collapse the per-group layout into one group too
+        dsdir = os.path.join(index_dir, "doc_stats")
+        spark.read.parquet(dsdir).drop("group").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sdir, "doc_stats", "group=compacted"))
+
+        # ---- swap (manifest guards the non-atomic window) ----------------
+        m["status"] = "COMPACTING"
+        _write_manifest(index_dir, m)
+        for name in ("postings", "doc_stats"):
+            old = os.path.join(index_dir, name)
+            shutil.rmtree(old)
+            os.rename(os.path.join(sdir, name), old)
+        shutil.rmtree(sdir, ignore_errors=True)
+
+        tdir = os.path.join(index_dir, "term_stats")
+        term_stats_from_blocks(
+            spark.read.parquet(os.path.join(index_dir, "postings"))
+        ).write.mode("overwrite").parquet(tdir)
+        m["build"]["n_terms"] = spark.read.parquet(tdir).count()
+        m["completed_groups"] = {
+            "compacted": {
+                "wall_s": round(time.time() - t0, 3),
+                "postings_path": os.path.join(
+                    index_dir, "postings", "group=compacted"
+                ),
+                "doc_stats_path": os.path.join(
+                    index_dir, "doc_stats", "group=compacted"
+                ),
+                "compacted_from": groups_before,
+            }
+        }
+        m.setdefault("metrics", {})["compaction"] = {
+            "groups_merged": len(groups_before),
+            "postings": int(n_after),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        m["status"] = STATUS_COMPLETED
+        _write_manifest(index_dir, m)
+        return m
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass

@@ -257,3 +257,70 @@ def test_streaming_sessionize_event_time(spark, tmp_path):
         (99, 100_000, 100_000, 1, 9.0),  # closed by the no-data batch
     }
     assert got == want
+
+
+def test_compact_index_preserves_results(spark, corpora, tmp_path):
+    """Segment merge: base (2 lineage groups) + 2 streamed epochs compact
+    into ONE group with bit-identical search results (same postings, same
+    frozen stats — only the physical layout changes), equal posting count,
+    and a clean manifest. No corpus re-read: compaction runs on the block
+    binaries alone."""
+    import os
+
+    from sparkbm25.build import BuildParams
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index, build_index
+    from sparkbm25.streaming import append_batch, compact_index, finalize_stream
+
+    _full, a, b = corpora
+    base = a.select("doc_id", "text")
+    d = str(tmp_path / "compact_ix")
+    params = BuildParams(num_shards=4, salt_factor=2, num_term_buckets=4,
+                         lineage_groups=2)
+    build_index(base, d, params, source_fingerprint="compact-test")
+    extra = b.select("doc_id", "text")
+    b1 = extra.filter(F.col("doc_id") % 2 == 0)
+    b2 = extra.filter(F.col("doc_id") % 2 == 1)
+    append_batch(b1, d, 0)
+    append_batch(b2, d, 1)
+    finalize_stream(spark, d)
+
+    # query terms must exist in the fixture corpus: derive from term_stats
+    vocab = sorted(
+        r.term for r in spark.read.parquet(f"{d}/term_stats")
+        .orderBy(F.desc("df")).limit(6).collect()
+    )
+    queries = [(0, f"{vocab[0]} {vocab[1]}"), (1, f"{vocab[2]} {vocab[2]} {vocab[3]}"),
+               (2, f"{vocab[4]} {vocab[5]}")]
+
+    ix = Index(spark, d)
+    before = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in index_search(ix, queries, k=15).collect()
+    )
+    groups_before = set(os.listdir(os.path.join(d, "postings")))
+    assert len(groups_before) == 4  # group=0, group=1, 2 stream epochs
+
+    m = compact_index(spark, d)
+    assert m["status"] == "COMPLETED"
+    assert list(m["completed_groups"]) == ["compacted"]
+    assert m["metrics"]["compaction"]["groups_merged"] == 4
+    groups_after = {
+        g for g in os.listdir(os.path.join(d, "postings"))
+        if g.startswith("group=")
+    }
+    assert groups_after == {"group=compacted"}
+    assert not os.path.exists(os.path.join(d, "compact_staging"))
+
+    ix2 = Index(spark, d)  # fresh handle (refresh contract)
+    after = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in index_search(ix2, queries, k=15).collect()
+    )
+    assert after == before  # bit-exact: scores AND ranks
+    # blockmax strategy still sound on the compacted layout
+    after_bm = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in index_search(ix2, queries, k=15, strategy="blockmax").collect()
+    )
+    assert after_bm == before
