@@ -121,3 +121,52 @@ def test_exact_ties_and_duplicate_query_terms(spark, tmp_path):
     )
     assert [g[:3] for g in got_sa] == [w[:3] for w in want]
     assert [g[3] for g in got_sa] == [w[3] for w in want]
+
+
+@pytest.mark.parametrize("seed", [5, 81, 777])
+def test_fuzz_compaction_invariance(spark, tmp_path, seed):
+    """Seeded fuzz of the segment-merge path: a nasty corpus split into a
+    base build + a RANDOM number of randomly-sized streamed epochs, then
+    compacted, must return bit-identical top-k (ids AND scores) to the
+    pre-compaction index under every strategy — compaction may only change
+    physical layout, never a posting or a score."""
+    from sparkbm25.streaming import append_batch, compact_index, finalize_stream
+
+    rng = random.Random(seed)
+    docs, queries = _random_corpus(rng, n_docs=100)
+    base_n = rng.randint(30, 70)
+    base, rest = docs[:base_n], docs[base_n:]
+    df_base = spark.createDataFrame(base, "doc_id long, text string")
+    d = str(tmp_path / f"cfuzz_{seed}")
+    params = BuildParams(num_shards=3, salt_factor=2, num_term_buckets=4,
+                         lineage_groups=2, block_size=16)
+    build_index(df_base, d, params, f"cfuzz{seed}")
+    epoch = 0
+    while rest:
+        take = rng.randint(1, max(1, len(rest) // 2))
+        batch, rest = rest[:take], rest[take:]
+        append_batch(
+            spark.createDataFrame(batch, "doc_id long, text string"), d, epoch
+        )
+        epoch += 1
+    finalize_stream(spark, d)
+
+    ix = Index(spark, d)
+    before = {
+        strategy: sorted(
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in index_search(ix, queries, k=9, strategy=strategy).collect()
+        )
+        for strategy in ("sharded", "blockmax")
+    }
+    m = compact_index(spark, d)
+    assert list(m["completed_groups"]) == ["compacted"]
+    assert m["metrics"]["compaction"]["groups_merged"] == 2 + epoch
+
+    ix2 = Index(spark, d)
+    for strategy, want in before.items():
+        got = sorted(
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in index_search(ix2, queries, k=9, strategy=strategy).collect()
+        )
+        assert got == want, strategy
