@@ -154,6 +154,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+MIN_QUALITY = 0.75  # inside the data's quality range (measured 0.62-0.95
+# at both gate scales) so kept has a real mix; the compare is on the
+# 6dp-ROUNDED quality column both engines already hash-match exactly
+CURATE_LANGS = ("en",)
+
+
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integrative curation decision table: exact-dedup keep-one +
+    near-dup-cluster keep-one (LSH edges at the pinned b=32 geometry) +
+    quality floor + language filter, one flags row per document."""
+    from sparkbm25.pipeline.curate import curate
+
+    ensure_shipped(spark)
+    return curate(_docs(spark, sf_dir), JACCARD_T, MIN_QUALITY,
+                  CURATE_LANGS, n_bands=JACCARD_BANDS)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkbm25.pipeline.dedup import simhash_pairs
 
@@ -335,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
+        "curate": q_curate,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -369,6 +387,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": DD.jaccard_pairs_sql(JACCARD_T),
         "dedup_clusters": DD.dedup_clusters_sql(JACCARD_T),
         "dedup_simhash": DD.simhash_pairs_sql(3),
+        "curate": __import__(
+            "sparkbm25.pipeline.curate", fromlist=["curate_sql"]
+        ).curate_sql(JACCARD_T, MIN_QUALITY, CURATE_LANGS),
         "ann_cosine_topk": SIM.cosine_topk_sql(ANN_QUERY_IDS, k=K),
         "embedding_neardup": SIM.cosine_pairs_sql(COS_PAIR_T),
         # full-probe IVF from the artifact is exact -> same oracle as brute

@@ -557,3 +557,51 @@ def test_build_ann_index_auto_full_probe_exact(emb, tmp_path, spark):
     want = [(r.query_vec_id, r.rank, r.vec_id)
             for r in S.cosine_topk(emb, [0, 3], k=5).collect()]
     assert sorted(got) == sorted(want)
+
+
+def test_curate_policies_planted(spark):
+    """Planted one violation per policy: exact dup, near-dup cluster
+    member, low quality, wrong language — each flagged by exactly its own
+    policy; the clean doc survives everything."""
+    from sparkbm25.pipeline.curate import curate
+
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "back home across the wide green field to rest ") * 3
+    near = good + "with one extra trailing clause appended here"
+    rows = [
+        (1, good),                      # clean; canonical of the near-dup pair
+        (2, good),                      # exact dup of 1
+        (3, near),                      # near-dup of 1 (not exact)
+        (4, "zzq xkcd vvv"),            # too short + no stopwords -> low quality
+        (5, "el perro y el gato y la casa y el sol y la luna y el mar "
+            "y la tierra y el cielo y la noche y el dia y el agua y la "
+            "montana y el rio y el bosque y la ciudad"),  # es, decent length
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curate(df, 0.5, 0.75, ("en",)).collect()}
+    assert len(out) == 5
+    assert out[1].kept == 1
+    assert (out[2].exact_canonical, out[2].kept) == (0, 0)
+    # 2 is ALSO a near-dup of 1 (J=1) but its exact flag is the one that
+    # must be 0 regardless; 3 is exact-canonical yet cluster-non-canonical
+    assert (out[3].exact_canonical, out[3].neardup_canonical, out[3].kept) == (1, 0, 0)
+    assert out[4].quality < 0.75 and out[4].kept == 0
+    assert out[5].lang_pred == "es" and out[5].kept == 0
+
+
+def test_curate_matches_duckdb(spark, docs):
+    """Composed decision table == composed oracle SQL on fixture docs."""
+    import duckdb
+    import pandas as pd
+
+    from sparkbm25.pipeline.curate import curate, curate_sql
+
+    got = curate(docs, 0.5, 0.75, ("en",)).toPandas()
+    con = duckdb.connect()
+    pdf = docs.toPandas()
+    con.register("documents", pdf)
+    want = con.execute(curate_sql(0.5, 0.75, ("en",))).fetchdf()
+    cols = sorted(got.columns)
+    a = got[cols].round(6).sort_values(cols).reset_index(drop=True)
+    b = want[cols].round(6).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))

@@ -324,3 +324,35 @@ def test_compact_index_preserves_results(spark, corpora, tmp_path):
         for r in index_search(ix2, queries, k=15, strategy="blockmax").collect()
     )
     assert after_bm == before
+
+
+def test_compact_index_preserves_stored_text(spark, corpora, tmp_path):
+    """Compaction must carry doc_stats' optional stored-text column through
+    the layout collapse: fetch_text on the compacted index returns the
+    same texts it did before."""
+    import os
+
+    from sparkbm25.build import BuildParams
+    from sparkbm25.jobs import Index, build_index
+    from sparkbm25.streaming import append_batch, compact_index, finalize_stream
+
+    _full, a, b = corpora
+    d = str(tmp_path / "compact_text_ix")
+    params = BuildParams(num_shards=2, salt_factor=2, num_term_buckets=2,
+                         lineage_groups=1, store_text=True)
+    build_index(a.select("doc_id", "text"), d, params, "compact-text")
+    append_batch(b.select("doc_id", "text"), d, 0)
+    finalize_stream(spark, d)
+
+    ids = [r.doc_id for r in a.limit(3).collect()] + [
+        r.doc_id for r in b.limit(3).collect()
+    ]
+    id_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    ix = Index(spark, d)
+    before = {r.doc_id: r.text for r in ix.fetch_text(id_df).collect()}
+    assert len(before) == len(ids) and all(v for v in before.values())
+
+    compact_index(spark, d)
+    ix2 = Index(spark, d)
+    after = {r.doc_id: r.text for r in ix2.fetch_text(id_df).collect()}
+    assert after == before
