@@ -737,3 +737,50 @@ def tune_n_probe(
         "met": recall >= target_recall,
         "curve": curve,
     }
+
+
+def ann_index_compact(spark, index_dir: str) -> dict:
+    """Rewrite the IVF vector store partition-by-partition — the vector
+    artifact's segment merge. Every ann_index_append adds one parquet file
+    set per centroid partition; a long-running ingest accumulates small
+    files until probe-time file listing and row-group overhead dominate
+    (the same fragmentation compact_index solves for the BM25 postings).
+    Centroids, assignments and the manifest are untouched — this is a
+    pure physical rewrite (assignment is a deterministic function of the
+    frozen centroids), audited by an exact row-count check before swap,
+    staged outside the live dir so concurrent searches never read a
+    half-written store."""
+    import json
+    import os
+    import shutil
+
+    from ..ioutil import write_json_atomic
+
+    mpath = os.path.join(index_dir, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    vec_dir = os.path.join(index_dir, "vectors")
+    staging = os.path.join(index_dir, "vectors_compacting")
+    shutil.rmtree(staging, ignore_errors=True)
+    vectors = spark.read.parquet(vec_dir)
+    n_before = vectors.count()
+    (
+        vectors.repartition("centroid_id")
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    n_after = spark.read.parquet(staging).count()
+    if n_after != n_before:
+        raise ValueError(
+            f"ann_index_compact dropped rows: {n_before} -> {n_after}; "
+            f"staging kept at {staging}"
+        )
+    old = os.path.join(index_dir, "vectors_old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(vec_dir, old)
+    os.rename(staging, vec_dir)
+    shutil.rmtree(old)
+    manifest.setdefault("metrics", {})["vector_compaction_rows"] = int(n_after)
+    write_json_atomic(mpath, manifest)
+    return manifest

@@ -136,3 +136,41 @@ def test_tune_n_probe_reaches_target(spark, tmp_path):
         brute.setdefault(r.query_vec_id, set()).add(r.vec_id)
     rec = sum(len(got[q] & brute[q]) / len(brute[q]) for q in brute) / len(brute)
     assert abs(rec - out9["recall"]) < 1e-9
+
+
+def test_ann_index_compact_preserves_results(spark, tmp_path):
+    """Vector-store segment merge: N appends fragment the partitioned
+    store; compaction rewrites it (fewer files) with IDENTICAL search
+    results and row count, centroids/manifest frozen."""
+    import glob
+
+    from sparkbm25.pipeline.similarity import ann_index_append, ann_index_compact
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    d = str(tmp_path / "ann_cmp")
+    lo = emb.filter(F.col("vec_id") < 300)
+    build_ann_index(lo, d, n_centroids=8)
+    # three fragmenting appends
+    for a, b in ((300, 380), (380, 450), (450, 10**9)):
+        ann_index_append(
+            spark, d,
+            emb.filter((F.col("vec_id") >= a) & (F.col("vec_id") < b)),
+        )
+    qrows = {r.vec_id: list(r.embedding)
+             for r in emb.filter(F.col("vec_id") < 5).collect()}
+    before = sorted(
+        (r.query_vec_id, r.rank, r.vec_id, r.cos)
+        for r in ann_index_search(spark, d, qrows, k=10, n_probe=8).collect()
+    )
+    files_before = len(glob.glob(f"{d}/vectors/centroid_id=*/*.parquet"))
+
+    m = ann_index_compact(spark, d)
+    files_after = len(glob.glob(f"{d}/vectors/centroid_id=*/*.parquet"))
+    assert files_after < files_before  # the point of the rewrite
+    assert m["metrics"]["vector_compaction_rows"] == emb.count()
+
+    after = sorted(
+        (r.query_vec_id, r.rank, r.vec_id, r.cos)
+        for r in ann_index_search(spark, d, qrows, k=10, n_probe=8).collect()
+    )
+    assert after == before
