@@ -154,3 +154,46 @@ def test_wand_plan_one_kernel_two_exchanges(built):
     plan = _plan(df)
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_curate_plan_no_cartesian_single_corpus_pass_per_policy(spark):
+    """The curation decision table must stay join-on-doc_id shaped: no
+    CartesianProduct/BroadcastNestedLoopJoin anywhere (the only self-join
+    in the pipeline is the banded LSH equi-join), and no per-row Python
+    UDFs (BatchEvalPython) — quality/lang/dedup are Catalyst or Arrow."""
+    from sparkbm25.pipeline.curate import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # curate() drives eager LSH/CC stages; inspect the final assembled plan
+    out = curate(docs, 0.5, 0.75, ("en",), n_bands=32)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_compact_refuses_while_build_lock_held(spark, tmp_path):
+    """Compaction takes the build lock: a live concurrent builder must make
+    it raise ConcurrentBuildError untouched, not corrupt the artifact."""
+    import json
+    import os
+
+    from sparkbm25.jobs import LOCKFILE, ConcurrentBuildError, build_index
+    from sparkbm25.streaming import compact_index
+
+    corpus = add_doc_id(
+        spark.createDataFrame(make_transcripts_pdf(10)), "conv_seq"
+    ).select("doc_id", "text")
+    d = str(tmp_path / "lockix")
+    build_index(corpus, d, BuildParams(num_shards=2, salt_factor=2,
+                                       num_term_buckets=2, lineage_groups=1),
+                "lock-compact")
+    with open(os.path.join(d, LOCKFILE), "w") as f:
+        json.dump({"pid": os.getpid(), "job_id": "livebuilder"}, f)
+    try:
+        with pytest.raises(ConcurrentBuildError):
+            compact_index(spark, d)
+    finally:
+        os.unlink(os.path.join(d, LOCKFILE))
+    # artifact untouched and still serves
+    compact_index(spark, d)  # now succeeds
