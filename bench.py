@@ -154,6 +154,16 @@ def main() -> int:
                 timings[f"pipeline_{name}"] = round(time.time() - t0, 3)
         except Exception as e:  # pipeline bench must not sink the headline
             extras["pipeline_error"] = str(e)[:200]
+        # integrative curation op: recorded in extras, NOT in the headline
+        # total (keeps `value` comparable across rounds that predate it)
+        try:
+            import __spark_entry__ as entry_mod
+
+            t0 = time.time()
+            entry_mod.queries()["curate"](spark, sf_dir).count()
+            extras["pipeline_curate_s"] = round(time.time() - t0, 3)
+        except Exception as e:
+            extras["curate_error"] = str(e)[:200]
 
     # --- IVF n_probe -> recall@10 curve (the reference's ef_search sweep:
     # benchmarking/benchmarks.yml:14-15 sweeps ef_search and
@@ -175,7 +185,11 @@ def main() -> int:
             exact = {}
             for r in cosine_topk(emb, rq_ids, k=10).collect():
                 exact.setdefault(r.query_vec_id, set()).add(r.vec_id)
-            ann_dir = f"/tmp/sparkbm25_bench/ivf_sf{sf}"
+            import sparkbm25
+
+            # version-keyed like the entry's cache: a layout change in a
+            # later engine revision must not silently serve a stale artifact
+            ann_dir = f"/tmp/sparkbm25_bench/ivf_sf{sf}_{sparkbm25.__version__}"
             if not os.path.exists(f"{ann_dir}/manifest.json"):
                 manifest = build_ann_index(emb, ann_dir)  # sqrt-rule params
             else:

@@ -747,9 +747,11 @@ def ann_index_compact(spark, index_dir: str) -> dict:
     (the same fragmentation compact_index solves for the BM25 postings).
     Centroids, assignments and the manifest are untouched — this is a
     pure physical rewrite (assignment is a deterministic function of the
-    frozen centroids), audited by an exact row-count check before swap,
-    staged outside the live dir so concurrent searches never read a
-    half-written store."""
+    frozen centroids), audited by an exact row-count check before swap.
+    Staging keeps concurrent searches off half-written data, but the
+    rename swap itself is a maintenance window (a reader between the two
+    renames sees a missing dir and fails loudly) — run it like
+    compact_index: exclusively, with searches refreshed afterwards."""
     import json
     import os
     import shutil
