@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sparkbm25.pipeline import curate as CU
     from sparkbm25.pipeline import dedup as DD
     from sparkbm25.pipeline import events as EV
     from sparkbm25.pipeline import multimodal as MM
@@ -387,9 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": DD.jaccard_pairs_sql(JACCARD_T),
         "dedup_clusters": DD.dedup_clusters_sql(JACCARD_T),
         "dedup_simhash": DD.simhash_pairs_sql(3),
-        "curate": __import__(
-            "sparkbm25.pipeline.curate", fromlist=["curate_sql"]
-        ).curate_sql(JACCARD_T, MIN_QUALITY, CURATE_LANGS),
+        "curate": CU.curate_sql(JACCARD_T, MIN_QUALITY, CURATE_LANGS),
         "ann_cosine_topk": SIM.cosine_topk_sql(ANN_QUERY_IDS, k=K),
         "embedding_neardup": SIM.cosine_pairs_sql(COS_PAIR_T),
         # full-probe IVF from the artifact is exact -> same oracle as brute

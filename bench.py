@@ -174,17 +174,13 @@ def main() -> int:
     # trade-off is one table.
     if os.environ.get("SPARKBM25_SKIP_PIPELINE") != "1":
         try:
-            from sparkbm25.pipeline.similarity import (
-                ann_index_search, build_ann_index, cosine_topk,
-            )
+            from pyspark.sql import functions as F
+
+            from sparkbm25.pipeline.similarity import build_ann_index, tune_n_probe
             from sparkbm25.session import ensure_shipped
 
             ensure_shipped(spark)
             emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            rq_ids = list(range(16))
-            exact = {}
-            for r in cosine_topk(emb, rq_ids, k=10).collect():
-                exact.setdefault(r.query_vec_id, set()).add(r.vec_id)
             import sparkbm25
 
             # version-keyed like the entry's cache: a layout change in a
@@ -193,37 +189,25 @@ def main() -> int:
             if not os.path.exists(f"{ann_dir}/manifest.json"):
                 manifest = build_ann_index(emb, ann_dir)  # sqrt-rule params
             else:
-                manifest = json.load(open(f"{ann_dir}/manifest.json"))
-            from pyspark.sql import functions as F
-
+                with open(f"{ann_dir}/manifest.json") as fh:
+                    manifest = json.load(fh)
+            rq_ids = list(range(16))
             qvecs = {
                 r.vec_id: list(r.embedding)
                 for r in emb.filter(F.col("vec_id").isin(rq_ids)).collect()
             }
-            curve = []
-            n_cent = int(manifest["n_centroids"])
-            for n_probe in (1, 2, 4, 8, 16):
-                if n_probe > n_cent:
-                    break
-                t0 = time.time()
-                got = {}
-                res = ann_index_search(
-                    spark, ann_dir, qvecs, k=10, n_probe=n_probe
-                ).collect()
-                s = time.time() - t0
-                for r in res:
-                    got.setdefault(r.query_vec_id, set()).add(r.vec_id)
-                rec = statistics.mean(
-                    len(got.get(q, set()) & exact[q]) / len(exact[q])
-                    for q in exact
-                )
-                curve.append({
-                    "n_probe": n_probe,
-                    "recall_at_10": round(rec, 4),
-                    "search_s": round(s, 3),
-                })
-            extras["ivf_recall_curve"] = curve
-            extras["ivf_n_centroids"] = n_cent
+            # the sweep IS tune_n_probe's probe-list mode: bench and the
+            # tuning API share one recall measurement (no drift)
+            tuned = tune_n_probe(
+                spark, ann_dir, qvecs, k=10, target_recall=1.0,
+                probes=[1, 2, 4, 8, 16],
+            )
+            extras["ivf_recall_curve"] = [
+                {"n_probe": c["n_probe"], "recall_at_10": c["recall"],
+                 "search_s": c["search_s"]}
+                for c in tuned["curve"]
+            ]
+            extras["ivf_n_centroids"] = int(manifest["n_centroids"])
             extras["ivf_default_n_probe"] = int(manifest["default_n_probe"])
         except Exception as e:
             extras["ivf_recall_error"] = str(e)[:200]

@@ -102,15 +102,31 @@ def _acquire_build_lock(index_dir: str, jid: str) -> str:
     fails if the name exists), so a competitor can never observe an empty
     lock and misread it as stale. Raises ConcurrentBuildError naming the
     holder while it is alive; a lock left by a dead pid is stolen
-    (kill-resume support). Single-host semantics — a multi-driver cluster
-    deployment should use the store's conditional-put for the same CAS."""
-    os.makedirs(index_dir, exist_ok=True)
-    path = os.path.join(index_dir, LOCKFILE)
-    # unique per pid AND thread: concurrent submitters inside ONE driver
-    # process (thread pools) must not share scratch names — a shared name
-    # lets thread A's cleanup unlink thread B's not-yet-linked payload
+    (kill-resume support).
+
+    The examine-and-steal step runs under an flock(2) on a persistent
+    sidecar guard file, which removes the whole observe/steal interleaving
+    class: no contender can unlink a lock it has not just re-read as dead
+    INSIDE the critical section, and fresh locks only appear via the
+    atomic link(2) outside it — a racer that loses the link re-enters the
+    guard and re-reads the now-alive holder. flock conflicts between
+    separate opens even within one process, so sibling THREADS of a
+    driver's submit pool are serialized too (a prior rename-based design
+    could destroy a sibling thread's fresh lock: same pid, blind rename).
+    The guard file is never unlinked — deleting it while held would let a
+    late opener lock a fresh inode and bypass the guard. The kernel drops
+    the flock if the holder dies mid-section. Single-host semantics — a
+    multi-driver cluster deployment should use the store's conditional-put
+    for the same CAS. Caveat (unchanged from every prior design): a stale
+    lock whose dead pid got RECYCLED into a live process reads as held.
+    """
+    import fcntl
     import threading
 
+    os.makedirs(index_dir, exist_ok=True)
+    path = os.path.join(index_dir, LOCKFILE)
+    # scratch unique per pid AND thread: a shared name would let thread
+    # A's cleanup unlink thread B's not-yet-linked payload
     uniq = f"{os.getpid()}.{threading.get_ident()}"
     tmp = f"{path}.{uniq}.tmp"
     with open(tmp, "w") as f:
@@ -121,62 +137,64 @@ def _acquire_build_lock(index_dir: str, jid: str) -> str:
                 os.link(tmp, path)
                 return path
             except FileExistsError:
+                pass
+            with open(f"{path}.guard", "a") as guard:
+                fcntl.flock(guard, fcntl.LOCK_EX)
                 try:
-                    with open(path) as f:
-                        holder = json.load(f)
-                except (OSError, json.JSONDecodeError):
-                    holder = {}
-                pid = holder.get("pid")
-                if pid is not None and _pid_alive(int(pid)):
-                    raise ConcurrentBuildError(
-                        f"index_dir {index_dir} is being built by pid {pid} "
-                        f"(job {str(holder.get('job_id', ''))[:12]}…); "
-                        "retry after it finishes"
-                    ) from None
-                # Stale lock from a dead process: steal ATOMICALLY via
-                # rename-to-unique-name — exactly one of several racing
-                # stealers wins the rename (losers get ENOENT and retry);
-                # a plain unlink here would race a faster stealer's fresh
-                # lock (observe-dead → it steals+relinks → we unlink ITS
-                # lock → two builds run).
-                stale = f"{path}.stale.{uniq}"
-                try:
-                    os.rename(path, stale)
-                except FileNotFoundError:
-                    continue  # another stealer won; loop re-examines
-                # The rename is atomic but BLIND: between our dead-pid read
-                # and the rename, a faster stealer may have completed its
-                # whole steal + re-link, in which case we just grabbed its
-                # FRESH lock. Verify what we renamed; if its holder is
-                # alive, give it back via link(2) (atomic: fails rather
-                # than clobbers if yet another racer took the name).
-                try:
-                    with open(stale) as f:
-                        gpid = json.load(f).get("pid")
-                except (OSError, json.JSONDecodeError):
-                    gpid = None
-                if (
-                    gpid is not None
-                    and int(gpid) != os.getpid()
-                    and _pid_alive(int(gpid))
-                ):
                     try:
-                        os.link(stale, path)
-                    except FileExistsError:
-                        pass  # a third racer took the name; surface below
-                    finally:
-                        os.unlink(stale)
-                    raise ConcurrentBuildError(
-                        f"index_dir {index_dir} is being built by pid "
-                        f"{gpid} (lock stolen-and-restored during a "
-                        "dead-lock race); retry after it finishes"
-                    ) from None
-                os.unlink(stale)
+                        with open(path) as f:
+                            holder = json.load(f)
+                    except FileNotFoundError:
+                        continue  # freed while we waited; retry the link
+                    except (OSError, json.JSONDecodeError):
+                        holder = {}
+                    pid = holder.get("pid")
+                    if pid is not None and _pid_alive(int(pid)):
+                        raise ConcurrentBuildError(
+                            f"index_dir {index_dir} is being built by pid "
+                            f"{pid} (job "
+                            f"{str(holder.get('job_id', ''))[:12]}…); "
+                            "retry after it finishes"
+                        ) from None
+                    # dead (or unreadable) holder: safe to remove INSIDE
+                    # the guard — no other contender can be between its
+                    # own dead-read and unlink, and any fresh lock linked
+                    # since our read would have a live pid and be caught
+                    # by the re-read above
+                    try:
+                        os.unlink(path)
+                    except FileNotFoundError:
+                        pass
+                finally:
+                    fcntl.flock(guard, fcntl.LOCK_UN)
     finally:
         try:
             os.unlink(tmp)
         except FileNotFoundError:
             pass
+
+
+def artifact_lock(index_dir: str, tag: str):
+    """Context-manager form of the build lock, shared by every artifact
+    MUTATOR in the repo (BM25 build/compact, IVF build/append/compact,
+    dedup-index build/append): concurrent mutations of one artifact dir
+    exclude each other with the same liveness/steal semantics as builds.
+    Readers stay lock-free by design — each mutator stages + swaps so a
+    reader never observes a half-written store."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        lock = _acquire_build_lock(index_dir, tag)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    return _cm()
 
 
 def build_index(

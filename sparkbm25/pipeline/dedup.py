@@ -598,32 +598,35 @@ def build_dedup_index(df: DataFrame, index_dir: str,
     stored bands instead of re-signing the corpus — the same
     build-once-serve-many artifact shape as the BM25 and IVF indexes (and
     the reference's whole mission, faiss_index_build_service.py:47-163)."""
-    import os
+    from ..jobs import artifact_lock
 
-    from ..ioutil import write_json_atomic
+    with artifact_lock(index_dir, "dedup-build"):
+        import os
 
-    os.makedirs(index_dir, exist_ok=True)
-    spark = df.sparkSession
-    sdir = os.path.join(index_dir, "shingles")
-    (
-        _shingle_hashes(df, text_col)
-        .select("doc_id", F.array_distinct("xs").alias("xs"))
-        .write.mode("overwrite")
-        .parquet(sdir)
-    )
-    xs_stored = spark.read.parquet(sdir)
-    minhash_bands_from_xs(xs_stored).write.partitionBy("band_id").mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, "bands"))
-    manifest = {
-        "kind": "minhash_lsh",
-        "bands": MH_BANDS,
-        "rows": MH_ROWS,
-        "ngram": NGRAM,
-        "n_docs": xs_stored.count(),  # metadata-only count on fresh parquet
-    }
-    write_json_atomic(os.path.join(index_dir, "manifest.json"), manifest)
-    return manifest
+        from ..ioutil import write_json_atomic
+
+        os.makedirs(index_dir, exist_ok=True)
+        spark = df.sparkSession
+        sdir = os.path.join(index_dir, "shingles")
+        (
+            _shingle_hashes(df, text_col)
+            .select("doc_id", F.array_distinct("xs").alias("xs"))
+            .write.mode("overwrite")
+            .parquet(sdir)
+        )
+        xs_stored = spark.read.parquet(sdir)
+        minhash_bands_from_xs(xs_stored).write.partitionBy("band_id").mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, "bands"))
+        manifest = {
+            "kind": "minhash_lsh",
+            "bands": MH_BANDS,
+            "rows": MH_ROWS,
+            "ngram": NGRAM,
+            "n_docs": xs_stored.count(),  # metadata-only count on fresh parquet
+        }
+        write_json_atomic(os.path.join(index_dir, "manifest.json"), manifest)
+        return manifest
 
 
 def _check_dedup_manifest(index_dir: str) -> dict:
@@ -723,20 +726,23 @@ def dedup_index_append(spark, index_dir: str, new_docs: DataFrame,
     concern, like streaming.append_batch. Run dedup_index_query BEFORE
     appending to get the batch's near-dup report. The batch is shingle-
     hashed once; bands derive from the written shingles."""
-    import os
+    from ..jobs import artifact_lock
 
-    from ..ioutil import write_json_atomic
+    with artifact_lock(index_dir, "dedup-append"):
+        import os
 
-    manifest = _check_dedup_manifest(index_dir)
-    new_xs = (
-        _shingle_hashes(new_docs, text_col)
-        .select("doc_id", F.array_distinct("xs").alias("xs"))
-        .localCheckpoint(eager=True)
-    )
-    new_xs.write.mode("append").parquet(os.path.join(index_dir, "shingles"))
-    minhash_bands_from_xs(new_xs).write.partitionBy("band_id").mode(
-        "append"
-    ).parquet(os.path.join(index_dir, "bands"))
-    manifest["n_docs"] = int(manifest["n_docs"]) + new_xs.count()
-    write_json_atomic(os.path.join(index_dir, "manifest.json"), manifest)
-    return manifest
+        from ..ioutil import write_json_atomic
+
+        manifest = _check_dedup_manifest(index_dir)
+        new_xs = (
+            _shingle_hashes(new_docs, text_col)
+            .select("doc_id", F.array_distinct("xs").alias("xs"))
+            .localCheckpoint(eager=True)
+        )
+        new_xs.write.mode("append").parquet(os.path.join(index_dir, "shingles"))
+        minhash_bands_from_xs(new_xs).write.partitionBy("band_id").mode(
+            "append"
+        ).parquet(os.path.join(index_dir, "bands"))
+        manifest["n_docs"] = int(manifest["n_docs"]) + new_xs.count()
+        write_json_atomic(os.path.join(index_dir, "manifest.json"), manifest)
+        return manifest

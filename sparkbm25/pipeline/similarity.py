@@ -562,28 +562,31 @@ def build_ann_index(
     n_centroids=None derives max(16, floor(sqrt(n))) via
     planner.auto_ann_params (the reference's n_lists rule); the manifest
     records the derived default_n_probe for searches to inherit."""
-    import os
+    from ..jobs import artifact_lock
 
-    from ..ioutil import write_json_atomic
+    with artifact_lock(index_dir, "ann-build"):
+        import os
 
-    assigned, cmat = ivf_assign(df, n_centroids)
-    os.makedirs(index_dir, exist_ok=True)
-    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
-        os.path.join(index_dir, "vectors")
-    )
-    import math
+        from ..ioutil import write_json_atomic
 
-    manifest = {
-        # actual count, not the requested upper bound (degenerate corpora
-        # train fewer centroids than asked)
-        "n_centroids": int(cmat.shape[0]),
-        "dim": int(cmat.shape[1]),
-        "metric": "cosine",
-        "default_n_probe": max(4, math.isqrt(int(cmat.shape[0]))),
-        "centroids": [[float(x) for x in row] for row in cmat],
-    }
-    write_json_atomic(os.path.join(index_dir, "manifest.json"), manifest)
-    return manifest
+        assigned, cmat = ivf_assign(df, n_centroids)
+        os.makedirs(index_dir, exist_ok=True)
+        assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
+            os.path.join(index_dir, "vectors")
+        )
+        import math
+
+        manifest = {
+            # actual count, not the requested upper bound (degenerate corpora
+            # train fewer centroids than asked)
+            "n_centroids": int(cmat.shape[0]),
+            "dim": int(cmat.shape[1]),
+            "metric": "cosine",
+            "default_n_probe": max(4, math.isqrt(int(cmat.shape[0]))),
+            "centroids": [[float(x) for x in row] for row in cmat],
+        }
+        write_json_atomic(os.path.join(index_dir, "manifest.json"), manifest)
+        return manifest
 
 
 def ann_index_append(
@@ -600,39 +603,42 @@ def ann_index_append(
     audit_ids=False — callers that enforce disjointness upstream, like the
     streaming ingest's collision audit) new vec_ids must be disjoint from
     the stored ones, else searches would return duplicate rows."""
-    import json
-    import os
+    from ..jobs import artifact_lock
 
-    mpath = os.path.join(index_dir, "manifest.json")
-    with open(mpath) as f:
-        manifest = json.load(f)
-    cmat = np.asarray(manifest["centroids"], dtype=np.float64)
-    dim = int(manifest["dim"])
-    vec_dir = os.path.join(index_dir, "vectors")
-    bad = (
-        new_vecs.select(F.size("embedding").alias("d"))
-        .filter(F.col("d") != dim)
-        .first()
-    )
-    if bad is not None:
-        raise ValueError(
-            f"ann_index_append: batch has embeddings of dim {bad['d']}, "
-            f"index at {index_dir} was built with dim {dim}"
+    with artifact_lock(index_dir, "ann-append"):
+        import json
+        import os
+
+        mpath = os.path.join(index_dir, "manifest.json")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        cmat = np.asarray(manifest["centroids"], dtype=np.float64)
+        dim = int(manifest["dim"])
+        vec_dir = os.path.join(index_dir, "vectors")
+        bad = (
+            new_vecs.select(F.size("embedding").alias("d"))
+            .filter(F.col("d") != dim)
+            .first()
         )
-    if audit_ids:
-        stored_ids = spark.read.parquet(vec_dir).select("vec_id")
-        n_dup = new_vecs.select("vec_id").join(stored_ids, "vec_id").count()
-        if n_dup:
+        if bad is not None:
             raise ValueError(
-                f"ann_index_append: {n_dup} vec_ids in the batch already "
-                f"exist in the index at {index_dir}; appending would "
-                "duplicate search results (pass audit_ids=False only if "
-                "disjointness is enforced upstream)"
+                f"ann_index_append: batch has embeddings of dim {bad['d']}, "
+                f"index at {index_dir} was built with dim {dim}"
             )
-    _assign_to_centroids(new_vecs, cmat).write.partitionBy(
-        "centroid_id"
-    ).mode("append").parquet(vec_dir)
-    return manifest
+        if audit_ids:
+            stored_ids = spark.read.parquet(vec_dir).select("vec_id")
+            n_dup = new_vecs.select("vec_id").join(stored_ids, "vec_id").count()
+            if n_dup:
+                raise ValueError(
+                    f"ann_index_append: {n_dup} vec_ids in the batch already "
+                    f"exist in the index at {index_dir}; appending would "
+                    "duplicate search results (pass audit_ids=False only if "
+                    "disjointness is enforced upstream)"
+                )
+        _assign_to_centroids(new_vecs, cmat).write.partitionBy(
+            "centroid_id"
+        ).mode("append").parquet(vec_dir)
+        return manifest
 
 
 def ann_index_search(
@@ -670,11 +676,18 @@ def ann_index_search(
 def tune_n_probe(
     spark, index_dir: str, query_vecs: dict[int, list[float]],
     k: int = 10, target_recall: float = 0.9,
+    probes: list[int] | None = None,
 ) -> dict:
     """Probe-to-recall auto-tune over a persisted IVF artifact: walk
     n_probe up (doubling from the manifest's sqrt-rule default) until
     measured recall@k on the given sample queries reaches the target, and
-    return the chosen n_probe plus the measured curve.
+    return the chosen n_probe plus the measured curve. With an explicit
+    ``probes`` list, EVERY listed point is measured (no early stop) and
+    the chosen n_probe is the smallest meeting the target (else the
+    last) — this sweep mode is what bench.py's recall curve runs, so the
+    benchmark and the tuning API share one recall measurement instead of
+    two drifting implementations. Curve entries carry per-point wall
+    seconds (``search_s``).
 
     The reference exposes the same trade-off as a benchmark-time ef_search
     sweep (benchmarking/benchmarks.yml:14-15, search_indices.py:41-44
@@ -692,6 +705,7 @@ def tune_n_probe(
     retry."""
     import json
     import os
+    import time
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
@@ -710,10 +724,8 @@ def tune_n_probe(
     for r in exact_df.collect():
         exact.setdefault(int(r.query_vec_id), set()).add(int(r.vec_id))
 
-    n_probe = int(manifest.get("default_n_probe") or 4)
-    n_probe = min(max(1, n_probe), n_cent)
-    curve = []
-    while True:
+    def measure(n_probe: int) -> dict:
+        t0 = time.time()
         got: dict[int, set] = {}
         for r in ann_index_search(
             spark, index_dir, query_vecs, k=k, n_probe=n_probe
@@ -726,15 +738,35 @@ def tune_n_probe(
             ) / len(exact)
             if exact else 1.0
         )
-        curve.append({"n_probe": n_probe, "recall": round(recall, 4)})
-        if recall >= target_recall or n_probe >= n_cent:
-            break
-        n_probe = min(n_cent, n_probe * 2)
+        return {
+            "n_probe": n_probe,
+            "recall": round(recall, 4),
+            "search_s": round(time.time() - t0, 3),
+        }
+
+    curve = []
+    if probes is not None:
+        for p in probes:
+            if p > n_cent:
+                break
+            curve.append(measure(int(p)))
+        chosen = next(
+            (c for c in curve if c["recall"] >= target_recall), curve[-1]
+        )
+    else:
+        n_probe = int(manifest.get("default_n_probe") or 4)
+        n_probe = min(max(1, n_probe), n_cent)
+        while True:
+            curve.append(measure(n_probe))
+            if curve[-1]["recall"] >= target_recall or n_probe >= n_cent:
+                break
+            n_probe = min(n_cent, n_probe * 2)
+        chosen = curve[-1]
     return {
-        "n_probe": n_probe,
-        "recall": round(recall, 4),
+        "n_probe": chosen["n_probe"],
+        "recall": chosen["recall"],
         "target_recall": target_recall,
-        "met": recall >= target_recall,
+        "met": chosen["recall"] >= target_recall,
         "curve": curve,
     }
 
@@ -748,41 +780,47 @@ def ann_index_compact(spark, index_dir: str) -> dict:
     Centroids, assignments and the manifest are untouched — this is a
     pure physical rewrite (assignment is a deterministic function of the
     frozen centroids), audited by an exact row-count check before swap.
+    Holds the artifact lock, so appends/builds/compactions of one index
+    exclude each other (a lock-free compact could silently delete a
+    concurrent append's rows: both audit counts predate the append).
     Staging keeps concurrent searches off half-written data, but the
     rename swap itself is a maintenance window (a reader between the two
-    renames sees a missing dir and fails loudly) — run it like
-    compact_index: exclusively, with searches refreshed afterwards."""
-    import json
-    import os
-    import shutil
+    renames sees a missing dir and fails loudly, never reads wrong data);
+    refresh search handles afterwards."""
+    from ..jobs import artifact_lock
 
-    from ..ioutil import write_json_atomic
+    with artifact_lock(index_dir, "ann-compact"):
+        import json
+        import os
+        import shutil
 
-    mpath = os.path.join(index_dir, "manifest.json")
-    with open(mpath) as f:
-        manifest = json.load(f)
-    vec_dir = os.path.join(index_dir, "vectors")
-    staging = os.path.join(index_dir, "vectors_compacting")
-    shutil.rmtree(staging, ignore_errors=True)
-    vectors = spark.read.parquet(vec_dir)
-    n_before = vectors.count()
-    (
-        vectors.repartition("centroid_id")
-        .write.partitionBy("centroid_id")
-        .mode("overwrite")
-        .parquet(staging)
-    )
-    n_after = spark.read.parquet(staging).count()
-    if n_after != n_before:
-        raise ValueError(
-            f"ann_index_compact dropped rows: {n_before} -> {n_after}; "
-            f"staging kept at {staging}"
+        from ..ioutil import write_json_atomic
+
+        mpath = os.path.join(index_dir, "manifest.json")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        vec_dir = os.path.join(index_dir, "vectors")
+        staging = os.path.join(index_dir, "vectors_compacting")
+        shutil.rmtree(staging, ignore_errors=True)
+        vectors = spark.read.parquet(vec_dir)
+        n_before = vectors.count()
+        (
+            vectors.repartition("centroid_id")
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(staging)
         )
-    old = os.path.join(index_dir, "vectors_old")
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(vec_dir, old)
-    os.rename(staging, vec_dir)
-    shutil.rmtree(old)
-    manifest.setdefault("metrics", {})["vector_compaction_rows"] = int(n_after)
-    write_json_atomic(mpath, manifest)
-    return manifest
+        n_after = spark.read.parquet(staging).count()
+        if n_after != n_before:
+            raise ValueError(
+                f"ann_index_compact dropped rows: {n_before} -> {n_after}; "
+                f"staging kept at {staging}"
+            )
+        old = os.path.join(index_dir, "vectors_old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(vec_dir, old)
+        os.rename(staging, vec_dir)
+        shutil.rmtree(old)
+        manifest.setdefault("metrics", {})["vector_compaction_rows"] = int(n_after)
+        write_json_atomic(mpath, manifest)
+        return manifest

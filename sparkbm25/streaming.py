@@ -263,9 +263,18 @@ def streaming_sessionize(stream: DataFrame, gap_minutes: int = 30,
 
 
 def streaming_sessionize_event_time(
-    stream: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes"
+    stream: DataFrame, gap_minutes: int = 30, watermark_minutes: float = 10.0
 ):
     """Event-time sessionization: ``withWatermark(ts)`` + EventTimeTimeout.
+
+    REQUIRES watermark_minutes <= gap_minutes (validated): with a longer
+    watermark delay, an accepted-but-late event (older than an already
+    gap-CLOSED session's end) would be absorbed into the newer open
+    session, producing boundaries batch sessionize over the same filtered
+    input would never emit — the equality contract below breaks. With
+    delay <= gap, any accepted event is newer than (last - gap) of the
+    open session, so the absorb rule can only touch the still-open
+    session batch sessionize would extend too.
 
     Differences from ``streaming_sessionize`` (the processing-time base
     variant), both deliberate:
@@ -294,6 +303,13 @@ def streaming_sessionize_event_time(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if watermark_minutes > gap_minutes:
+        raise ValueError(
+            f"watermark_minutes ({watermark_minutes}) must be <= "
+            f"gap_minutes ({gap_minutes}): a longer late-data allowance "
+            "than the session gap lets accepted late events reopen "
+            "boundaries that batch sessionize would close differently"
+        )
     gap_ms = gap_minutes * 60 * 1000
     out_schema = (
         "user_id long, session_start timestamp, session_end timestamp, "
@@ -345,12 +361,20 @@ def streaming_sessionize_event_time(
                         last, n, sv = t, n + 1, sv + float(v)
             if start is not None:
                 state.update((start, last, n, sv))
-                # must be strictly above the current watermark or Spark
-                # rejects it (can happen when every event in the batch was
-                # older than wm + gap)
-                state.setTimeoutTimestamp(
-                    max(last // 1_000_000 + gap_ms + 1, wm_ms + 1)
-                )
+                # arm the timeout at the first instant NO future event
+                # could extend the session under the SECOND-TRUNCATED gap
+                # rule above: events with t_s <= last_s + gap_s still
+                # extend, so fire only once the watermark passes
+                # (last_s + gap_s + 1) seconds — ms-precision arming
+                # (last_ms + gap_ms) would finalize up to 1 s early and
+                # break the batch equivalence for sub-second timestamps.
+                # Must also be strictly above the current watermark or
+                # Spark rejects it (possible when every event in the
+                # batch was older than wm + gap).
+                fire_ms = (
+                    last // 1_000_000_000 + gap_ms // 1000 + 1
+                ) * 1000
+                state.setTimeoutTimestamp(max(fire_ms, wm_ms + 1))
         if closed:
             yield pd.DataFrame(
                 {
@@ -369,7 +393,7 @@ def streaming_sessionize_event_time(
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         stream.select("user_id", "ts", "value")
-        .withWatermark("ts", watermark)
+        .withWatermark("ts", f"{int(watermark_minutes * 60)} seconds")
         .groupBy("user_id")
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append",

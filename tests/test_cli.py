@@ -138,35 +138,47 @@ def test_concurrent_submit_locked(spark, tmp_path):
     assert ix.n_docs == 50
 
 
-def test_stale_steal_gives_back_fresh_lock(tmp_path, monkeypatch):
-    """The observe-dead -> rename window: if a faster stealer completed its
-    whole steal and re-linked a FRESH (live) lock in between, the blind
-    rename grabs that fresh lock. The verify-after-rename must detect the
-    live holder, restore the lock file, and raise ConcurrentBuildError —
-    never proceed into a second concurrent build. Simulated by flipping
-    _pid_alive between the observe read and the post-rename verify."""
+def test_dead_lock_race_exactly_one_winner(tmp_path):
+    """N threads race a lock left by a DEAD pid: the flock-guarded
+    examine-and-steal must admit EXACTLY one winner; every loser gets
+    ConcurrentBuildError (never a second acquisition, never a destroyed
+    fresh lock — the failure modes of the earlier unlink- and
+    rename-based steals). The winner's own payload must be what is left
+    on disk."""
     import json as _json
     import os as _os
+    import subprocess as _sp
+    import threading
 
     from sparkbm25 import jobs as J
 
     d = str(tmp_path / "race_ix")
     _os.makedirs(d, exist_ok=True)
     lock = _os.path.join(d, J.LOCKFILE)
+    p = _sp.Popen(["true"])
+    p.wait()  # reaped: guaranteed-dead pid
     with open(lock, "w") as f:
-        _json.dump({"pid": 12345, "job_id": "fresh"}, f)
+        _json.dump({"pid": p.pid, "job_id": "dead"}, f)
 
-    calls = {"n": 0}
+    results: list[str] = []
+    res_lock = threading.Lock()
 
-    def flip_alive(pid):
-        calls["n"] += 1
-        return calls["n"] > 1  # observe: dead; verify (and later): alive
+    def contender(i):
+        try:
+            J._acquire_build_lock(d, f"{i:064d}")
+            with res_lock:
+                results.append("won")
+        except J.ConcurrentBuildError:
+            with res_lock:
+                results.append("busy")
 
-    monkeypatch.setattr(J, "_pid_alive", flip_alive)
-    with pytest.raises(J.ConcurrentBuildError, match="stolen-and-restored"):
-        J._acquire_build_lock(d, "a" * 64)
-    # the fresh lock was restored intact, not lost
+    ts = [threading.Thread(target=contender, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert results.count("won") == 1, results
+    assert results.count("busy") == 7, results
     with open(lock) as f:
-        restored = _json.load(f)
-    assert restored == {"pid": 12345, "job_id": "fresh"}
-    assert not any(".stale." in p for p in _os.listdir(d))
+        held = _json.load(f)
+    assert held["pid"] == _os.getpid()  # the winner's fresh lock survived

@@ -199,7 +199,7 @@ def test_streaming_sessionize_event_time(spark, tmp_path):
     def ts(s):  # epoch seconds -> naive UTC timestamp
         return dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None)
 
-    GAP_MIN, WM = 30, "10 minutes"  # gap 1800 s, watermark delay 600 s
+    GAP_MIN, WM = 30, 10  # gap 1800 s, watermark delay 600 s
     # batch 0: two sessions in the past + a watermark driver far ahead
     b0 = [
         (1, ts(1000), 1.0), (1, ts(1100), 2.0),   # user 1 session A
@@ -356,3 +356,58 @@ def test_compact_index_preserves_stored_text(spark, corpora, tmp_path):
     ix2 = Index(spark, d)
     after = {r.doc_id: r.text for r in ix2.fetch_text(id_df).collect()}
     assert after == before
+
+
+def test_event_time_timeout_respects_truncated_gap(spark, tmp_path):
+    """Sub-second boundary: the gap-close rule is SECOND-truncated
+    (matches batch unix_timestamp semantics), so the event-time timeout
+    must not fire while an event could still extend the session under
+    that rule. With last=1000.9s and gap=1800s, an event at 2800.98s
+    still extends (2800-1000 = 1800, not > 1800); a watermark of
+    2800.95s sits between the (buggy) ms-armed fire point 2800.901s and
+    the correct 2801.0s one — the session must stay OPEN and absorb the
+    extender, emitting nothing."""
+    import datetime as dt
+
+    from sparkbm25.streaming import streaming_sessionize_event_time
+
+    def ts(s):
+        return dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None)
+
+    schema = "user_id long, ts timestamp_ntz, value double"
+    src = str(tmp_path / "subsec_src")
+    # batch 0: u1's session at 1000.9; u99 drives wm to 2803.95-3 = 2800.95
+    spark.createDataFrame(
+        [(1, ts(1000.9), 1.0), (99, ts(2803.95), 9.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/b=0")
+    # batch 1: still-extending event for u1 under the truncated rule
+    spark.createDataFrame(
+        [(1, ts(2800.98), 2.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/b=1")
+
+    q = (
+        streaming_sessionize_event_time(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/b=*"),
+            gap_minutes=30, watermark_minutes=0.05,  # 3 s delay
+        )
+        .writeStream.format("memory").queryName("subsec_sess")
+        .option("checkpointLocation", str(tmp_path / "subsec_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM subsec_sess").collect()
+    # nothing is final: u1's session absorbed the 2800.98 extender instead
+    # of being timeout-closed at 2800.901 (the ms-armed bug), u99 is open
+    assert rows == [], rows
+
+
+def test_event_time_watermark_exceeding_gap_refused(spark, tmp_path):
+    from sparkbm25.streaming import streaming_sessionize_event_time
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp_ntz, value double"
+    ).parquet(str(tmp_path))
+    with pytest.raises(ValueError, match="watermark_minutes"):
+        streaming_sessionize_event_time(stream, gap_minutes=30,
+                                        watermark_minutes=31)
