@@ -746,3 +746,60 @@ def dedup_index_append(spark, index_dir: str, new_docs: DataFrame,
         manifest["n_docs"] = int(manifest["n_docs"]) + new_xs.count()
         write_json_atomic(os.path.join(index_dir, "manifest.json"), manifest)
         return manifest
+
+
+def dedup_index_compact(spark, index_dir: str) -> dict:
+    """Defragment the near-dup artifact after incremental appends — the
+    third artifact's segment merge (BM25: streaming.compact_index; IVF:
+    similarity.ann_index_compact). Each dedup_index_append adds one file
+    set per band partition plus one to shingles/; a standing ingest
+    accumulates small files until query-time listing dominates. Pure
+    physical rewrite (band keys and shingle sets are deterministic
+    functions of the stored data): bands repartitioned by band_id, one
+    file per partition; shingles coalesced toward the same file count.
+    Row-count audits on both stores before the staged swap; holds the
+    artifact lock so appends/builds/compactions exclude each other."""
+    import json
+    import os
+    import shutil
+
+    from ..ioutil import write_json_atomic
+    from ..jobs import artifact_lock
+
+    with artifact_lock(index_dir, "dedup-compact"):
+        manifest = _check_dedup_manifest(index_dir)
+        staging = os.path.join(index_dir, "compact_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        audits = {}
+        for name, part_col in (("bands", "band_id"), ("shingles", None)):
+            src_dir = os.path.join(index_dir, name)
+            df = spark.read.parquet(src_dir)
+            n_before = df.count()
+            out = os.path.join(staging, name)
+            if part_col:
+                (
+                    df.repartition(part_col)
+                    .write.partitionBy(part_col)
+                    .mode("overwrite").parquet(out)
+                )
+            else:
+                df.coalesce(max(4, MH_BANDS // 8)).write.mode(
+                    "overwrite"
+                ).parquet(out)
+            n_after = spark.read.parquet(out).count()
+            if n_after != n_before:
+                raise ValueError(
+                    f"dedup_index_compact dropped rows in {name}: "
+                    f"{n_before} -> {n_after}; staging kept at {staging}"
+                )
+            audits[name] = int(n_after)
+        for name in ("bands", "shingles"):
+            old = os.path.join(index_dir, f"{name}_old")
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(os.path.join(index_dir, name), old)
+            os.rename(os.path.join(staging, name), os.path.join(index_dir, name))
+            shutil.rmtree(old)
+        shutil.rmtree(staging, ignore_errors=True)
+        manifest.setdefault("metrics", {})["compaction_rows"] = audits
+        write_json_atomic(os.path.join(index_dir, "manifest.json"), manifest)
+        return manifest

@@ -605,3 +605,68 @@ def test_curate_matches_duckdb(spark, docs):
     a = got[cols].round(6).sort_values(cols).reset_index(drop=True)
     b = want[cols].round(6).sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_dedup_index_compact_preserves_queries(docs, tmp_path, spark):
+    """Artifact defrag: two fragmenting appends, then compaction must keep
+    every stored row (audited), shrink the band file count, and leave
+    dedup_index_query results bit-identical."""
+    import glob
+
+    base = docs.filter(F.col("doc_id") < 250)
+    mid1 = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 330))
+    mid2 = docs.filter((F.col("doc_id") >= 330) & (F.col("doc_id") < 400))
+    new = docs.filter(F.col("doc_id") >= 400)
+    d = str(tmp_path / "dedup_cmp")
+    D.build_dedup_index(base, d)
+    D.dedup_index_append(spark, d, mid1)
+    D.dedup_index_append(spark, d, mid2)
+
+    before = {(r.doc_a, r.doc_b, r.jaccard)
+              for r in D.dedup_index_query(spark, d, new, 0.5).collect()}
+    files_before = len(glob.glob(f"{d}/bands/band_id=*/*.parquet"))
+
+    m = D.dedup_index_compact(spark, d)
+    assert set(m["metrics"]["compaction_rows"]) == {"bands", "shingles"}
+    files_after = len(glob.glob(f"{d}/bands/band_id=*/*.parquet"))
+    assert files_after < files_before
+
+    after = {(r.doc_a, r.doc_b, r.jaccard)
+             for r in D.dedup_index_query(spark, d, new, 0.5).collect()}
+    assert after == before and len(before) > 0
+
+
+@pytest.mark.parametrize("seed", [11, 202])
+def test_curate_fuzz_matches_duckdb(spark, seed):
+    """Seeded nasty corpora through the COMPOSED curation table vs the
+    composed oracle SQL: the policy flags must agree row-for-row even on
+    empty/unicode/repetition-heavy docs (composition can break where the
+    primitives individually pass — e.g. a doc with no shingles must be
+    neardup-canonical, a doc with no tokens must land in the und bucket)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from sparkbm25.pipeline.curate import curate, curate_sql
+    from tests.test_fuzz_rank_identity import _random_corpus
+
+    rng = random.Random(seed)
+    docs, _ = _random_corpus(rng, n_docs=90)
+    # plant near-dup + exact-dup structure on top of the random base
+    long_doc = " ".join(f"tok{i % 17} filler{i % 5}" for i in range(60))
+    docs += [(9001, long_doc), (9002, long_doc),
+             (9003, long_doc + " extra tail clause")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = curate(df, 0.5, 0.7, ("en", "und")).toPandas()
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = con.execute(curate_sql(0.5, 0.7, ("en", "und"))).fetchdf()
+    cols = sorted(got.columns)
+    a = got[cols].round(6).sort_values(cols).reset_index(drop=True)
+    b = want[cols].round(6).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    by_id = {r.doc_id: r for _, r in got.iterrows()}
+    assert by_id[9002].exact_canonical == 0          # exact dup of 9001
+    assert by_id[9003].neardup_canonical == 0        # near-dup of 9001
+    assert by_id[9001].exact_canonical == 1
