@@ -803,3 +803,90 @@ def dedup_index_compact(spark, index_dir: str) -> dict:
         manifest.setdefault("metrics", {})["compaction_rows"] = audits
         write_json_atomic(os.path.join(index_dir, "manifest.json"), manifest)
         return manifest
+
+
+def connected_components_star(pairs: DataFrame, max_iter: int = 16) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm), same contract as connected_components:
+    (doc_id, cluster_id = min doc_id of the component) over an undirected
+    edge list.
+
+    Why it exists alongside min-label propagation: label propagation
+    converges in O(component diameter) rounds — fine for clique-ish
+    near-dup clusters, quadratic-round-count for chain-shaped graphs
+    (100-link chain = 100 shuffles, and the default guard raises at 25).
+    The star algorithm converges in O(log n) rounds REGARDLESS of
+    diameter: each round is the same primitive (one groupBy-u shuffle +
+    a join), but the graph is rewired toward stars instead of labels
+    being diffused hop by hop.
+
+    Round = large-star (hook every larger neighbor of u to
+    m = min(N(u) ∪ {u})) then small-star (hook every smaller neighbor and
+    u itself to the minimum of the smaller neighborhood). Fixpoint (edge
+    set unchanged — checked EXACTLY via a distributed except, not a
+    collidable checksum) is a star forest: every node points at its
+    component min. Raises if max_iter rounds don't converge (log2-bounded,
+    so 16 covers ~64k-node components of ANY shape; raise it for more)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    for _ in range(max_iter):
+        # large-star: for each u, hook strictly-larger neighbors to
+        # m = min(N(u) + {u})
+        sym = _sym(edges).localCheckpoint(eager=True)
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv")).withColumn(
+            "m", F.least(F.col("u"), F.col("mv"))
+        ).select("u", "m")
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: for each u over its SMALLER neighborhood,
+        # hook those neighbors and u itself to that neighborhood's min
+        lsym = _sym(large).localCheckpoint(eager=True)
+        smaller = lsym.filter(F.col("v") < F.col("u"))
+        smins = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        hooked = smaller.join(smins, "u")
+        new_edges = (
+            hooked.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(hooked.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_edges.exceptAll(edges).head(1)
+            or edges.exceptAll(new_edges).head(1)
+        )
+        edges = new_edges
+        if not changed:
+            break
+    else:
+        raise ValueError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds (log2-bounded: this means >2^max_iter nodes in one "
+            "component); raise max_iter"
+        )
+    roots = edges.select(F.col("v").alias("doc_id")).subtract(
+        edges.select(F.col("u").alias("doc_id"))
+    )
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            roots.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        )
+        .distinct()
+    )
