@@ -145,7 +145,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     over EXACT Jaccard pairs: sound because at the measured true-pair
     minimum J=0.8 the r=2,b=32 banding misses a true edge w.p. ~6.5e-15
     and verification removes false edges, so the edge lists (hence
-    components) coincide."""
+    components) coincide. Label propagation is the right variant HERE
+    (near-dup clusters are clique-ish, diameter 1-3 = 1-3 rounds);
+    connected_components_star is the drop-in for long-chain graphs."""
     from sparkbm25.pipeline.dedup import connected_components, minhash_lsh_pairs
 
     ensure_shipped(spark)

@@ -251,8 +251,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # component whose diameter exceeds max_iter — fail loudly instead
         raise ValueError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(a component's diameter exceeds it); raise max_iter or switch "
-            "to the large-star/small-star variant for long-chain graphs"
+            "(a component's diameter exceeds it); raise max_iter or use "
+            "connected_components_star (log-bounded rounds at any diameter)"
         )
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
