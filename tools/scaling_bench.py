@@ -59,6 +59,16 @@ t0 = time.time()
 index_search(ix, queries, k=10).count()
 t_query = time.time() - t0
 
+# 500-query batch: amortizes the fixed per-batch scheduling floor
+# (~2-3 s regardless of core count) that dominates the 100-query number
+# and suppresses its measured scaling; the 500-query figure is the
+# compute-bound query-scaling signal
+q500 = make_queries(500)
+index_search(ix, q500, k=10).count()
+t0 = time.time()
+index_search(ix, q500, k=10).count()
+t_query500 = time.time() - t0
+
 # control experiment: a pure-JVM Catalyst scan (tokenize + aggregate, no
 # Python, no shuffle) over the same input. If THIS stops scaling with
 # cores, the host's memory bandwidth — not the engine — is the ceiling.
@@ -75,6 +85,8 @@ print("RESULT " + json.dumps({
     "build_turns_per_sec": round(n / t_build, 1),
     "query_batch_s": round(t_query, 2),
     "query_qps": round(100 / t_query, 2),
+    "query500_batch_s": round(t_query500, 2),
+    "query500_qps": round(500 / t_query500, 2),
     "jvm_scan_control_s": round(t_scan, 2),
 }))
 spark.stop()
@@ -127,12 +139,14 @@ def main() -> int:
     hi = run_level(args.n * 4, corpus_path)
     eff_build = (hi["build_turns_per_sec"] / lo["build_turns_per_sec"]) / 4
     eff_query = (hi["query_qps"] / lo["query_qps"]) / 4
+    eff_query500 = (hi["query500_qps"] / lo["query500_qps"]) / 4
     eff_control = (lo["jvm_scan_control_s"] / hi["jvm_scan_control_s"]) / 4
     out = {
         "criterion": "throughput scaling efficiency >= 0.8 from N to 4N parallelism",
         "levels": [lo, hi],
         "scaling_efficiency_build": round(eff_build, 3),
         "scaling_efficiency_query": round(eff_query, 3),
+        "scaling_efficiency_query500": round(eff_query500, 3),
         "scaling_efficiency_jvm_scan_control": round(eff_control, 3),
         "passes_0_8": eff_build >= 0.8,
         "note": (
