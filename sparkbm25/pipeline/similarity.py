@@ -227,6 +227,7 @@ def cosine_pairs_auto(
     threshold: float,
     task_budget_bytes: int = 256 << 20,
     margin_threshold: float = LSH_MARGIN_THRESHOLD,
+    exact: bool | None = None,
 ) -> DataFrame:
     """Threshold-pair router — the driver-facing entry point.
 
@@ -235,10 +236,29 @@ def cosine_pairs_auto(
     DERIVED from (count, dim) so a tile always fits the task budget, and a
     warning names the O(n^2) contract when the compute is genuinely large
     (the admission-control analog: here the exact semantics are the user's
-    explicit ask, so we warn-and-run rather than refuse)."""
+    explicit ask, so we warn-and-run rather than refuse).
+
+    ``exact`` pins the semantics instead of letting the threshold decide:
+    ``exact=True`` always runs the tile join (no silent approximation —
+    LSH misses a true pair at cosine c with probability up to ~2e-3 at
+    c=0.7); ``exact=False`` always runs LSH (caller accepts the miss
+    probability, e.g. after measuring their data's margin). With the
+    default ``exact=None`` the router decides by threshold and WARNS when
+    it picks the approximate path, so no caller gets probabilistic
+    semantics without a runtime signal."""
     import warnings
 
-    if threshold >= margin_threshold:
+    if exact is None and threshold >= margin_threshold:
+        warnings.warn(
+            f"cosine_pairs_auto: threshold {threshold} >= margin point "
+            f"{margin_threshold} routes to APPROXIMATE banded LSH "
+            "(per-pair miss probability up to ~2e-3 at cosine 0.7, "
+            "falling fast with similarity); pass exact=True to force the "
+            "exact tile join, or exact=False to silence this",
+            stacklevel=2,
+        )
+        return cosine_pairs_lsh(df, threshold)
+    if exact is False:
         return cosine_pairs_lsh(df, threshold)
     row = df.agg(
         F.count("vec_id").alias("n"), F.min(F.size("embedding")).alias("d")
@@ -746,10 +766,25 @@ def tune_n_probe(
 
     curve = []
     if probes is not None:
+        # clamp out-of-range points to the exact full probe instead of
+        # skipping them — a list whose entries ALL exceed n_centroids must
+        # still measure something (an empty curve would crash below), and
+        # the full-probe point is the honest stand-in for "probe more than
+        # exists". Dedup after clamping so one full-probe measurement
+        # serves every clamped entry.
+        clamped, seen = [], set()
         for p in probes:
-            if p > n_cent:
-                break
-            curve.append(measure(int(p)))
+            p = min(int(p), n_cent)
+            if p >= 1 and p not in seen:
+                seen.add(p)
+                clamped.append(p)
+        if not clamped:
+            raise ValueError(
+                f"probes {probes!r} contains no usable point (n_centroids="
+                f"{n_cent}); pass at least one integer >= 1"
+            )
+        for p in clamped:
+            curve.append(measure(p))
         chosen = next(
             (c for c in curve if c["recall"] >= target_recall), curve[-1]
         )

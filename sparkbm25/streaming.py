@@ -285,21 +285,33 @@ def streaming_sessionize_event_time(
       kernel against ``state.getCurrentWatermarkMs()`` — explicit and
       engine-version-independent, rather than relying on the planner's
       late-row filtering for arbitrary stateful ops.
-    - trailing sessions CLOSE: each update arms an event-time timeout at
-      ``last_event + gap``; when the watermark passes it the session is
-      final and emitted (Spark's no-data micro-batches fire pending
-      timeouts after input drains). So over a drained stream the emitted
-      set equals batch ``events.sessionize`` over the watermark-filtered
-      input, RESTRICTED to sessions whose ``end + gap`` the final
-      watermark passed — the base variant instead holds every user's
-      trailing session open forever (bounded state, but never final).
+    - sessions FINALIZE ONLY via the watermark (Spark session-window merge
+      semantics): a gap split does NOT emit the closed session — it stays
+      buffered in state until the watermark passes its ``end + gap``,
+      because a late-but-accepted event can still land between the closed
+      session and the open one and BRIDGE them (gap=delay=30 min, events
+      t=1000 s, 3000 s, then late t=2500 s must yield ONE session
+      [1000, 3000], exactly as batch sessionize over the accepted input
+      does). Emission happens when no accepted event can ever extend a
+      session again: ``watermark_s > last_s + gap_s``, checked both on
+      event-time timeout and opportunistically on each data batch. So over
+      a drained stream the emitted set equals batch ``events.sessionize``
+      over the watermark-filtered input, RESTRICTED to sessions whose
+      ``end + gap`` the final watermark passed — the base variant instead
+      holds every user's trailing session open forever (bounded state, but
+      never final).
 
-    State stays one (start, last, n, sum) tuple per OPEN user session; the
-    watermark bounds it further: idle users' state is removed at timeout,
-    so state size tracks concurrently-active users, not all users ever
-    seen. That is the correct 10^12-event retention story — wall-clock
-    idle_timeout_ms approximates it only when processing time tracks event
-    time (not true for backfills)."""
+    State holds the user's not-yet-final sessions as parallel arrays. This
+    stays bounded: a pending session has ``last_s + gap_s >= wm_s`` and
+    ``last <= wm + delay`` (the global watermark lags the max event time by
+    exactly the delay), so all pending lasts live in a window of
+    ``gap + delay <= 2*gap`` seconds, and sessions are separated by more
+    than ``gap`` — at most ~3 pending sessions per user at any time, for
+    any event volume. Idle users' state is removed at timeout, so state
+    size tracks concurrently-active users, not all users ever seen. That is
+    the correct 10^12-event retention story — wall-clock idle_timeout_ms
+    approximates it only when processing time tracks event time (not true
+    for backfills)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -311,28 +323,32 @@ def streaming_sessionize_event_time(
             "boundaries that batch sessionize would close differently"
         )
     gap_ms = gap_minutes * 60 * 1000
+    gap_s = gap_ms // 1000
     out_schema = (
         "user_id long, session_start timestamp, session_end timestamp, "
         "n_events long, sum_value double"
     )
-    state_schema = "start long, last long, n long, sv double"
+    # parallel arrays: the user's pending (not-yet-final) sessions, sorted
+    # by start; bounded at ~3 entries (see docstring)
+    state_schema = (
+        "starts array<long>, lasts array<long>, ns array<long>, "
+        "svs array<double>"
+    )
 
     def fn(key, pdfs, state: GroupState):
         (uid,) = key
         closed: list[tuple] = []
         if state.exists:
-            start, last, n, sv = state.get
+            starts, lasts, ns, svs = state.get
+            sessions = [
+                [int(a), int(b), int(c), float(d)]
+                for a, b, c, d in zip(starts, lasts, ns, svs)
+            ]
         else:
-            start = last = None
-            n, sv = 0, 0.0
-        if state.hasTimedOut:
-            # watermark passed last + gap: the session can never be
-            # extended by a non-late event -> it is final
-            if start is not None:
-                closed.append((uid, start, last, n, sv))
-            state.remove()
-        else:
-            wm_ms = state.getCurrentWatermarkMs()
+            sessions = []
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_s = wm_ms // 1000
+        if not state.hasTimedOut:
             batch = pd.concat(list(pdfs), ignore_index=True)
             if not batch.empty:
                 batch = batch.sort_values("ts", kind="stable")
@@ -342,39 +358,63 @@ def streaming_sessionize_event_time(
                     t = int(t)
                     if t // 1_000_000 < wm_ms:
                         continue  # beyond-watermark late event: dropped
-                    if start is None:
-                        start, last, n, sv = t, t, 1, float(v)
-                    elif t < last:
-                        # late but within watermark: absorbed (same as the
-                        # base variant's conservative cross-batch rule)
-                        start, n, sv = min(start, t), n + 1, sv + float(v)
-                    elif (
-                        # second-truncated diff: matches batch sessionize's
-                        # unix_timestamp semantics (same rule as the base
-                        # variant)
-                        t // 1_000_000_000 - last // 1_000_000_000
-                        > gap_ms // 1000
-                    ):
-                        closed.append((uid, start, last, n, sv))
-                        start, last, n, sv = t, t, 1, float(v)
+                    # second-truncated gap rule matches batch sessionize's
+                    # unix_timestamp semantics: t joins session S iff
+                    # S.start_s - gap_s <= t_s <= S.last_s + gap_s. A late
+                    # event can satisfy this for TWO adjacent sessions —
+                    # then it bridges them into one (merge).
+                    t_s = t // 1_000_000_000
+                    join = [
+                        i for i, s in enumerate(sessions)
+                        if s[0] // 1_000_000_000 - gap_s <= t_s
+                        <= s[1] // 1_000_000_000 + gap_s
+                    ]
+                    if not join:
+                        sessions.append([t, t, 1, float(v)])
+                        sessions.sort(key=lambda s: s[0])
                     else:
-                        last, n, sv = t, n + 1, sv + float(v)
-            if start is not None:
-                state.update((start, last, n, sv))
-                # arm the timeout at the first instant NO future event
-                # could extend the session under the SECOND-TRUNCATED gap
-                # rule above: events with t_s <= last_s + gap_s still
-                # extend, so fire only once the watermark passes
-                # (last_s + gap_s + 1) seconds — ms-precision arming
-                # (last_ms + gap_ms) would finalize up to 1 s early and
-                # break the batch equivalence for sub-second timestamps.
-                # Must also be strictly above the current watermark or
-                # Spark rejects it (possible when every event in the
-                # batch was older than wm + gap).
-                fire_ms = (
-                    last // 1_000_000_000 + gap_ms // 1000 + 1
-                ) * 1000
-                state.setTimeoutTimestamp(max(fire_ms, wm_ms + 1))
+                        merged = [
+                            min([sessions[i][0] for i in join] + [t]),
+                            max([sessions[i][1] for i in join] + [t]),
+                            sum(sessions[i][2] for i in join) + 1,
+                            sum(sessions[i][3] for i in join) + float(v),
+                        ]
+                        sessions = [
+                            s for i, s in enumerate(sessions)
+                            if i not in join
+                        ]
+                        sessions.append(merged)
+                        sessions.sort(key=lambda s: s[0])
+        # finalize (both branches): a session is final once NO accepted
+        # event can extend it — accepted means t_ms >= wm_ms hence
+        # t_s >= wm_s, extension needs t_s <= last_s + gap_s, so final iff
+        # wm_s > last_s + gap_s. (Left-attachment needs t_s >= start_s -
+        # gap_s <= last_s + gap_s, excluded by the same bound; and two
+        # pending sessions are > gap apart, so no future event can bridge
+        # a final one to a pending one.)
+        still = []
+        for s in sessions:
+            if wm_s > s[1] // 1_000_000_000 + gap_s:
+                closed.append((uid, s[0], s[1], s[2], s[3]))
+            else:
+                still.append(s)
+        if still:
+            state.update((
+                [s[0] for s in still], [s[1] for s in still],
+                [s[2] for s in still], [s[3] for s in still],
+            ))
+            # arm at the first instant the EARLIEST pending session becomes
+            # final: watermark past (last_s + gap_s + 1) seconds —
+            # ms-precision arming (last_ms + gap_ms) would finalize up to
+            # 1 s early and break batch equivalence for sub-second
+            # timestamps. Must also be strictly above the current watermark
+            # or Spark rejects it.
+            fire_ms = (
+                min(s[1] for s in still) // 1_000_000_000 + gap_s + 1
+            ) * 1000
+            state.setTimeoutTimestamp(max(fire_ms, wm_ms + 1))
+        elif state.exists:
+            state.remove()
         if closed:
             yield pd.DataFrame(
                 {
@@ -436,18 +476,27 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     from .build import BLOCK_SCHEMA, _make_merge_gen
     from .jobs import STATUS_COMPLETED, _acquire_build_lock
 
-    m = read_manifest(index_dir)
-    if m is None:
+    # peek only for the lock label; the authoritative read + status check
+    # happen INSIDE the locked region — a mutator completing between an
+    # unlocked read and the lock acquisition would otherwise have its
+    # manifest updates clobbered by our stale copy at swap time (and the
+    # COMPLETED check would be stale), same discipline as the dedup/ANN
+    # compactors' artifact_lock.
+    peek = read_manifest(index_dir)
+    if peek is None:
         raise FileNotFoundError(f"no manifest at {index_dir}")
-    if m["status"] != STATUS_COMPLETED:
-        raise ValueError(
-            f"index at {index_dir} is {m['status']}, not COMPLETED; "
-            "repair/rebuild before compacting"
-        )
-    params, stats = _stats_from_manifest(m)
-    lock = _acquire_build_lock(index_dir, f"compact:{m['job_id'][:52]}")
+    lock = _acquire_build_lock(index_dir, f"compact:{peek['job_id'][:52]}")
     t0 = time.time()
     try:
+        m = read_manifest(index_dir)
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {index_dir}")
+        if m["status"] != STATUS_COMPLETED:
+            raise ValueError(
+                f"index at {index_dir} is {m['status']}, not COMPLETED; "
+                "repair/rebuild before compacting"
+            )
+        params, stats = _stats_from_manifest(m)
         pdir = os.path.join(index_dir, "postings")
         sdir = os.path.join(index_dir, "compact_staging")
         shutil.rmtree(sdir, ignore_errors=True)

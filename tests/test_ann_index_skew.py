@@ -136,6 +136,15 @@ def test_tune_n_probe_reaches_target(spark, tmp_path):
         brute.setdefault(r.query_vec_id, set()).add(r.vec_id)
     rec = sum(len(got[q] & brute[q]) / len(brute[q]) for q in brute) / len(brute)
     assert abs(rec - out9["recall"]) < 1e-9
+    # out-of-range probe points clamp to the exact full probe instead of
+    # yielding an empty curve (which used to crash): all-beyond-n_centroids
+    # lists measure exactly one full-probe point at recall 1.0
+    clamped = tune_n_probe(spark, d, qrows, k=10, target_recall=1.0,
+                           probes=[64, 128])
+    assert clamped["curve"] == [clamped["curve"][0]]
+    assert clamped["n_probe"] == 8 and clamped["recall"] == 1.0
+    with pytest.raises(ValueError, match="probes"):
+        tune_n_probe(spark, d, qrows, k=10, probes=[0, -3])
 
 
 def test_ann_index_compact_preserves_results(spark, tmp_path):

@@ -488,9 +488,24 @@ def test_cosine_pairs_auto_routing(emb, spark):
         [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
         "vec_id long, embedding array<float>",
     )
-    got_lsh = {(r.vec_a, r.vec_b) for r in S.cosine_pairs_auto(df, 0.9).collect()}
+    # margin threshold auto-routes to LSH — with a runtime signal: callers
+    # must not get probabilistic semantics silently
+    with pytest.warns(UserWarning, match="APPROXIMATE"):
+        got_lsh = {(r.vec_a, r.vec_b)
+                   for r in S.cosine_pairs_auto(df, 0.9).collect()}
     want_ex = {(r.vec_a, r.vec_b) for r in S.cosine_pairs(df, 0.9, 4).collect()}
     assert got_lsh == want_ex and len(want_ex) >= 40
+    # exact=True pins the tile join even at a margin threshold (no warning,
+    # no approximation); exact=False pins LSH without the warning
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        got_pin = {(r.vec_a, r.vec_b)
+                   for r in S.cosine_pairs_auto(df, 0.9, exact=True).collect()}
+        got_lsh2 = {(r.vec_a, r.vec_b)
+                    for r in S.cosine_pairs_auto(df, 0.9, exact=False).collect()}
+    assert got_pin == want_ex and got_lsh2 == want_ex
 
 
 def test_ann_index_append_validates(emb, tmp_path, spark):

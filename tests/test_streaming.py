@@ -402,6 +402,54 @@ def test_event_time_timeout_respects_truncated_gap(spark, tmp_path):
     assert rows == [], rows
 
 
+def test_event_time_late_event_bridges_split_sessions(spark, tmp_path):
+    """A gap split must NOT finalize the closed session before the
+    watermark passes its end+gap: a late-but-accepted event can land
+    between the split session and the open one and BRIDGE them. With
+    gap=delay=30 min and events t=1000, 3000, then late t=2500 (accepted:
+    watermark is only 1200 when it arrives), batch sessionize over the
+    accepted input yields ONE session [1000, 3000] — the stream must
+    match, not emit [1000,1000] + [2500,3000]."""
+    import datetime as dt
+
+    from sparkbm25.streaming import streaming_sessionize_event_time
+
+    def ts(s):
+        return dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None)
+
+    schema = "user_id long, ts timestamp_ntz, value double"
+    src = str(tmp_path / "bridge_src")
+    # batch 0: u1 events 1000 and 3000 -> gap split (2000 > 1800);
+    # watermark after the batch = 3000 - 1800 = 1200
+    spark.createDataFrame(
+        [(1, ts(1000), 1.0), (1, ts(3000), 2.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/b=0")
+    # batch 1: late bridge event 2500 (>= wm 1200: accepted) + a watermark
+    # driver pushing wm to 98_200 so the merged session finalizes
+    spark.createDataFrame(
+        [(1, ts(2500), 4.0), (99, ts(100_000), 9.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/b=1")
+
+    q = (
+        streaming_sessionize_event_time(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/b=*"),
+            gap_minutes=30, watermark_minutes=30,
+        )
+        .writeStream.format("memory").queryName("bridge_sess")
+        .option("checkpointLocation", str(tmp_path / "bridge_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, int(r.session_start.timestamp()),
+         int(r.session_end.timestamp()), r.n_events, round(r.sum_value, 2))
+        for r in spark.sql("SELECT * FROM bridge_sess").collect()
+    }
+    # u1: one merged session (the bridge worked); u99 still open at drain
+    assert got == {(1, 1000, 3000, 3, 7.0)}, got
+
+
 def test_event_time_watermark_exceeding_gap_refused(spark, tmp_path):
     from sparkbm25.streaming import streaming_sessionize_event_time
 
