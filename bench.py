@@ -129,6 +129,19 @@ def main() -> int:
         lat.append(time.time() - t0)
     timings["query_indexed_p50"] = round(statistics.median(lat), 3)
 
+    # same stage under the documented low-latency mode (AQE off + small
+    # shuffle for the action) — the p50 a latency-sensitive caller gets
+    from sparkbm25.session import low_latency
+
+    lat = []
+    with low_latency(spark):
+        index_search(ix, queries[:1], k=10).count()  # warm the mode
+        for qid, qtext in queries[:20]:
+            t0 = time.time()
+            index_search(ix, [(qid, qtext)], k=10).count()
+            lat.append(time.time() - t0)
+    extras["query_p50_lowlat_s"] = round(statistics.median(lat), 3)
+
     # --- block-max pruned strategy (the WAND path), subset ------------------
     t0 = time.time()
     index_search(ix, queries[:20], k=10, strategy="blockmax").count()
@@ -333,6 +346,7 @@ def main() -> int:
         "build_throughput_turns_per_sec", "n_turns", "build_peak_rss_mb",
         "batch_results", "query_throughput_qps", "query_peak_rss_mb",
         "ivf_n_centroids", "ivf_default_n_probe", "pipeline_curate_s",
+        "query_p50_lowlat_s",
     )
     out = {
         "metric": full["metric"],

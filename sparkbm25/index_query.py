@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .analysis import tokenize_py
 from .bm25 import idf as idf_fn
-from .codecs import vbyte_decode, delta_decode
+from .codecs import vbyte_decode, delta_decode, segment_delta_restore
 from .jobs import Index
 from .query import canonical_score_sum, topk_window
 
@@ -220,67 +220,133 @@ def _rescore_gen(k1: float, b: float, avgdl: float):
 
 
 def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
-                     k1: float, b: float, avgdl: float, k: int):
+                     k1: float, b: float, avgdl: float, k: int,
+                     sub_shift: int | None = None):
     """Per-shard exact scoring kernel: decode each query term's blocks ONCE,
-    accumulate weighted contributions per query in numpy, emit only the
-    shard-local top-k per query. The shard is a doc-id range, so global
-    top-k = top-k over the union of shard top-ks (every global winner wins
-    its shard).
+    densify each term into one contribution column over the group's doc
+    universe, and score every query as a few whole-vector adds.
 
-    q_terms holds each query's (term, w) list in QUERY-TOKEN order, and
-    every doc's contributions accumulate in exactly that order — mirroring
-    OracleIndex.search's accumulation (oracle.py:60-77) BIT-exactly, so
-    exact score ties (fuzz seed 23 found two different texts with equal
-    BM25 doubles) break by doc_id identically in both engines."""
+    With ``sub_shift`` the group key is a FINER doc-id range (a virtual
+    shard ``doc_id >> sub_shift``; blocks straddling a boundary were
+    replicated to each side by the caller): decoded postings are masked to
+    this group's range, so every doc is still scored exactly once, with all
+    its term contributions together — search-time kernel parallelism
+    decoupled from the build-time num_shards (VERDICT r03 #2).
+
+    The kernel is DENSIFIED ACROSS QUERIES: a term's per-doc contribution
+    ``idf(t) * tf_norm`` is query-INDEPENDENT (the weight is the term's
+    idf alone), so each matched term becomes one dense float64 column over
+    the group's doc universe, built once; a query's score vector is then
+    the element-wise sum of its occurrences' columns in qpos order —
+    sequential whole-vector adds, so every doc's addend order is IDENTICAL
+    to the per-query bincount this replaces (bit-exact scores, exact ties
+    included, mirroring OracleIndex.search's accumulation oracle.py:60-77;
+    a doc absent from a term contributes +0.0, which never perturbs a
+    positive float64 sum). This removes the per-(query,group) sort+bincount
+    whose fixed cost dominated batch latency and capped core-scaling
+    (VERDICT r03 #2): per-query work drops to O(group-docs) vector adds +
+    one top-k extraction. Memory: one column per distinct matched term over
+    <= group-doc-count doubles — bounded by the doc-range grouping and
+    shrunk further by sub_shift."""
 
     def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        dec: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        for term, grp in pdf.groupby("term", sort=False):
-            ids = np.concatenate(
-                [
-                    delta_decode(vbyte_decode(dv, n))
-                    for dv, n in zip(grp["docs_vbyte"], grp["n_docs"])
-                ]
+        vs = int(key[0])
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int32"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        w_of: dict[str, float] = {
+            t: w for tw in q_terms.values() for t, w in tw
+        }
+        # BATCHED decode: varbyte streams are self-delimiting, so the whole
+        # group's blocks decode in THREE numpy passes (docs via
+        # segment_delta_restore with per-block segment starts — each
+        # block's first doc id is absolute) instead of 3 calls per block;
+        # per-call numpy overhead on ~128-value blocks dominated kernel
+        # time (measured 0.48 s of a 0.74 s group).
+        pdf = pdf.sort_values("term", kind="stable", ignore_index=True)
+        terms_arr = pdf["term"].to_numpy()
+        n_arr = pdf["n_docs"].to_numpy().astype(np.int64)
+        total = int(n_arr.sum())
+        if total == 0:
+            return empty
+        seg_starts = np.zeros(len(n_arr), dtype=np.int64)
+        seg_starts[1:] = np.cumsum(n_arr)[:-1]
+        gaps = vbyte_decode(b"".join(pdf["docs_vbyte"]), total)
+        all_ids = segment_delta_restore(gaps, seg_starts, n_arr)
+        tfs = vbyte_decode(b"".join(pdf["tfs_vbyte"]), total).astype(np.float64)
+        dls = vbyte_decode(b"".join(pdf["dls_vbyte"]), total).astype(np.float64)
+        tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        if sub_shift is not None:
+            # arithmetic >> matches the build's F.shiftright sharding
+            # (overflow-free over the full signed-int64 id range)
+            m = (all_ids >> np.int64(sub_shift)) == vs
+            all_ids, tfn = all_ids[m], tfn[m]
+            # remap term slice offsets onto the masked arrays
+            kept_per_block = np.add.reduceat(
+                m.astype(np.int64), np.r_[0, np.cumsum(n_arr)[:-1]]
             )
-            tfs = np.concatenate(
-                [vbyte_decode(tv, n) for tv, n in zip(grp["tfs_vbyte"], grp["n_docs"])]
-            ).astype(np.float64)
-            dls = np.concatenate(
-                [vbyte_decode(dv, n) for dv, n in zip(grp["dls_vbyte"], grp["n_docs"])]
-            ).astype(np.float64)
-            tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-            dec[term] = (ids, tfn)
+            n_arr = kept_per_block
+            seg_starts = np.zeros(len(n_arr), dtype=np.int64)
+            seg_starts[1:] = np.cumsum(n_arr)[:-1]
+            total = int(n_arr.sum())
+            if total == 0:
+                return empty
+        blk_change = np.r_[True, terms_arr[1:] != terms_arr[:-1]]
+        term_first_blk = np.flatnonzero(blk_change)
+        post_off = np.r_[seg_starts[term_first_blk], total]
+        raw: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for i, tb in enumerate(term_first_blk):
+            lo, hi = int(post_off[i]), int(post_off[i + 1])
+            if hi > lo:
+                raw[terms_arr[tb]] = (all_ids[lo:hi], tfn[lo:hi])
+        if not raw:
+            return empty
+        # group doc universe; one dense contribution column per term (a doc
+        # appears once per term, so plain assignment — no accumulation)
+        uids_g = np.unique(np.concatenate([ids for ids, _ in raw.values()]))
+        dense: dict[str, np.ndarray] = {}
+        for t, (ids, tfn) in raw.items():
+            col = np.zeros(len(uids_g))
+            col[np.searchsorted(uids_g, ids)] = w_of.get(t, 0.0) * tfn
+            dense[t] = col
+        raw.clear()
+
         rows_q, rows_d, rows_s = [], [], []
         for qid, tw in q_terms.items():
-            parts = [
-                (dec[t][0], w * dec[t][1]) for t, w in tw if t in dec
-            ]
-            if not parts:
+            scores: np.ndarray | None = None
+            for t, _w in tw:  # qpos order — the bit-exact fold order
+                col = dense.get(t)
+                if col is None:
+                    continue
+                if scores is None:
+                    scores = col.copy()
+                else:
+                    np.add(scores, col, out=scores)
+            if scores is None:
                 continue
-            ids = np.concatenate([p[0] for p in parts])
-            sc = np.concatenate([p[1] for p in parts])
-            uids, inv = np.unique(ids, return_inverse=True)
-            scores = np.bincount(inv, weights=sc, minlength=len(uids))
-            if len(uids) > k:
-                # exact top-k under the TOTAL order (score desc, doc_id asc):
-                # kth score via partition, keep every doc >= it (tie plateau),
-                # lexsort the survivors, cut to k
-                kth = -np.partition(-scores, k - 1)[k - 1]
-                cand = np.flatnonzero(scores >= kth)
-                keep = cand[np.lexsort((uids[cand], -scores[cand]))][:k]
+            nz = np.flatnonzero(scores)  # contributions are strictly > 0
+            if not len(nz):
+                continue
+            sc = scores[nz]
+            ids_nz = uids_g[nz]
+            if len(nz) > k:
+                # exact top-k under the TOTAL order (score desc, doc_id
+                # asc): kth score via partition, keep the tie plateau,
+                # lexsort survivors, cut to k
+                kth = -np.partition(-sc, k - 1)[k - 1]
+                cand = np.flatnonzero(sc >= kth)
+                keep = cand[np.lexsort((ids_nz[cand], -sc[cand]))][:k]
             else:
-                keep = np.lexsort((uids, -scores))
+                keep = np.lexsort((ids_nz, -sc))
             rows_q.append(np.full(len(keep), qid, dtype=np.int32))
-            rows_d.append(uids[keep])
-            rows_s.append(scores[keep])
+            rows_d.append(ids_nz[keep])
+            rows_s.append(sc[keep])
         if not rows_q:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series(dtype="int32"),
-                    "doc_id": pd.Series(dtype="int64"),
-                    "score": pd.Series(dtype="float64"),
-                }
-            )
+            return empty
         return pd.DataFrame(
             {
                 "query_id": np.concatenate(rows_q),
@@ -292,8 +358,10 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
     return topk
 
 
+
 def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
-                  k1: float, b: float, avgdl: float, k: int):
+                  k1: float, b: float, avgdl: float, k: int,
+                  sub_shift: int | None = None):
     """Shard-local block-max WAND kernel: the module doc's 3-phase pruned
     traversal executed INSIDE the shard task on block metadata, so pruned
     search keeps the sharded path's one-shuffle plan (the DataFrame 3-phase
@@ -312,11 +380,19 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
     (term, idf) list per token OCCURRENCE in query order; final candidate
     scores are summed in exactly that order (lexsort by (doc, qpos) +
     ordered reduceat), matching OracleIndex.search bit-exactly so exact
-    ties break by doc_id in both engines."""
+    ties break by doc_id in both engines.
+
+    With ``sub_shift`` the group is a finer doc-range (virtual shard, see
+    _sharded_topk_fn): decoded postings mask to the range, and phase 1's
+    bootstrap counts only blocks fully CONTAINED in it (a straddling
+    block's n_docs overcounts this range, and an overcounted "k docs >= θ"
+    claim would over-prune — containment keeps θ sound, merely looser, so
+    the result stays exact)."""
     EPS = 1e-9
     wanted = {t for tw in q_occ.values() for t, _ in tw}
 
     def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        vs = int(key[0])
         empty = pd.DataFrame(
             {
                 "query_id": pd.Series(dtype="int32"),
@@ -349,6 +425,9 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
                 tfs = vbyte_decode(td["tv"][j], n).astype(np.float64)
                 dls = vbyte_decode(td["lv"][j], n).astype(np.float64)
                 tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                if sub_shift is not None:
+                    m = (ids >> np.int64(sub_shift)) == vs
+                    ids, tfn = ids[m], tfn[m]
                 td["dec"][j] = (ids, tfn)
             return td["dec"][j]
 
@@ -370,8 +449,18 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
             for qpos, t, w in tw:
                 td = tdata[t]
                 L = w * td["mint"]
+                nn = td["n"]
+                if sub_shift is not None:
+                    # only blocks fully inside this doc-range may count
+                    # toward the "k docs provably >= θ" claim
+                    cont = ((td["first"] >> np.int64(sub_shift)) == vs) & (
+                        (td["last"] >> np.int64(sub_shift)) == vs
+                    )
+                    if not cont.any():
+                        continue
+                    L, nn = L[cont], nn[cont]
                 order = np.argsort(-L, kind="stable")
-                cum = np.cumsum(td["n"][order])
+                cum = np.cumsum(nn[order])
                 hit = np.flatnonzero(cum >= k)
                 if len(hit):
                     theta = max(theta, float(L[order[hit[0]]]))
@@ -396,6 +485,8 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
             ub_all = np.concatenate(
                 [np.full(len(p[1]), p[3]) for p in parts]
             )
+            if not len(ids_all):
+                continue  # every decoded posting masked out of this range
             uids, inv = np.unique(ids_all, return_inverse=True)
             P = np.bincount(inv, weights=sc_all, minlength=len(uids))
             CU = np.bincount(inv, weights=ub_all, minlength=len(uids))
@@ -465,12 +556,37 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
     return topk
 
 
+def _auto_subsplit(ix: Index, parallelism: int, n_queries: int) -> int:
+    """Search-time kernel sub-split factor (power of two).
+
+    The kernel's group count was structurally coupled to the build-time
+    num_shards; with few shards relative to cores the last scheduling wave
+    runs mostly idle (25 groups / 8 cores = 4 waves at 78% utilization —
+    measured, VERDICT r03 #2). Target ~16 groups per core so wave
+    quantization stays <~6%, capped at 8 (per-(group,query) kernel fixed
+    cost) and so a sub-range stays >= 4 dense blocks wide (straddling
+    blocks replicate; keep that fraction a few %). Single queries skip the
+    split: their kernel is light and extra groups only add task-launch
+    latency to p50."""
+    if n_queries < 16:
+        return 1
+    shards = max(1, ix.num_shards)
+    n = 1
+    while shards * n < 16 * parallelism and n < 8:
+        n *= 2
+    span_cap = max(1, (1 << ix.shard_shift) // (4 * ix.block_size))
+    while n > 1 and n > span_cap:
+        n //= 2
+    return n
+
+
 def index_search(
     ix: Index,
     queries: list[tuple[int, str]],
     k: int = 10,
     strategy: str = "sharded",
     prune: bool | None = None,
+    subsplit: int | None = None,
 ) -> DataFrame:
     """Exact top-k BM25 from the index.
 
@@ -488,6 +604,12 @@ def index_search(
                     cross-check baseline.
 
     `prune` is the legacy bool alias (True→blockmax, False→exhaustive).
+
+    `subsplit` (sharded/blockmax only) splits each shard group into that
+    many finer doc-range groups at SEARCH time (power of two; blocks
+    straddling a sub-boundary are replicated and the kernel masks decoded
+    postings to the group's range — exact, bit-identical scores). Default
+    None auto-derives from cluster parallelism vs num_shards; 1 disables.
     """
     if prune is not None:
         strategy = "blockmax" if prune else "exhaustive"
@@ -502,6 +624,16 @@ def index_search(
     if strategy in ("sharded", "blockmax"):
         from .xxhash64 import spark_pmod_bucket
 
+        n_sub = (
+            subsplit
+            if subsplit is not None
+            else _auto_subsplit(
+                ix, spark.sparkContext.defaultParallelism, len(queries)
+            )
+        )
+        if n_sub < 1 or (n_sub & (n_sub - 1)):
+            raise ValueError(f"subsplit must be a power of two >= 1, got {n_sub}")
+        n_sub = min(n_sub, 1 << ix.shard_shift)
         meta_cols = (
             ["first_doc", "last_doc", "max_tf_norm", "min_tf_norm"]
             if strategy == "blockmax"
@@ -513,15 +645,39 @@ def index_search(
             ix.postings()
             .filter(F.col("term_bucket").isin(buckets))
             .filter(F.col("term").isin(terms))
-            .select("term", "shard_id", "n_docs", *meta_cols,
+            .select("term", "shard_id", "n_docs",
+                    "first_doc", "last_doc",
+                    *[c for c in meta_cols if c not in
+                      ("first_doc", "last_doc")],
                     "docs_vbyte", "tfs_vbyte", "dls_vbyte")
         )
+        if n_sub > 1:
+            sub_shift = ix.shard_shift - (n_sub.bit_length() - 1)
+            # replicate each block to every sub-range it overlaps (a dense
+            # block spans ~block_size ids, a sub-range >= 4*block_size, so
+            # the straddle fraction is a few %); the kernel masks decoded
+            # ids to its range, so each doc is scored exactly once
+            blocks = blocks.withColumn(
+                "vshard",
+                F.explode(
+                    F.sequence(
+                        F.shiftright("first_doc", sub_shift),
+                        F.shiftright("last_doc", sub_shift),
+                    )
+                ),
+            )
+            group_key = "vshard"
+        else:
+            sub_shift = None
+            group_key = "shard_id"
+        if strategy != "blockmax":
+            blocks = blocks.drop("first_doc", "last_doc")
         kern = (
-            _wand_topk_fn(occ, ix.k1, ix.b, ix.avgdl, k)
+            _wand_topk_fn(occ, ix.k1, ix.b, ix.avgdl, k, sub_shift)
             if strategy == "blockmax"
-            else _sharded_topk_fn(occ, ix.k1, ix.b, ix.avgdl, k)
+            else _sharded_topk_fn(occ, ix.k1, ix.b, ix.avgdl, k, sub_shift)
         )
-        shard_tops = blocks.groupBy("shard_id").applyInPandas(
+        shard_tops = blocks.groupBy(group_key).applyInPandas(
             kern, schema="query_id int, doc_id long, score double"
         )
         return topk_window(shard_tops, k)

@@ -418,6 +418,9 @@ class Index:
         self.k1: float = b["k1"]
         self.b: float = b["b"]
         self.num_term_buckets: int = b["num_term_buckets"]
+        self.num_shards: int = b.get("num_shards", 32)
+        self.shard_shift: int = b["shard_shift"]
+        self.block_size: int = b.get("block_size", 128)
         self._dfs: dict[str, DataFrame] = {}
         self._stats_cache: dict[str, tuple[int, float] | None] = {}
         self._stats_preloaded = False

@@ -50,6 +50,42 @@ def ensure_shipped(spark: SparkSession) -> SparkSession:
     return spark
 
 
+class low_latency:
+    """Context manager for latency-sensitive search actions: disables AQE
+    and shrinks shuffle partitions for the duration, restoring both on
+    exit.
+
+    AQE materializes every exchange as its own sequential job — right for
+    the build's big skew-prone shuffles, but a single top-k search moves a
+    few hundred rows through two exchanges and pays ~0.2 s of stage
+    sequencing for nothing (measured: p50 0.61 s -> 0.40 s with AQE off +
+    4 shuffle partitions at local[8]). These are SESSION-scoped runtime
+    confs applied at ACTION time, so wrap the .collect()/.count(), not the
+    index_search() call::
+
+        with low_latency(spark):
+            hits = index_search(ix, [(0, "query text")]).collect()
+    """
+
+    def __init__(self, spark: SparkSession, shuffle_partitions: int = 4):
+        self.spark = spark
+        self.sp = str(shuffle_partitions)
+
+    def __enter__(self):
+        c = self.spark.conf
+        self._old = (c.get("spark.sql.adaptive.enabled"),
+                     c.get("spark.sql.shuffle.partitions"))
+        c.set("spark.sql.adaptive.enabled", "false")
+        c.set("spark.sql.shuffle.partitions", self.sp)
+        return self.spark
+
+    def __exit__(self, *exc):
+        c = self.spark.conf
+        c.set("spark.sql.adaptive.enabled", self._old[0])
+        c.set("spark.sql.shuffle.partitions", self._old[1])
+        return False
+
+
 def get_spark(
     app_name: str = "sparkbm25",
     cores: int | None = None,

@@ -104,6 +104,71 @@ def test_index_search_rank_identical_all_strategies(spark, built, oracle):
         _assert_rank_identical(got, want)
 
 
+def test_index_search_subsplit_bit_exact(spark, built, oracle):
+    """Search-time sub-split (VERDICT r03 #2): forcing 2/4/8 finer
+    doc-range groups must return BIT-identical (query, rank, doc, score)
+    rows to the unsplit kernel and stay rank-identical to the oracle, for
+    both the sharded and block-max strategies — straddling blocks are
+    replicated and masked, never double-counted or dropped."""
+    d, _ = built
+    ix = Index(spark, d)
+    queries = make_queries(40)
+    want = oracle.search_all(queries, k=K)
+    for strategy in ("sharded", "blockmax"):
+        base = sorted(
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in index_search(
+                ix, queries, k=K, strategy=strategy, subsplit=1
+            ).collect()
+        )
+        _assert_rank_identical(
+            index_search(ix, queries, k=K, strategy=strategy,
+                         subsplit=1).collect(),
+            want,
+        )
+        for n_sub in (2, 4, 8):
+            got = sorted(
+                (r.query_id, r.rank, r.doc_id, r.score)
+                for r in index_search(
+                    ix, queries, k=K, strategy=strategy, subsplit=n_sub
+                ).collect()
+            )
+            assert got == base, (strategy, n_sub)
+    with pytest.raises(ValueError, match="power of two"):
+        index_search(ix, queries, k=K, subsplit=3)
+
+
+def test_index_search_subsplit_hash64_ids(spark, tmp_path, oracle):
+    """Sub-split over the hash64 doc-id scheme: ids span the FULL signed
+    int64 range (negative ids), so the virtual-shard arithmetic-shift rule
+    must agree between Spark's F.shiftright (block replication) and
+    numpy's >> (kernel masking) — a logical-shift mismatch would drop every
+    negative-id doc from its group."""
+    pdf = make_transcripts_pdf(50)
+    corpus = add_doc_id(spark.createDataFrame(pdf), scheme="hash64").select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "ix_h64")
+    build_index(
+        corpus, d,
+        BuildParams(num_shards=6, salt_factor=2, num_term_buckets=8,
+                    lineage_groups=1, doc_id_scheme="hash64"),
+        source_fingerprint="h64",
+    )
+    ix = Index(spark, d)
+    ora = OracleIndex.build([(r.doc_id, r.text) for r in corpus.collect()])
+    assert any(r.doc_id < 0 for r in corpus.select("doc_id").collect())
+    queries = make_queries(20)
+    want = ora.search_all(queries, k=K)
+    for strategy in ("sharded", "blockmax"):
+        for n_sub in (1, 4):
+            _assert_rank_identical(
+                index_search(ix, queries, k=K, strategy=strategy,
+                             subsplit=n_sub).collect(),
+                want,
+            )
+
+
 def test_index_search_k100(spark, built, oracle):
     """k=100 subset (FIXTURES.md §2)."""
     d, _ = built
