@@ -10,12 +10,17 @@ Transposes the reference's control plane (SURVEY.md §2.7):
 - status/jobs readers (app/routes/status.py, get_jobs.py) become
   ``read_manifest`` + the CLI in sparkbm25.cli.
 
-Known limitation: two drivers building the SAME index_dir concurrently are
-not arbitrated (the reference returns 429 from its single-process store;
-a multi-driver deployment needs an external lock or an Iceberg-catalog
-transactional commit). Manifest writes themselves are atomic (os.replace),
-so crash + resume is safe; concurrent duplicate submission is the one
-unguarded case.
+Concurrency: same-host duplicate submissions are excluded by the flock
+lockfile (_acquire_build_lock); drivers on DIFFERENT hosts sharing an
+index_dir arbitrate through the manifest-CAS claim (_verify_claim): a
+unique submit token published atomically, re-verified after a settle
+window and at every group publish / finalize, with group output staged
+per-token and published by rename — exactly one driver completes, the
+loser raises ConcurrentBuildError and removes its staging. Residual
+window: POSIX rename has no compare-and-swap, so two claims landing
+inside one settle window are resolved at the next publish gate rather
+than instantaneously; a deployment with an Iceberg catalog should commit
+through it instead.
 """
 
 from __future__ import annotations
@@ -81,6 +86,25 @@ class ConcurrentBuildError(RuntimeError):
     """A second submitter raced a RUNNING build of the same index_dir —
     the analog of the reference's 429 from its job store
     (app/services/job_service.py:60-83, app/routes/build.py:41-72)."""
+
+
+_CAS_SETTLE_S = float(os.environ.get("SPARKBM25_CAS_SETTLE_MS", "50")) / 1000.0
+
+
+def _verify_claim(index_dir: str, token: str) -> None:
+    """Cross-driver manifest CAS check: the manifest's submit_token must
+    still be OURS. A different token means another driver (possibly on
+    another host — the flock lock cannot see it) re-claimed this index_dir;
+    the caller must abort without publishing anything."""
+    cur = read_manifest(index_dir)
+    if cur is None or cur.get("submit_token") != token:
+        claim = (cur or {}).get("claim") or {}
+        raise ConcurrentBuildError(
+            f"lost the build claim on {index_dir} to "
+            f"{claim.get('host', '?')}:{claim.get('pid', '?')} — another "
+            "driver re-claimed this index_dir (manifest CAS); its build "
+            "supersedes this one"
+        )
 
 
 LOCKFILE = ".build.lock"
@@ -262,6 +286,37 @@ def _build_index_locked(
             "error_message": None,
         }
 
+    # --- cross-driver claim (manifest CAS) --------------------------------
+    # The flock lockfile is single-host; two drivers on DIFFERENT hosts
+    # sharing index_dir arbitrate through the manifest instead: publish a
+    # unique submit token (atomic os.replace), wait a settle window, and
+    # re-read — a token that changed means another driver claimed after us
+    # and we lose BEFORE writing any artifact data. The claim is then
+    # re-verified at every group publish and at finalize (takeover by a
+    # later driver — e.g. resuming what it judged a dead build — makes the
+    # earlier one abort at its next boundary and clean its staging).
+    # Settle-window simultaneity is not bulletproof CAS — POSIX rename has
+    # no compare — so a catalog with conditional-put (Iceberg commit) is
+    # still the right answer where available; this closes the gap the
+    # sandbox can close (reference 429 analog across hosts,
+    # job_service.py:60-83).
+    import socket
+    import uuid
+
+    token = uuid.uuid4().hex
+    m["submit_token"] = token
+    m["status"] = STATUS_RUNNING  # resumed FAILED builds are running again
+    m["claim"] = {
+        "host": socket.gethostname(), "pid": os.getpid(), "ts": time.time()
+    }
+    _write_manifest(index_dir, m)
+    time.sleep(_CAS_SETTLE_S)
+    _verify_claim(index_dir, token)
+    staging_root = os.path.join(index_dir, "build_staging")
+    # stale staging from dead/lost builds (ours is keyed by token below)
+    shutil.rmtree(staging_root, ignore_errors=True)
+    staging = os.path.join(staging_root, token)
+
     # --- stats stage (fixed once per job; resumed runs must reuse) --------
     # stats_override: corpus statistics computed elsewhere (e.g. over the
     # base+future-stream universe for segment-append setups, or reused from
@@ -322,9 +377,12 @@ def _build_index_locked(
                 continue
             gdir = os.path.join(index_dir, "postings", f"group={g}")
             ddir = os.path.join(index_dir, "doc_stats", f"group={g}")
-            for d in (gdir, ddir):
-                if os.path.exists(d):
-                    shutil.rmtree(d)  # partial output from a crashed attempt
+            # stage under a token-keyed dir OUTSIDE postings/ (directory
+            # scans must never see half a group), publish by rename: two
+            # racing drivers can then never interleave files inside one
+            # group dir — the loser's whole staging tree is discarded
+            g_stage = os.path.join(staging, "postings", f"group={g}")
+            d_stage = os.path.join(staging, "doc_stats", f"group={g}")
             t0 = time.time()
             sub = corpus.filter(group_col == g)
             with timer.time(f"group_{g}"):
@@ -335,10 +393,20 @@ def _build_index_locked(
                         "doc_id",
                         F.size(tokens_col("text")).alias("doc_len"),
                         *(["text"] if params.store_text else []),
-                    ).write.mode("overwrite").parquet(ddir)
+                    ).write.mode("overwrite").parquet(d_stage)
                 )
                 blocks = build_postings(sub, params, stats)
-                blocks.write.partitionBy("term_bucket").mode("overwrite").parquet(gdir)
+                blocks.write.partitionBy("term_bucket").mode(
+                    "overwrite"
+                ).parquet(g_stage)
+            # publish gate: only the claim holder may move staged output
+            # into the artifact and update the manifest
+            _verify_claim(index_dir, token)
+            for src, dst in ((g_stage, gdir), (d_stage, ddir)):
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)  # partial from a crashed attempt
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
             m["completed_groups"][str(g)] = {
                 "wall_s": round(time.time() - t0, 3),
                 "postings_path": gdir,
@@ -347,6 +415,7 @@ def _build_index_locked(
             _write_manifest(index_dir, m)
             if fail_after_group is not None and g >= fail_after_group:
                 raise InjectedFailure(f"injected failure after group {g}")
+        _verify_claim(index_dir, token)
 
         # --- finalize: global term stats from block metadata ---------------
         with timer.time("finalize"):
@@ -377,6 +446,15 @@ def _build_index_locked(
                     size_row.payload_bytes / size_row.postings, 3
                 )
         m["status"] = STATUS_COMPLETED
+    except ConcurrentBuildError:
+        # we lost the claim: another driver owns the artifact now — clean
+        # OUR partial staging and leave manifest + artifact strictly alone
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            os.rmdir(staging_root)  # remove the parent too if now empty
+        except OSError:
+            pass
+        raise
     except InjectedFailure:
         m["status"] = STATUS_FAILED
         m["error_message"] = "injected failure (test)"
@@ -395,7 +473,11 @@ def _build_index_locked(
     total_wall = sum(timer.stages.values())
     if total_wall > 0:
         m["metrics"]["build_throughput_docs_per_sec"] = round(n_turns / total_wall, 2)
+    _verify_claim(index_dir, token)  # last gate before publishing COMPLETED
     _write_manifest(index_dir, m)
+    # the whole staging root is ours to reap now: anything left under it is
+    # a loser's or dead build's garbage by definition
+    shutil.rmtree(staging_root, ignore_errors=True)
     return m
 
 
