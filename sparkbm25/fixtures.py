@@ -151,3 +151,63 @@ MICRO_DOCS: list[tuple[int, str]] = [
     (3, "cat " * 50),  # tf saturation
     (4, "the cat sat on the mat"),  # identical to doc 0 → tie-break check
 ]
+
+
+# --- multilingual fixture corpus (profile lang-id training + eval) --------
+# ~10 languages x two dozen very common words each (public knowledge, like
+# any stopword list). Includes the 4 stopword-profile languages so the
+# heuristic lang_id gets a fair shot on the same data.
+MULTILANG_VOCAB: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for",
+           "with", "as", "his", "they", "at", "this", "have", "from", "not",
+           "word", "what", "some", "time", "people"],
+    "de": ["der", "die", "das", "und", "ist", "in", "den", "von", "zu",
+           "mit", "sich", "auf", "nicht", "ein", "eine", "als", "auch",
+           "werden", "aus", "wort", "zeit", "leute", "haben", "wir"],
+    "es": ["el", "la", "los", "que", "es", "de", "en", "un", "una", "por",
+           "con", "para", "del", "las", "se", "su", "al", "como", "pero",
+           "palabra", "tiempo", "gente", "tiene", "nosotros"],
+    "fr": ["le", "les", "des", "et", "est", "la", "de", "un", "une", "dans",
+           "pour", "que", "qui", "sur", "avec", "pas", "au", "par", "mais",
+           "mot", "temps", "gens", "avoir", "nous"],
+    "it": ["il", "la", "di", "che", "e", "un", "una", "per", "con", "del",
+           "della", "sono", "non", "si", "come", "anche", "piu", "questo",
+           "parola", "tempo", "gente", "avere", "noi", "gli"],
+    "pt": ["o", "a", "de", "que", "e", "um", "uma", "para", "com", "do",
+           "da", "os", "as", "no", "na", "por", "mais", "como", "palavra",
+           "tempo", "pessoas", "ter", "nos", "ele"],
+    "nl": ["de", "het", "een", "van", "en", "is", "in", "dat", "op", "te",
+           "met", "voor", "niet", "zijn", "aan", "ook", "maar", "als",
+           "woord", "tijd", "mensen", "hebben", "wij", "deze"],
+    "sv": ["och", "att", "det", "som", "en", "av", "for", "den", "till",
+           "med", "inte", "om", "har", "de", "ett", "var", "men", "pa",
+           "ord", "tid", "manniskor", "ha", "vi", "detta"],
+    "pl": ["i", "w", "nie", "na", "to", "sie", "jest", "do", "z", "co",
+           "tak", "jak", "ale", "po", "czy", "przez", "jego", "od",
+           "slowo", "czas", "ludzie", "miec", "my", "ten"],
+    "tr": ["ve", "bir", "bu", "da", "ne", "icin", "ile", "olarak", "daha",
+           "gibi", "ama", "en", "cok", "var", "kadar", "sonra", "onun",
+           "diye", "kelime", "zaman", "insanlar", "sahip", "biz", "su"],
+}
+
+
+def make_multilingual_pdf(
+    n_per_lang: int = 30, seed: int = SEED, langs: list[str] | None = None
+) -> pd.DataFrame:
+    """Deterministic multilingual documents: (doc_id, lang, text), each doc
+    8-20 words sampled from its language's common-word vocabulary. Used to
+    train the n-gram profile classifier (one seed) and to evaluate both
+    lang-id variants (another seed)."""
+    rng = np.random.default_rng(seed)
+    codes = langs or sorted(MULTILANG_VOCAB)
+    rows = []
+    doc_id = 0
+    for code in codes:
+        vocab = MULTILANG_VOCAB[code]
+        for _ in range(n_per_lang):
+            n_words = int(rng.integers(8, 21))
+            words = [vocab[int(rng.integers(0, len(vocab)))]
+                     for _ in range(n_words)]
+            rows.append((doc_id, code, " ".join(words)))
+            doc_id += 1
+    return pd.DataFrame(rows, columns=["doc_id", "lang", "text"])

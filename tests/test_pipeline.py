@@ -744,3 +744,36 @@ def test_star_cc_long_chain_beats_label_prop(spark):
     got = {(r.doc_id, r.cluster_id)
            for r in D.connected_components_star(chain).collect()}
     assert got == {(i, 0) for i in range(n)}
+
+
+def test_lang_id_ngram_profiles_beat_stopwords(spark):
+    """VERDICT r03 #5: the Cavnar–Trenkle trigram-profile classifier must
+    cover ~10 languages and agree with planted labels at least as often as
+    the 4-language stopword heuristic (and well in absolute terms), while
+    matching its pure-Python reference row by row (Spark parity oracle)."""
+    from sparkbm25.fixtures import MULTILANG_VOCAB, make_multilingual_pdf
+    from sparkbm25.pipeline import textstats as T
+
+    assert len(MULTILANG_VOCAB) >= 10
+    pdf = make_multilingual_pdf(n_per_lang=25, seed=202)  # eval != train seed
+    df = spark.createDataFrame(pdf[["doc_id", "text"]])
+    truth = dict(zip(pdf.doc_id, pdf.lang))
+
+    prof_pred = {r.doc_id: r.lang_pred for r in T.lang_id_ngram(df).collect()}
+    stop_pred = {r.doc_id: r.lang_pred for r in T.lang_id(df).collect()}
+    agree_prof = sum(prof_pred[d] == truth[d] for d in truth) / len(truth)
+    agree_stop = sum(stop_pred[d] == truth[d] for d in truth) / len(truth)
+    assert agree_prof >= agree_stop, (agree_prof, agree_stop)
+    assert agree_prof >= 0.9, agree_prof
+
+    # row-by-row Spark-vs-Python parity (same profiles, same fold order)
+    profiles = T.default_lang_profiles()
+    want = {d: T.classify_lang_py(t, profiles)
+            for d, t in zip(pdf.doc_id, pdf.text)}
+    assert prof_pred == want
+
+    # empty / non-letter text falls back to 'und'
+    edge = spark.createDataFrame(
+        [(0, ""), (1, "12345 !!!"), (2, None)], "doc_id long, text string"
+    )
+    assert {r.lang_pred for r in T.lang_id_ngram(edge).collect()} == {"und"}
