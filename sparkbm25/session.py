@@ -58,25 +58,31 @@ class low_latency:
     AQE materializes every exchange as its own sequential job — right for
     the build's big skew-prone shuffles, but a single top-k search moves a
     few hundred rows through two exchanges and pays ~0.2 s of stage
-    sequencing for nothing (measured: p50 0.61 s -> 0.40 s with AQE off +
-    4 shuffle partitions at local[8]). These are SESSION-scoped runtime
-    confs applied at ACTION time, so wrap the .collect()/.count(), not the
-    index_search() call::
+    sequencing for nothing (measured: p50 0.61 s -> 0.43 s with AQE off at
+    local[8]). These are SESSION-scoped runtime confs applied at ACTION
+    time, so wrap the .collect()/.count(), not the index_search() call::
 
         with low_latency(spark):
             hits = index_search(ix, [(0, "query text")]).collect()
-    """
 
-    def __init__(self, spark: SparkSession, shuffle_partitions: int = 4):
+    ``shuffle_partitions`` shaves a further ~30 ms on SMALL indexes by
+    shrinking the two tiny exchanges, but it also caps the scoring
+    stage's parallelism — at a 5.5M-turn index sp=4 made p50 0.87 s vs
+    0.52 s plain (measured, BENCH_SF1). Default None leaves it alone;
+    set it only when the kernel stage is known to be light."""
+
+    def __init__(self, spark: SparkSession,
+                 shuffle_partitions: int | None = None):
         self.spark = spark
-        self.sp = str(shuffle_partitions)
+        self.sp = None if shuffle_partitions is None else str(shuffle_partitions)
 
     def __enter__(self):
         c = self.spark.conf
         self._old = (c.get("spark.sql.adaptive.enabled"),
                      c.get("spark.sql.shuffle.partitions"))
         c.set("spark.sql.adaptive.enabled", "false")
-        c.set("spark.sql.shuffle.partitions", self.sp)
+        if self.sp is not None:
+            c.set("spark.sql.shuffle.partitions", self.sp)
         return self.spark
 
     def __exit__(self, *exc):
