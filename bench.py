@@ -36,6 +36,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_CONVS = {"0.001": 500, "0.01": 5000, "0.1": 50000}
 
+# scalar extras promoted into the compact stdout headline (single source of
+# truth — tests/test_bench_rollup.py imports this to verify the headline
+# stays inside the driver's tail capture)
+HEADLINE_EXTRAS = (
+    "build_throughput_turns_per_sec", "n_turns", "build_peak_rss_mb",
+    "batch_results", "query_throughput_qps", "query_peak_rss_mb",
+    "ivf_n_centroids", "ivf_default_n_probe", "pipeline_curate_s",
+    "query_p50_lowlat_s",
+)
+
 
 def _sf_from_dir(sf_dir: str) -> str:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -342,12 +352,6 @@ def main() -> int:
     )
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1)
-    headline_extras = (
-        "build_throughput_turns_per_sec", "n_turns", "build_peak_rss_mb",
-        "batch_results", "query_throughput_qps", "query_peak_rss_mb",
-        "ivf_n_centroids", "ivf_default_n_probe", "pipeline_curate_s",
-        "query_p50_lowlat_s",
-    )
     out = {
         "metric": full["metric"],
         "value": total,
@@ -355,7 +359,7 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf),
         "cpus": cpus,
-        **{k: extras[k] for k in headline_extras if k in extras},
+        **{k: extras[k] for k in HEADLINE_EXTRAS if k in extras},
         "sidecar": os.path.relpath(sidecar, os.path.dirname(sidecar) + "/.."),
     }
     if "minhash_ab" in extras:

@@ -635,6 +635,12 @@ def index_search(
     if strategy in ("sharded", "blockmax"):
         from .xxhash64 import spark_pmod_bucket
 
+        if ix.shard_shift is None:
+            raise ValueError(
+                "manifest predates the shard_shift layout (engine < 0.2); "
+                "rebuild the index, or use strategy='exhaustive'/"
+                "'blockmax_plan' which do not need doc-range shards"
+            )
         # auto-split only the dense sharded kernel: WAND's block pruning
         # already bounds its per-group work, and finer groups just multiply
         # its per-group fixed cost (measured: 20-query blockmax 2.34 s at

@@ -107,6 +107,16 @@ def _verify_claim(index_dir: str, token: str) -> None:
         )
 
 
+def _write_failed_if_claimed(index_dir: str, m: dict, token: str) -> None:
+    """Record a FAILED manifest ONLY while the claim is still ours: a
+    driver that lost the claim and then hit an unrelated error (e.g. its
+    staging racing the winner) must not clobber the new claim-holder's
+    token and group bookkeeping with its stale copy."""
+    cur = read_manifest(index_dir)
+    if cur is not None and cur.get("submit_token") == token:
+        _write_manifest(index_dir, m)
+
+
 LOCKFILE = ".build.lock"
 
 
@@ -313,9 +323,13 @@ def _build_index_locked(
     time.sleep(_CAS_SETTLE_S)
     _verify_claim(index_dir, token)
     staging_root = os.path.join(index_dir, "build_staging")
-    # stale staging from dead/lost builds (ours is keyed by token below)
-    shutil.rmtree(staging_root, ignore_errors=True)
+    # our staging is keyed by the fresh token; other entries are left
+    # alone here — a LIVE competitor may still be writing under its own
+    # token, and deleting its dirs would kill it with a raw Spark write
+    # error instead of the orderly ConcurrentBuildError at its publish
+    # gate. Dead builds' staging is reaped at successful completion.
     staging = os.path.join(staging_root, token)
+    shutil.rmtree(staging, ignore_errors=True)
 
     # --- stats stage (fixed once per job; resumed runs must reuse) --------
     # stats_override: corpus statistics computed elsewhere (e.g. over the
@@ -459,13 +473,13 @@ def _build_index_locked(
         m["status"] = STATUS_FAILED
         m["error_message"] = "injected failure (test)"
         m["metrics"].update(timer.stages)
-        _write_manifest(index_dir, m)
+        _write_failed_if_claimed(index_dir, m, token)
         raise
     except Exception as e:  # real failure: record and re-raise (tasks.py TaskResult)
         m["status"] = STATUS_FAILED
         m["error_message"] = f"{type(e).__name__}: {e}"
         m["metrics"].update(timer.stages)
-        _write_manifest(index_dir, m)
+        _write_failed_if_claimed(index_dir, m, token)
         raise
 
     m["metrics"].update(timer.stages)
@@ -500,8 +514,11 @@ class Index:
         self.k1: float = b["k1"]
         self.b: float = b["b"]
         self.num_term_buckets: int = b["num_term_buckets"]
-        self.num_shards: int = b.get("num_shards", 32)
-        self.shard_shift: int = b["shard_shift"]
+        # lenient reads: a pre-0.2 manifest (no shard_shift) must still
+        # open for the plan-level strategies; the sharded/blockmax path
+        # raises its own descriptive error when these are missing
+        self.num_shards: int = b.get("num_shards", 8)  # BuildParams default
+        self.shard_shift: int | None = b.get("shard_shift")
         self.block_size: int = b.get("block_size", 128)
         self._dfs: dict[str, DataFrame] = {}
         self._stats_cache: dict[str, tuple[int, float] | None] = {}

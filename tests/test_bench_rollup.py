@@ -53,23 +53,23 @@ def test_rollup_csv_flattens_bench_results(tmp_path):
 
 
 def test_headline_stays_tail_capturable():
-    """The most recent full-record sidecar must have produced a compact
-    headline: rebuild the headline the way main() does and assert it fits
-    comfortably inside a 2000-char tail capture (round 3's inline
-    param_grid blew past it and the driver recorded parsed:null)."""
+    """The most recent (by mtime) full-record sidecar must have produced a
+    compact headline: rebuild the headline from bench.py's OWN
+    HEADLINE_EXTRAS (single source of truth — a hand-copied tuple here
+    drifted once already) and assert it fits comfortably inside a
+    2000-char tail capture (round 3's inline param_grid blew past it and
+    the driver recorded parsed:null)."""
+    bench = _load_bench()
     results_dir = os.path.join(REPO, "bench_results")
-    fulls = sorted(
-        f for f in os.listdir(results_dir) if f.startswith("bench_full_")
-    )
+    fulls = [
+        os.path.join(results_dir, f)
+        for f in os.listdir(results_dir)
+        if f.startswith("bench_full_")
+    ]
     if not fulls:
         return  # no sidecar yet on a fresh clone; bench run will create one
-    with open(os.path.join(results_dir, fulls[-1])) as fh:
+    with open(max(fulls, key=os.path.getmtime)) as fh:
         full = json.load(fh)
-    headline_extras = (
-        "build_throughput_turns_per_sec", "n_turns", "build_peak_rss_mb",
-        "batch_results", "query_throughput_qps", "query_peak_rss_mb",
-        "ivf_n_centroids", "ivf_default_n_probe", "pipeline_curate_s",
-    )
     out = {
         "metric": full["metric"],
         "value": full["value"],
@@ -77,7 +77,8 @@ def test_headline_stays_tail_capturable():
         "queries": full["queries"],
         "sf": full["sf"],
         "cpus": full["cpus"],
-        **{k: full[k] for k in headline_extras if k in full},
+        **{k: full[k] for k in bench.HEADLINE_EXTRAS if k in full},
         "sidecar": "bench_results/x.json",
+        "minhash_ab_ratio": 0.5,
     }
     assert len(json.dumps(out)) < 2000
