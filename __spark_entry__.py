@@ -70,29 +70,56 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same flagship results via the FULL engine: salted SPIMI build into a
-    compressed block index, then shard-grouped exact search (SURVEY §2.4 A1
-    + §2.5 T1). Oracle: identical SQL as bm25_topk — the index must be a
-    pure representation change."""
+FILTER_LANG = "en"  # the filtered-search driver predicate (majority class)
+
+
+def _entry_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotent, /tmp-cached, version-keyed) the shared entry
+    index over the documents table — with lang/source stored as filterable
+    attributes so the filtered-search query shares one artifact."""
     import hashlib
-    import os
 
     from sparkbm25.build import BuildParams
-    from sparkbm25.index_query import index_search
-    from sparkbm25.jobs import Index, build_index
+    from sparkbm25.jobs import build_index
 
     import sparkbm25
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
     # version in the cache key: a stale /tmp artifact from an older engine
     # revision (prior round) must never be served by newer code
     tag = hashlib.sha1(f"{sf_dir}@{sparkbm25.__version__}".encode()).hexdigest()[:10]
     ix_dir = f"/tmp/sparkbm25_entry/ix_{tag}"
     params = BuildParams(num_shards=8, salt_factor=2, num_term_buckets=16,
-                         lineage_groups=2)
+                         lineage_groups=2, attr_cols=("lang", "source"))
     build_index(docs, ix_dir, params, source_fingerprint=sf_dir)  # idempotent
+    return ix_dir
+
+
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same flagship results via the FULL engine: salted SPIMI build into a
+    compressed block index, then shard-grouped exact search (SURVEY §2.4 A1
+    + §2.5 T1). Oracle: identical SQL as bm25_topk — the index must be a
+    pure representation change."""
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
     out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K)
+    return out.withColumn("score", F.round("score", 6))
+
+
+def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search: exact top-k among docs with lang = FILTER_LANG,
+    global idf/avgdl (standard filter-narrows-candidates semantics). The
+    qualifying ids cogroup with the posting blocks on the doc-range key —
+    no broadcast, scales with the corpus. Oracle: the same BM25 SQL with
+    the candidate CTE restricted by the same predicate."""
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K,
+                       where={"lang": FILTER_LANG})
     return out.withColumn("score", F.round("score", 6))
 
 
@@ -347,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_topk_indexed": q_bm25_topk_indexed,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "dedup_exact": q_dedup_exact,
@@ -383,6 +411,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": sqlgen.bm25_topk_sql(DOC_QUERIES, k=K),
         "bm25_topk_indexed": sqlgen.bm25_topk_sql(DOC_QUERIES, k=K),
+        "bm25_topk_filtered": sqlgen.bm25_topk_sql(
+            DOC_QUERIES, k=K, filter_where=f"lang = '{FILTER_LANG}'"
+        ),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_stats": sqlgen.term_stats_sql(),
         "dedup_exact": DD.exact_dedup_sql(),

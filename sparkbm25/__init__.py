@@ -21,7 +21,7 @@ Package layout
                  multimodal column plumbing
 """
 
-__version__ = "0.4.0"  # bump on ANY index-layout change (0.4: auto ANN params + default_n_probe in IVF manifest)
+__version__ = "0.5.0"  # bump on ANY index-layout change (0.5: attr_cols in doc_stats for filtered search)
 
 K1 = 1.2
 B = 0.75

@@ -87,11 +87,23 @@ class BuildParams:
     lineage_groups: int = 4
     doc_id_scheme: str = "provided"  # or conv_seq / hash64 / row_number
     store_text: bool = False  # analog of skip_stored_vectors (inverted)
+    # extra corpus columns stored per doc in doc_stats — the metadata that
+    # search-time `where=` filters read (e.g. role / lang / source).
+    # Tuple (hashable + JSON-stable) so job_id stays canonical.
+    attr_cols: tuple = ()
     tokenizer: str = "ascii_alnum_lower"
 
     def validate(self) -> None:
         if self.block_size < 8:
             raise ValueError("block_size must be >= 8")
+        reserved = {"doc_id", "doc_len", "text", "group"}
+        bad = reserved & set(self.attr_cols)
+        if bad:
+            raise ValueError(
+                f"attr_cols collide with doc_stats layout columns: {sorted(bad)}"
+            )
+        if not isinstance(self.attr_cols, tuple):
+            raise ValueError("attr_cols must be a tuple (canonical job id)")
         for f_ in ("num_shards", "salt_factor", "num_term_buckets", "lineage_groups"):
             if getattr(self, f_) < 1:
                 raise ValueError(f"{f_} must be >= 1")

@@ -219,9 +219,20 @@ def _rescore_gen(k1: float, b: float, avgdl: float):
     return gen
 
 
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership of `values` in an ALREADY-SORTED int64 array via a
+    searchsorted probe — np.isin re-sorts its second argument per call
+    (measured 6.2 s of a 7.5 s WAND kernel at 5.5M-turn shards)."""
+    if not len(sorted_arr):
+        return np.zeros(len(values), dtype=bool)
+    pos = np.searchsorted(sorted_arr, values)
+    pos_c = np.minimum(pos, len(sorted_arr) - 1)
+    return (pos < len(sorted_arr)) & (sorted_arr[pos_c] == values)
+
+
 def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                      k1: float, b: float, avgdl: float, k: int,
-                     sub_shift: int | None = None):
+                     sub_shift: int | None = None, filtered: bool = False):
     """Per-shard exact scoring kernel: decode each query term's blocks ONCE,
     densify each term into one contribution column over the group's doc
     universe, and score every query as a few whole-vector adds.
@@ -249,8 +260,8 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
     <= group-doc-count doubles — bounded by the doc-range grouping and
     shrunk further by sub_shift."""
 
-    def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        vs = int(key[0])
+    def _run(vs: int, pdf: pd.DataFrame,
+             qual: np.ndarray | None) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "query_id": pd.Series(dtype="int32"),
@@ -280,10 +291,18 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
         tfs = vbyte_decode(b"".join(pdf["tfs_vbyte"]), total).astype(np.float64)
         dls = vbyte_decode(b"".join(pdf["dls_vbyte"]), total).astype(np.float64)
         tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        m = None
         if sub_shift is not None:
             # arithmetic >> matches the build's F.shiftright sharding
             # (overflow-free over the full signed-int64 id range)
             m = (all_ids >> np.int64(sub_shift)) == vs
+        if qual is not None:
+            # `where=` filter: restrict scoring to the group's QUALIFYING
+            # docs (global idf/avgdl stay untouched — standard filtered-
+            # search semantics: the filter narrows candidates, not stats)
+            mq = _in_sorted(all_ids, qual)
+            m = mq if m is None else (m & mq)
+        if m is not None:
             all_ids, tfn = all_ids[m], tfn[m]
             # remap term slice offsets onto the masked arrays
             kept_per_block = np.add.reduceat(
@@ -355,8 +374,17 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
             }
         )
 
-    return topk
+    def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _run(int(key[0]), pdf, None)
 
+    def topk_filtered(key: tuple, blocks_pdf: pd.DataFrame,
+                      qual_pdf: pd.DataFrame) -> pd.DataFrame:
+        # cogroup form: the right side carries this doc-range group's
+        # qualifying doc ids (already co-partitioned by the same key)
+        qual = np.sort(qual_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True))
+        return _run(int(key[0]), blocks_pdf, qual)
+
+    return topk_filtered if filtered else topk
 
 
 def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
@@ -502,11 +530,7 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
             # argument on EVERY call, which at 5.5M-turn shards made these
             # two loops 6.2 s of a 7.5 s kernel (profiled)
             def in_cands(ids: np.ndarray) -> np.ndarray:
-                if not len(cand_ids):
-                    return np.zeros(len(ids), dtype=bool)
-                pos = np.searchsorted(cand_ids, ids)
-                pos_c = np.minimum(pos, len(cand_ids) - 1)
-                return (pos < len(cand_ids)) & (cand_ids[pos_c] == ids)
+                return _in_sorted(ids, cand_ids)
 
             # candidate contributions from surviving blocks, tagged by qpos
             tri_d, tri_p, tri_v = [], [], []
@@ -598,6 +622,7 @@ def index_search(
     strategy: str = "sharded",
     prune: bool | None = None,
     subsplit: int | None = None,
+    where: dict | None = None,
 ) -> DataFrame:
     """Exact top-k BM25 from the index.
 
@@ -621,6 +646,16 @@ def index_search(
     straddling a sub-boundary are replicated and the kernel masks decoded
     postings to the group's range — exact, bit-identical scores). Default
     None auto-derives from cluster parallelism vs num_shards; 1 disables.
+
+    `where` (sharded strategy only) restricts the top-k to docs whose
+    stored attributes match every predicate: `{"lang": "en"}` (equality)
+    or `{"source": ["web", "wiki"]}` (membership). Attributes come from
+    the build's `attr_cols` stored in doc_stats; the qualifying doc ids
+    cogroup with the posting blocks on the same doc-range key (no
+    broadcast — scales to any corpus/filter size) and the kernel masks
+    decoded postings to them. Standard filtered-search semantics: the
+    filter narrows CANDIDATES; idf/avgdl stay global. Exact top-k of the
+    filtered set, same tie contract.
     """
     if prune is not None:
         strategy = "blockmax" if prune else "exhaustive"
@@ -631,6 +666,11 @@ def index_search(
             [], "query_id int, rank int, doc_id long, score double"
         )
     decode = _decode_gen(ix.k1, ix.b, ix.avgdl)
+
+    if where and strategy != "sharded":
+        raise ValueError(
+            "where= filters are supported on the 'sharded' strategy only"
+        )
 
     if strategy in ("sharded", "blockmax"):
         from .xxhash64 import spark_pmod_bucket
@@ -696,6 +736,42 @@ def index_search(
             group_key = "shard_id"
         if strategy != "blockmax":
             blocks = blocks.drop("first_doc", "last_doc")
+        if where:
+            ds = ix.doc_stats()
+            missing = sorted(set(where) - set(ds.columns))
+            if missing:
+                raise ValueError(
+                    f"attributes {missing} not stored in this index's "
+                    f"doc_stats (build with BuildParams(attr_cols=...)); "
+                    f"stored columns: {sorted(ds.columns)}"
+                )
+            qual = ds
+            for c, v in where.items():
+                qual = qual.filter(
+                    F.col(c).isin(*list(v))
+                    if isinstance(v, (list, tuple, set))
+                    else F.col(c) == v
+                )
+            # co-partition qualifying ids on the SAME doc-range key as the
+            # blocks: a doc's group key is unique (no replication needed)
+            qual = qual.select(
+                "doc_id",
+                F.shiftright(
+                    "doc_id",
+                    sub_shift if sub_shift is not None else ix.shard_shift,
+                ).alias(group_key),
+            )
+            kern = _sharded_topk_fn(
+                occ, ix.k1, ix.b, ix.avgdl, k, sub_shift, filtered=True
+            )
+            shard_tops = (
+                blocks.groupBy(group_key)
+                .cogroup(qual.groupBy(group_key))
+                .applyInPandas(
+                    kern, schema="query_id int, doc_id long, score double"
+                )
+            )
+            return topk_window(shard_tops, k)
         kern = (
             _wand_topk_fn(occ, ix.k1, ix.b, ix.avgdl, k, sub_shift)
             if strategy == "blockmax"

@@ -407,6 +407,7 @@ def _build_index_locked(
                         "doc_id",
                         F.size(tokens_col("text")).alias("doc_len"),
                         *(["text"] if params.store_text else []),
+                        *params.attr_cols,
                     ).write.mode("overwrite").parquet(d_stage)
                 )
                 blocks = build_postings(sub, params, stats)

@@ -57,12 +57,14 @@ class OracleIndex:
             if self.postings.get(t, {}).get(doc_id, 0) > 0
         )
 
-    def search(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(self, query_text: str, k: int = 10,
+               allowed: set | None = None) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc, doc_id asc tie-break.
 
         Accumulates per query-term occurrence (duplicate query terms count
         multiply), in query order, float64 — the engine mirrors this.
-        """
+        ``allowed`` restricts CANDIDATES to that doc-id set (filtered
+        search: idf/avgdl stay global, matching the engine's `where=`)."""
         acc: dict[int, float] = {}
         for t in tokenize_py(query_text):
             plist = self.postings.get(t)
@@ -70,6 +72,8 @@ class OracleIndex:
                 continue
             w = idf(self.df(t), self.n_docs)
             for doc_id, tf in plist.items():
+                if allowed is not None and doc_id not in allowed:
+                    continue
                 acc[doc_id] = acc.get(doc_id, 0.0) + w * tf_norm(
                     tf, self.doc_len[doc_id], self.avgdl
                 )
@@ -77,11 +81,13 @@ class OracleIndex:
         return ranked[:k]
 
     def search_all(
-        self, queries: list[tuple[int, str]], k: int = 10
+        self, queries: list[tuple[int, str]], k: int = 10,
+        allowed: set | None = None,
     ) -> list[tuple[int, int, int, float]]:
         """[(query_id, rank(1-based), doc_id, score)] over a query set."""
         out = []
         for qid, qtext in queries:
-            for rank, (doc_id, score) in enumerate(self.search(qtext, k), start=1):
+            ranked = self.search(qtext, k, allowed=allowed)
+            for rank, (doc_id, score) in enumerate(ranked, start=1):
                 out.append((qid, rank, doc_id, score))
         return out

@@ -26,6 +26,7 @@ def bm25_topk_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_dp: int = 6,
+    filter_where: str | None = None,
 ) -> str:
     """Full BM25 top-k in one DuckDB query (rank over raw score, score
     rounded only in the projection — the Spark side does the same).
@@ -37,10 +38,15 @@ def bm25_topk_sql(
     projection absorbs; exact ties rank identically in both because tied
     docs have identical per-term (tf, dl) compositions, so both
     accumulations yield them bitwise-equal scores and the shared
-    (score DESC, doc_id ASC) tie-break decides."""
+    (score DESC, doc_id ASC) tie-break decides.
+
+    ``filter_where`` restricts the CANDIDATE docs (a SQL predicate over
+    ``{table}``'s columns) while idf/avgdl stay computed over the whole
+    corpus — the oracle for the engine's filtered search (`where=`)."""
     toks = DUCKDB_TOKENS.format(col=text_col)
     idf = idf_sql("tdf.df", "cs.n")
     tfn = tf_norm_sql("tf.tf", "dstats.dl", "cs.avgdl")
+    cand_where = f" WHERE {filter_where}" if filter_where else ""
     return f"""
 WITH q AS (SELECT * FROM {_values_clause(queries)}),
 qt AS (
@@ -58,6 +64,7 @@ tf AS (
   GROUP BY 1, 2
 ),
 tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+cand AS (SELECT {id_col} AS doc_id FROM {table}{cand_where}),
 scores AS (
   SELECT qt.query_id, tf.doc_id,
          sum(qt.qtf * {idf} * {tfn}) AS score
@@ -66,6 +73,7 @@ scores AS (
   JOIN tdf ON tdf.term = tf.term
   JOIN dstats ON dstats.doc_id = tf.doc_id
   CROSS JOIN cs
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
   GROUP BY 1, 2
 ),
 ranked AS (

@@ -247,3 +247,50 @@ def test_micro_corpus_via_index(spark, tmp_path):
         index_search(ix, queries, k=5).collect(),
         oracle.search_all(queries, k=5),
     )
+
+
+def test_index_search_filtered_rank_identical(spark, tmp_path):
+    """`where=` filtered search: exact top-k of the qualifying docs with
+    GLOBAL idf/avgdl, rank-identical to the oracle restricted to the same
+    allowed set — across subsplit levels, with membership lists, and with
+    an empty-qualifying-set filter returning no rows."""
+    pdf = make_transcripts_pdf(60)
+    df = add_doc_id(spark.createDataFrame(pdf), scheme="conv_seq")
+    # planted attribute: role alternates deterministically per turn
+    corpus = df.select("doc_id", "text", "role")
+    d = str(tmp_path / "ix_attr")
+    build_index(
+        corpus, d,
+        BuildParams(num_shards=6, salt_factor=2, num_term_buckets=8,
+                    lineage_groups=2, doc_id_scheme="conv_seq",
+                    attr_cols=("role",)),
+        source_fingerprint="attr60",
+    )
+    ix = Index(spark, d)
+    ora = OracleIndex.build([(r.doc_id, r.text) for r in corpus.collect()])
+    roles = {r.doc_id: r.role for r in corpus.collect()}
+    queries = make_queries(25)
+
+    for pred, allowed in [
+        ({"role": "user"}, {d_ for d_, ro in roles.items() if ro == "user"}),
+        ({"role": ["user", "assistant"]},
+         {d_ for d_, ro in roles.items() if ro in ("user", "assistant")}),
+    ]:
+        want = ora.search_all(queries, k=K, allowed=allowed)
+        for n_sub in (None, 1, 4):
+            got = index_search(ix, queries, k=K, where=pred,
+                               subsplit=n_sub).collect()
+            _assert_rank_identical(got, want)
+    # every returned doc actually satisfies the predicate
+    got = index_search(ix, queries, k=K, where={"role": "user"}).collect()
+    assert got and all(roles[r.doc_id] == "user" for r in got)
+    # filter with no qualifying docs -> empty result, not an error
+    assert index_search(ix, queries, k=K,
+                        where={"role": "nobody"}).count() == 0
+    # unknown attribute -> descriptive refusal
+    with pytest.raises(ValueError, match="attr_cols"):
+        index_search(ix, queries, k=K, where={"missing_col": "x"}).count()
+    # filters only on the sharded strategy
+    with pytest.raises(ValueError, match="sharded"):
+        index_search(ix, queries, k=K, strategy="blockmax",
+                     where={"role": "user"})

@@ -156,6 +156,39 @@ def test_wand_plan_one_kernel_two_exchanges(built):
     assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
+def test_filtered_search_plan_cogroup_no_broadcast(spark, tmp_path):
+    """`where=` filtered search must CO-PARTITION the qualifying doc ids
+    with the posting blocks (one cogrouped kernel, three exchanges total:
+    blocks + qual on the doc-range key, then the skinny top-k window) —
+    never a driver collect, broadcast of the filter set, or cartesian:
+    the qualifying set can be corpus-sized at 10^12 turns."""
+    from sparkbm25.corpus import add_doc_id
+    from sparkbm25.fixtures import make_transcripts_pdf
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index, build_index
+
+    corpus = add_doc_id(
+        spark.createDataFrame(make_transcripts_pdf(15)), "conv_seq"
+    ).select("doc_id", "text", "role")
+    d = str(tmp_path / "fplan_ix")
+    build_index(
+        corpus, d,
+        BuildParams(num_shards=4, salt_factor=2, num_term_buckets=4,
+                    lineage_groups=1, doc_id_scheme="conv_seq",
+                    attr_cols=("role",)),
+        "fplan",
+    )
+    df = index_search(Index(spark, d), [(0, "w0001 w0002")], k=5,
+                      where={"role": "user"})
+    plan = _plan(df)
+    assert plan.count("FlatMapCoGroupsInPandas") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert df.count() > 0
+
+
 def test_curate_plan_no_cartesian_single_corpus_pass_per_policy(spark):
     """The curation decision table must stay join-on-doc_id shaped: no
     CartesianProduct/BroadcastNestedLoopJoin anywhere (the only self-join
