@@ -31,6 +31,7 @@ def _build(args) -> int:
     df = spark.read.parquet(args.source)
     if args.doc_id_scheme != "provided":
         df = add_doc_id(df, scheme=args.doc_id_scheme)
+    attr_cols = tuple(args.attr_cols.split(",")) if args.attr_cols else ()
     params = BuildParams(
         num_shards=args.num_shards,
         salt_factor=args.salt_factor,
@@ -38,10 +39,12 @@ def _build(args) -> int:
         lineage_groups=args.lineage_groups,
         doc_id_scheme=args.doc_id_scheme,
         store_text=args.store_text,
+        attr_cols=attr_cols,
     )
     fingerprint = args.fingerprint or args.source
     manifest = build_index(
-        df.select("doc_id", "text"), args.index_dir, params, fingerprint
+        df.select("doc_id", "text", *attr_cols), args.index_dir, params,
+        fingerprint,
     )
     print(json.dumps({k: manifest[k] for k in ("job_id", "status", "metrics")}, indent=2))
     return 0 if manifest["status"] == "COMPLETED" else 1
@@ -54,7 +57,18 @@ def _query(args) -> int:
 
     spark = get_spark("sparkbm25-query", cores=args.cores)
     ix = Index(spark, args.index_dir)
-    out = index_search(ix, [(0, args.query)], k=args.k, strategy=args.strategy)
+    # --where role=user --where lang=en,de  (equality; comma = membership)
+    where = None
+    if args.where:
+        where = {}
+        for item in args.where:
+            col, _, val = item.partition("=")
+            if not _ or not col:
+                raise SystemExit(f"--where expects col=value, got {item!r}")
+            vals = val.split(",")
+            where[col] = vals if len(vals) > 1 else vals[0]
+    out = index_search(ix, [(0, args.query)], k=args.k,
+                       strategy=args.strategy, where=where)
     for r in out.orderBy("rank").collect():
         print(f"{r.rank}\t{r.doc_id}\t{r.score:.6f}")
     return 0
@@ -147,6 +161,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--num-term-buckets", type=int, default=32)
     b.add_argument("--lineage-groups", type=int, default=4)
     b.add_argument("--store-text", action="store_true")
+    b.add_argument("--attr-cols", default="",
+                   help="comma-separated corpus columns stored as filterable "
+                        "doc attributes (search-time --where)")
     b.add_argument("--fingerprint", default=None)
     b.add_argument("--cores", type=int, default=None)
     b.set_defaults(fn=_build)
@@ -155,6 +172,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index-dir", required=True)
     q.add_argument("--query", required=True)
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--where", action="append", default=None,
+                   help="attribute filter col=value (repeatable; "
+                        "comma-separated values = membership)")
     q.add_argument("--strategy", default="sharded",
                    choices=["sharded", "blockmax", "exhaustive"])
     q.add_argument("--cores", type=int, default=None)

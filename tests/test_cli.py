@@ -182,3 +182,36 @@ def test_dead_lock_race_exactly_one_winner(tmp_path):
     with open(lock) as f:
         held = _json.load(f)
     assert held["pid"] == _os.getpid()  # the winner's fresh lock survived
+
+
+def test_cli_filtered_query(src, tmp_path_factory):
+    """build --attr-cols role + query --where role=user end-to-end: every
+    hit belongs to a user turn (verified against the source parquet)."""
+    import duckdb
+
+    ix = str(tmp_path_factory.mktemp("cli_fix") / "jobf")
+    r = run_cli("build", "--source", src, "--index-dir", ix,
+                "--doc-id-scheme", "conv_seq", "--num-shards", "2",
+                "--lineage-groups", "1", "--attr-cols", "role",
+                "--cores", "4")
+    assert r.returncode == 0, r.stderr[-800:]
+    r = run_cli("query", "--index-dir", ix, "--query", "w0001 w0002",
+                "--where", "role=user", "-k", "5", "--cores", "4")
+    assert r.returncode == 0, r.stderr[-800:]
+    hits = [line.split("\t") for line in r.stdout.strip().splitlines()
+            if line and line[0].isdigit()]
+    assert hits, r.stdout
+    con = duckdb.connect()
+    user_docs = {
+        row[0] for row in con.execute(
+            "SELECT CAST(regexp_extract(conv_id, '([0-9]+)$', 1) AS BIGINT) "
+            "* 1048576 + turn_idx FROM read_parquet(?) WHERE role = 'user'",
+            [src.rstrip("/") + "/*.parquet"],
+        ).fetchall()
+    }
+    # doc ids from the conv_seq scheme must all be user turns
+    assert all(int(d) in user_docs for _rk, d, _s in hits), (hits, r.stdout)
+    # malformed --where refused
+    r = run_cli("query", "--index-dir", ix, "--query", "w0001",
+                "--where", "rolex", "--cores", "4")
+    assert r.returncode != 0
