@@ -623,6 +623,7 @@ def index_search(
     prune: bool | None = None,
     subsplit: int | None = None,
     where: dict | None = None,
+    where_expr=None,
 ) -> DataFrame:
     """Exact top-k BM25 from the index.
 
@@ -656,6 +657,11 @@ def index_search(
     decoded postings to them. Standard filtered-search semantics: the
     filter narrows CANDIDATES; idf/avgdl stay global. Exact top-k of the
     filtered set, same tie contract.
+
+    `where_expr` accepts an arbitrary Column predicate over the stored
+    doc_stats columns for shapes the dict can't say (ranges, nulls,
+    boolean compositions): ``where_expr=(F.col("ts") >= lo) &
+    (F.col("role") == "user")``. Composes (AND) with `where`.
     """
     if prune is not None:
         strategy = "blockmax" if prune else "exhaustive"
@@ -667,7 +673,7 @@ def index_search(
         )
     decode = _decode_gen(ix.k1, ix.b, ix.avgdl)
 
-    if where and strategy != "sharded":
+    if (where or where_expr is not None) and strategy != "sharded":
         raise ValueError(
             "where= filters are supported on the 'sharded' strategy only"
         )
@@ -736,9 +742,9 @@ def index_search(
             group_key = "shard_id"
         if strategy != "blockmax":
             blocks = blocks.drop("first_doc", "last_doc")
-        if where:
+        if where or where_expr is not None:
             ds = ix.doc_stats()
-            missing = sorted(set(where) - set(ds.columns))
+            missing = sorted(set(where or {}) - set(ds.columns))
             if missing:
                 raise ValueError(
                     f"attributes {missing} not stored in this index's "
@@ -746,12 +752,14 @@ def index_search(
                     f"stored columns: {sorted(ds.columns)}"
                 )
             qual = ds
-            for c, v in where.items():
+            for c, v in (where or {}).items():
                 qual = qual.filter(
                     F.col(c).isin(*list(v))
                     if isinstance(v, (list, tuple, set))
                     else F.col(c) == v
                 )
+            if where_expr is not None:
+                qual = qual.filter(where_expr)
             # co-partition qualifying ids on the SAME doc-range key as the
             # blocks: a doc's group key is unique (no replication needed)
             qual = qual.select(

@@ -294,3 +294,37 @@ def test_index_search_filtered_rank_identical(spark, tmp_path):
     with pytest.raises(ValueError, match="sharded"):
         index_search(ix, queries, k=K, strategy="blockmax",
                      where={"role": "user"})
+
+
+def test_index_search_where_expr_range(spark, tmp_path):
+    """where_expr: arbitrary Column predicates (here a doc_len range +
+    role equality composed) — rank-identical to the oracle restricted to
+    the same computed allowed set."""
+    from pyspark.sql import functions as F
+
+    pdf = make_transcripts_pdf(40)
+    df = add_doc_id(spark.createDataFrame(pdf), scheme="conv_seq")
+    corpus = df.select("doc_id", "text", "role")
+    d = str(tmp_path / "ix_expr")
+    build_index(
+        corpus, d,
+        BuildParams(num_shards=4, salt_factor=2, num_term_buckets=8,
+                    lineage_groups=1, doc_id_scheme="conv_seq",
+                    attr_cols=("role",)),
+        source_fingerprint="expr40",
+    )
+    ix = Index(spark, d)
+    ora = OracleIndex.build([(r.doc_id, r.text) for r in corpus.collect()])
+    # allowed = user turns with doc_len in [5, 30] (doc_len is stored)
+    meta = {r.doc_id: (r.role, ora.doc_len[r.doc_id])
+            for r in corpus.collect()}
+    allowed = {d_ for d_, (ro, dl) in meta.items()
+               if ro == "user" and 5 <= dl <= 30}
+    assert allowed and len(allowed) < len(meta)
+    queries = make_queries(15)
+    got = index_search(
+        ix, queries, k=K,
+        where_expr=(F.col("role") == "user")
+        & F.col("doc_len").between(5, 30),
+    ).collect()
+    _assert_rank_identical(got, ora.search_all(queries, k=K, allowed=allowed))
