@@ -127,10 +127,17 @@ def _package(args) -> int:
 
 
 def _heartbeat(args) -> int:
-    """Liveness probe — GET /_heart_beat analog (app/routes/heart_beat.py)."""
+    """Liveness probe — GET /_heart_beat analog (app/routes/heart_beat.py):
+    engine importable + version; with --index-dir, also the artifact's
+    manifest status. No Spark session."""
     from . import __version__
+    from .jobs import read_manifest
 
-    print(json.dumps({"status": "ok", "version": __version__}))
+    out = {"status": "ok", "version": __version__}
+    if getattr(args, "index_dir", None):
+        m = read_manifest(args.index_dir)
+        out["index_status"] = m["status"] if m else "NOT_FOUND"
+    print(json.dumps(out))
     return 0
 
 
@@ -198,6 +205,7 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=_package)
 
     h = sub.add_parser("heartbeat")
+    h.add_argument("--index-dir", default=None)
     h.set_defaults(fn=_heartbeat)
 
     args = ap.parse_args(argv)

@@ -215,3 +215,16 @@ def test_cli_filtered_query(src, tmp_path_factory):
     r = run_cli("query", "--index-dir", ix, "--query", "w0001",
                 "--where", "rolex", "--cores", "4")
     assert r.returncode != 0
+
+
+def test_cli_heartbeat_index_probe(src, tmp_path_factory):
+    """Heartbeat analog (app/routes/heart_beat.py:17-28): ok + version
+    without a Spark session; optional index status probe."""
+    r = run_cli("heartbeat")
+    assert r.returncode == 0, r.stderr[-500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["status"] == "ok" and out["version"]
+    assert "index_status" not in out
+    r = run_cli("heartbeat", "--index-dir", "/nonexistent/ix")
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["index_status"] == "NOT_FOUND"

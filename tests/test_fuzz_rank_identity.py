@@ -170,3 +170,42 @@ def test_fuzz_compaction_invariance(spark, tmp_path, seed):
             for r in index_search(ix2, queries, k=9, strategy=strategy).collect()
         )
         assert got == want, strategy
+
+
+@pytest.mark.parametrize("seed", [11, 77, 555])
+def test_fuzz_filtered_search_rank_identity(spark, tmp_path, seed):
+    """Seeded fuzz of the `where=` path: random nasty corpora with random
+    categorical attributes, random equality/membership predicates (often
+    selecting few or zero docs), random subsplit — always rank-identical
+    to the oracle restricted to the same allowed set."""
+    rng = random.Random(seed)
+    docs, queries = _random_corpus(rng, n_docs=100)
+    cats = ["a", "b", "c", "d", None]
+    tagged = [(d_, t, rng.choice(cats)) for d_, t in docs]
+    df = spark.createDataFrame(tagged, "doc_id long, text string, tag string")
+    d = str(tmp_path / f"ffuzz_{seed}")
+    params = BuildParams(num_shards=3, salt_factor=2, num_term_buckets=4,
+                         lineage_groups=2, block_size=16,
+                         attr_cols=("tag",))
+    build_index(df, d, params, f"ffuzz{seed}")
+    ix = Index(spark, d)
+    ora = OracleIndex.build(docs)
+    tag_of = {d_: tg for d_, _t, tg in tagged}
+
+    for _trial in range(4):
+        pick = rng.sample(["a", "b", "c", "d", "zz"], rng.randint(1, 3))
+        pred = {"tag": pick if len(pick) > 1 else pick[0]}
+        allowed = {d_ for d_, tg in tag_of.items() if tg in pick}
+        n_sub = rng.choice([None, 1, 2, 4])
+        got = sorted(
+            (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+            for r in index_search(ix, queries, k=6, where=pred,
+                                  subsplit=n_sub).collect()
+        )
+        want = sorted(
+            (q, rk, d_, round(s, 9))
+            for q, rk, d_, s in ora.search_all(queries, k=6, allowed=allowed)
+        )
+        assert [g[:3] for g in got] == [w[:3] for w in want], (pred, n_sub)
+        for g, w in zip(got, want):
+            assert g[3] == pytest.approx(w[3], rel=1e-9)
