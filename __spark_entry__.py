@@ -108,6 +108,24 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("score", F.round("score", 6))
 
 
+TUNED_K1, TUNED_B = 0.9, 0.4  # short-doc tuning — the query-time override
+
+
+def q_bm25_topk_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time BM25 parameter override (k1=0.9, b=0.4) on the SAME
+    index artifact — no rebuild: tf/doc-lengths are stored raw and
+    tf_norm is kernel-computed (the reference's search-time knob sweep,
+    benchmarks.yml ef_search). Oracle: same SQL with the tuned constants
+    in the tf_norm fragment."""
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K,
+                       k1=TUNED_K1, b=TUNED_B)
+    return out.withColumn("score", F.round("score", 6))
+
+
 def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered search: exact top-k among docs with lang = FILTER_LANG,
     global idf/avgdl (standard filter-narrows-candidates semantics). The
@@ -375,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "bm25_topk_tuned": q_bm25_topk_tuned,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "dedup_exact": q_dedup_exact,
@@ -413,6 +432,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_indexed": sqlgen.bm25_topk_sql(DOC_QUERIES, k=K),
         "bm25_topk_filtered": sqlgen.bm25_topk_sql(
             DOC_QUERIES, k=K, filter_where=f"lang = '{FILTER_LANG}'"
+        ),
+        "bm25_topk_tuned": sqlgen.bm25_topk_sql(
+            DOC_QUERIES, k=K, k1=TUNED_K1, b=TUNED_B
         ),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_stats": sqlgen.term_stats_sql(),

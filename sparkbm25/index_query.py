@@ -624,6 +624,8 @@ def index_search(
     subsplit: int | None = None,
     where: dict | None = None,
     where_expr=None,
+    k1: float | None = None,
+    b: float | None = None,
 ) -> DataFrame:
     """Exact top-k BM25 from the index.
 
@@ -662,16 +664,34 @@ def index_search(
     doc_stats columns for shapes the dict can't say (ranges, nulls,
     boolean compositions): ``where_expr=(F.col("ts") >= lo) &
     (F.col("role") == "user")``. Composes (AND) with `where`.
+
+    `k1`/`b` override the BM25 shape parameters at QUERY time without a
+    rebuild — tf and doc lengths are stored raw, tf_norm is computed in
+    the kernel, and idf/avgdl don't depend on k1/b (the reference sweeps
+    its search-time knob the same way, benchmarks.yml ef_search).
+    Sharded/exhaustive only: the blockmax strategies prune with
+    max/min_tf_norm block metadata PRECOMPUTED under the build's k1/b,
+    which ceases to bound a different shape.
     """
     if prune is not None:
         strategy = "blockmax" if prune else "exhaustive"
+    if (k1 is not None or b is not None) and strategy not in (
+        "sharded", "exhaustive"
+    ):
+        raise ValueError(
+            "query-time k1/b overrides need the 'sharded' or 'exhaustive' "
+            "strategy: blockmax prunes with tf_norm bounds precomputed "
+            "under the build parameters"
+        )
+    eff_k1 = ix.k1 if k1 is None else float(k1)
+    eff_b = ix.b if b is None else float(b)
     spark = ix.spark
     weights, occ = _query_weights(ix, queries)
     if not weights:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"
         )
-    decode = _decode_gen(ix.k1, ix.b, ix.avgdl)
+    decode = _decode_gen(eff_k1, eff_b, ix.avgdl)
 
     if (where or where_expr is not None) and strategy != "sharded":
         raise ValueError(
@@ -770,7 +790,7 @@ def index_search(
                 ).alias(group_key),
             )
             kern = _sharded_topk_fn(
-                occ, ix.k1, ix.b, ix.avgdl, k, sub_shift, filtered=True
+                occ, eff_k1, eff_b, ix.avgdl, k, sub_shift, filtered=True
             )
             shard_tops = (
                 blocks.groupBy(group_key)
@@ -783,7 +803,7 @@ def index_search(
         kern = (
             _wand_topk_fn(occ, ix.k1, ix.b, ix.avgdl, k, sub_shift)
             if strategy == "blockmax"
-            else _sharded_topk_fn(occ, ix.k1, ix.b, ix.avgdl, k, sub_shift)
+            else _sharded_topk_fn(occ, eff_k1, eff_b, ix.avgdl, k, sub_shift)
         )
         shard_tops = blocks.groupBy(group_key).applyInPandas(
             kern, schema="query_id int, doc_id long, score double"

@@ -45,26 +45,38 @@ class OracleIndex:
     def df(self, term: str) -> int:
         return len(self.postings.get(term, {}))
 
-    def score(self, query_text: str, doc_id: int) -> float:
+    def score(self, query_text: str, doc_id: int,
+              k1: float | None = None, b: float | None = None) -> float:
+        kw = {} if k1 is None else {"k1": k1}
+        if b is not None:
+            kw["b"] = b
         return sum(
             idf(self.df(t), self.n_docs)
             * tf_norm(
                 self.postings.get(t, {}).get(doc_id, 0),
                 self.doc_len[doc_id],
                 self.avgdl,
+                **kw,
             )
             for t in tokenize_py(query_text)
             if self.postings.get(t, {}).get(doc_id, 0) > 0
         )
 
     def search(self, query_text: str, k: int = 10,
-               allowed: set | None = None) -> list[tuple[int, float]]:
+               allowed: set | None = None,
+               k1: float | None = None,
+               b: float | None = None) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc, doc_id asc tie-break.
 
         Accumulates per query-term occurrence (duplicate query terms count
         multiply), in query order, float64 — the engine mirrors this.
         ``allowed`` restricts CANDIDATES to that doc-id set (filtered
-        search: idf/avgdl stay global, matching the engine's `where=`)."""
+        search: idf/avgdl stay global, matching the engine's `where=`).
+        ``k1``/``b`` override the BM25 shape parameters at query time
+        (idf and avgdl do not depend on them)."""
+        kw = {} if k1 is None else {"k1": k1}
+        if b is not None:
+            kw["b"] = b
         acc: dict[int, float] = {}
         for t in tokenize_py(query_text):
             plist = self.postings.get(t)
@@ -75,7 +87,7 @@ class OracleIndex:
                 if allowed is not None and doc_id not in allowed:
                     continue
                 acc[doc_id] = acc.get(doc_id, 0.0) + w * tf_norm(
-                    tf, self.doc_len[doc_id], self.avgdl
+                    tf, self.doc_len[doc_id], self.avgdl, **kw
                 )
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
@@ -83,11 +95,12 @@ class OracleIndex:
     def search_all(
         self, queries: list[tuple[int, str]], k: int = 10,
         allowed: set | None = None,
+        k1: float | None = None, b: float | None = None,
     ) -> list[tuple[int, int, int, float]]:
         """[(query_id, rank(1-based), doc_id, score)] over a query set."""
         out = []
         for qid, qtext in queries:
-            ranked = self.search(qtext, k, allowed=allowed)
+            ranked = self.search(qtext, k, allowed=allowed, k1=k1, b=b)
             for rank, (doc_id, score) in enumerate(ranked, start=1):
                 out.append((qid, rank, doc_id, score))
         return out

@@ -27,6 +27,8 @@ def bm25_topk_sql(
     text_col: str = "text",
     round_dp: int = 6,
     filter_where: str | None = None,
+    k1: float | None = None,
+    b: float | None = None,
 ) -> str:
     """Full BM25 top-k in one DuckDB query (rank over raw score, score
     rounded only in the projection — the Spark side does the same).
@@ -45,7 +47,12 @@ def bm25_topk_sql(
     corpus — the oracle for the engine's filtered search (`where=`)."""
     toks = DUCKDB_TOKENS.format(col=text_col)
     idf = idf_sql("tdf.df", "cs.n")
-    tfn = tf_norm_sql("tf.tf", "dstats.dl", "cs.avgdl")
+    kw = {}
+    if k1 is not None:
+        kw["k1"] = k1
+    if b is not None:
+        kw["b"] = b
+    tfn = tf_norm_sql("tf.tf", "dstats.dl", "cs.avgdl", **kw)
     cand_where = f" WHERE {filter_where}" if filter_where else ""
     return f"""
 WITH q AS (SELECT * FROM {_values_clause(queries)}),

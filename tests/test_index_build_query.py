@@ -328,3 +328,26 @@ def test_index_search_where_expr_range(spark, tmp_path):
         & F.col("doc_len").between(5, 30),
     ).collect()
     _assert_rank_identical(got, ora.search_all(queries, k=K, allowed=allowed))
+
+
+def test_index_search_query_time_k1_b_override(spark, built, oracle):
+    """k1/b overridden at query time (no rebuild) must be rank-identical
+    to the oracle scored with the same parameters, for both supporting
+    strategies; blockmax refuses (its pruning bounds were precomputed
+    under the build parameters)."""
+    d, _ = built
+    ix = Index(spark, d)
+    queries = make_queries(20)
+    for k1, b in [(0.9, 0.4), (2.0, 0.0), (1.2, 0.75)]:
+        want = oracle.search_all(queries, k=K, k1=k1, b=b)
+        for strategy in ("sharded", "exhaustive"):
+            got = index_search(ix, queries, k=K, strategy=strategy,
+                               k1=k1, b=b).collect()
+            _assert_rank_identical(got, want)
+    # defaults unchanged: override=None equals the build parameters
+    _assert_rank_identical(
+        index_search(ix, queries, k=K).collect(),
+        oracle.search_all(queries, k=K),
+    )
+    with pytest.raises(ValueError, match="blockmax"):
+        index_search(ix, queries, k=K, strategy="blockmax", k1=0.9)
