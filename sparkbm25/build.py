@@ -316,9 +316,14 @@ _BLOCK_COLS = [
 ]
 
 
-def _make_merge_gen(params: BuildParams, avgdl: float):
+def _make_merge_gen(params: BuildParams, avgdl: float,
+                    tombstones: "np.ndarray | None" = None):
     """Stage-2 kernel: a PARTITION-WISE merge over runs sorted by
     (term, shard_id) within each hash partition.
+
+    ``tombstones`` (sorted int64 doc ids) physically PURGES those docs
+    while re-blocking — the compaction path's delete reclaim; None for
+    normal builds (no per-posting test at all).
 
     applyInPandas-per-group costs ~ms of pandas/scheduling overhead per
     group — at 160k (term, shard) groups that dominated the whole build
@@ -349,13 +354,26 @@ def _make_merge_gen(params: BuildParams, avgdl: float):
         g_row_starts = np.flatnonzero(change)
         g_row_ends = np.r_[g_row_starts[1:], len(pdf)]
         post_ends = np.cumsum(lens)
+        alive = None
+        if tombstones is not None and len(tombstones):
+            pos = np.searchsorted(tombstones, docs_all)
+            pos_c = np.minimum(pos, len(tombstones) - 1)
+            alive = ~((pos < len(tombstones))
+                      & (tombstones[pos_c] == docs_all))
         for rs, re_ in zip(g_row_starts, g_row_ends):
             lo = run_starts[rs]
             hi = post_ends[re_ - 1]
+            if alive is not None:
+                sel = alive[lo:hi]
+                if not sel.any():
+                    continue
+                d_, t_, l_ = (docs_all[lo:hi][sel], tfs_all[lo:hi][sel],
+                              dls_all[lo:hi][sel])
+            else:
+                d_, t_, l_ = docs_all[lo:hi], tfs_all[lo:hi], dls_all[lo:hi]
             rows.extend(
                 _merge_group(
-                    terms[rs], shards[rs],
-                    docs_all[lo:hi], tfs_all[lo:hi], dls_all[lo:hi],
+                    terms[rs], shards[rs], d_, t_, l_,
                     k1, b, bs, avgdl,
                 )
             )

@@ -74,6 +74,24 @@ def _query(args) -> int:
     return 0
 
 
+def _delete(args) -> int:
+    """Logical document deletes (tombstones): ids inline or from a parquet
+    of doc_id; searches exclude them immediately, `compact` reclaims."""
+    from .jobs import delete_docs
+    from .session import get_spark
+
+    spark = get_spark("sparkbm25-delete", cores=args.cores)
+    if args.ids:
+        ids = [int(x) for x in args.ids.split(",")]
+        m = delete_docs(spark, args.index_dir, ids)
+    else:
+        m = delete_docs(spark, args.index_dir,
+                        spark.read.parquet(args.ids_parquet))
+    print(json.dumps({"status": m["status"],
+                      "n_deleted": m["metrics"]["n_deleted"]}))
+    return 0
+
+
 def _status(args) -> int:
     from .jobs import read_manifest
 
@@ -186,6 +204,16 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["sharded", "blockmax", "exhaustive"])
     q.add_argument("--cores", type=int, default=None)
     q.set_defaults(fn=_query)
+
+    dl = sub.add_parser("delete")
+    dl.add_argument("--index-dir", required=True)
+    g = dl.add_mutually_exclusive_group(required=True)
+    g.add_argument("--ids", default=None,
+                   help="comma-separated doc ids to tombstone")
+    g.add_argument("--ids-parquet", default=None,
+                   help="parquet path with a doc_id column")
+    dl.add_argument("--cores", type=int, default=None)
+    dl.set_defaults(fn=_delete)
 
     s = sub.add_parser("status")
     s.add_argument("--index-dir", required=True)

@@ -138,7 +138,8 @@ def _theta(qblocks: DataFrame, k: int) -> DataFrame:
     return theta_t.groupBy("query_id").agg(F.max("theta_t").alias("theta"))
 
 
-def _decode_gen(k1: float, b: float, avgdl: float):
+def _decode_gen(k1: float, b: float, avgdl: float,
+                tombstones: np.ndarray | None = None):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
@@ -146,6 +147,11 @@ def _decode_gen(k1: float, b: float, avgdl: float):
                 ids = delta_decode(vbyte_decode(r.docs_vbyte, r.n_docs))
                 tfs = vbyte_decode(r.tfs_vbyte, r.n_docs).astype(np.float64)
                 dls = vbyte_decode(r.dls_vbyte, r.n_docs).astype(np.float64)
+                if tombstones is not None and len(tombstones):
+                    alive = ~_in_sorted(ids, tombstones)
+                    if not alive.any():
+                        continue
+                    ids, tfs, dls = ids[alive], tfs[alive], dls[alive]
                 tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
                 outs.append(
                     pd.DataFrame(
@@ -232,7 +238,8 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
 
 def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                      k1: float, b: float, avgdl: float, k: int,
-                     sub_shift: int | None = None, filtered: bool = False):
+                     sub_shift: int | None = None, filtered: bool = False,
+                     tombstones: np.ndarray | None = None):
     """Per-shard exact scoring kernel: decode each query term's blocks ONCE,
     densify each term into one contribution column over the group's doc
     universe, and score every query as a few whole-vector adds.
@@ -296,6 +303,9 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
             # arithmetic >> matches the build's F.shiftright sharding
             # (overflow-free over the full signed-int64 id range)
             m = (all_ids >> np.int64(sub_shift)) == vs
+        if tombstones is not None and len(tombstones):
+            mt = ~_in_sorted(all_ids, tombstones)
+            m = mt if m is None else (m & mt)
         if qual is not None:
             # `where=` filter: restrict scoring to the group's QUALIFYING
             # docs (global idf/avgdl stay untouched — standard filtered-
@@ -675,6 +685,26 @@ def index_search(
     """
     if prune is not None:
         strategy = "blockmax" if prune else "exhaustive"
+    tomb = ix.tombstones_array()
+    if len(tomb):
+        # logical deletes: block-max pruning bounds count dead docs (a
+        # too-high theta would over-prune live ones), so pruned strategies
+        # fall back to the dense exact kernel until a compaction purges
+        if strategy == "blockmax":
+            import warnings
+
+            warnings.warn(
+                f"{len(tomb)} tombstoned docs: blockmax falls back to the "
+                "sharded strategy (pruning bounds assume all docs live); "
+                "compact_index restores it",
+                stacklevel=2,
+            )
+            strategy = "sharded"
+        elif strategy == "blockmax_plan":
+            raise ValueError(
+                "blockmax_plan does not support tombstoned indexes; use "
+                "strategy='sharded' (or compact_index first)"
+            )
     if (k1 is not None or b is not None) and strategy not in (
         "sharded", "exhaustive"
     ):
@@ -691,7 +721,8 @@ def index_search(
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"
         )
-    decode = _decode_gen(eff_k1, eff_b, ix.avgdl)
+    decode = _decode_gen(eff_k1, eff_b, ix.avgdl,
+                         tombstones=tomb if len(tomb) else None)
 
     if (where or where_expr is not None) and strategy != "sharded":
         raise ValueError(
@@ -790,7 +821,8 @@ def index_search(
                 ).alias(group_key),
             )
             kern = _sharded_topk_fn(
-                occ, eff_k1, eff_b, ix.avgdl, k, sub_shift, filtered=True
+                occ, eff_k1, eff_b, ix.avgdl, k, sub_shift, filtered=True,
+                tombstones=tomb if len(tomb) else None,
             )
             shard_tops = (
                 blocks.groupBy(group_key)
@@ -803,7 +835,10 @@ def index_search(
         kern = (
             _wand_topk_fn(occ, ix.k1, ix.b, ix.avgdl, k, sub_shift)
             if strategy == "blockmax"
-            else _sharded_topk_fn(occ, eff_k1, eff_b, ix.avgdl, k, sub_shift)
+            else _sharded_topk_fn(
+                occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
+                tombstones=tomb if len(tomb) else None,
+            )
         )
         shard_tops = blocks.groupBy(group_key).applyInPandas(
             kern, schema="query_id int, doc_id long, score double"

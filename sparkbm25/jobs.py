@@ -231,6 +231,47 @@ def artifact_lock(index_dir: str, tag: str):
     return _cm()
 
 
+TOMBSTONES_DIR = "tombstones"
+# driver-side tombstone cap for SEARCH masking: between compactions the
+# delete set rides into kernels as a sorted int64 array (8 B/id); beyond
+# this, compaction is the designed next step and search refuses loudly
+TOMBSTONE_SEARCH_MAX = 10_000_000
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> dict:
+    """Logical document deletes (Lucene tombstone model): append the ids
+    to ``tombstones/`` under the artifact lock; every subsequent search
+    excludes them (scores keep the FROZEN corpus stats — idf/avgdl change
+    only when a compaction physically purges the postings, exactly like a
+    segment store before/after merge). Deleting an absent id is a no-op by
+    masking. ``doc_ids``: an int iterable or a DataFrame with doc_id.
+
+    Returns the updated manifest (metrics.n_deleted = distinct tombstoned
+    ids on disk)."""
+    import os
+
+    with artifact_lock(index_dir, "delete"):
+        m = read_manifest(index_dir)
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {index_dir}")
+        if m["status"] != STATUS_COMPLETED:
+            raise ValueError(
+                f"index at {index_dir} is {m['status']}, not COMPLETED"
+            )
+        if isinstance(doc_ids, DataFrame):
+            df = doc_ids.select(F.col("doc_id").cast("long"))
+        else:
+            df = spark.createDataFrame(
+                [(int(d),) for d in doc_ids], "doc_id long"
+            )
+        tdir = os.path.join(index_dir, TOMBSTONES_DIR)
+        df.write.mode("append").parquet(tdir)
+        n = spark.read.parquet(tdir).select("doc_id").distinct().count()
+        m.setdefault("metrics", {})["n_deleted"] = int(n)
+        _write_manifest(index_dir, m)
+        return m
+
+
 def build_index(
     corpus: DataFrame,
     index_dir: str,
@@ -589,6 +630,7 @@ class Index:
         self._dfs.clear()
         self._stats_cache.clear()
         self._stats_preloaded = False
+        self._tombstones = None
         self.manifest = read_manifest(self.index_dir)
         b = self.manifest["build"]
         self.n_docs = b["n_docs"]
@@ -597,6 +639,32 @@ class Index:
 
     def postings(self) -> DataFrame:
         return self._load("postings")
+
+    def tombstones_array(self):
+        """Sorted int64 array of tombstoned doc ids (empty when none),
+        cached on the handle; refresh() reloads after delete/compact. The
+        array ships into search kernels by closure, so its size is capped
+        (TOMBSTONE_SEARCH_MAX) — past that, compact the index first."""
+        import numpy as np
+
+        if getattr(self, "_tombstones", None) is None:
+            tdir = os.path.join(self.index_dir, TOMBSTONES_DIR)
+            n = int((self.manifest.get("metrics") or {}).get("n_deleted", 0))
+            if n == 0 or not os.path.exists(tdir):
+                self._tombstones = np.empty(0, dtype=np.int64)
+            elif n > TOMBSTONE_SEARCH_MAX:
+                raise ValueError(
+                    f"{n} tombstoned docs exceed the search-side mask cap "
+                    f"({TOMBSTONE_SEARCH_MAX}); run compact_index to purge"
+                )
+            else:
+                rows = self.spark.read.parquet(tdir).select(
+                    "doc_id"
+                ).distinct().collect()
+                self._tombstones = np.sort(
+                    np.array([r.doc_id for r in rows], dtype=np.int64)
+                )
+        return self._tombstones
 
     def term_stats(self) -> DataFrame:
         return self._load("term_stats")

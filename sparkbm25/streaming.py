@@ -497,12 +497,46 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                 "repair/rebuild before compacting"
             )
         params, stats = _stats_from_manifest(m)
+        import numpy as np
+
+        from .jobs import TOMBSTONES_DIR
+
         pdir = os.path.join(index_dir, "postings")
         sdir = os.path.join(index_dir, "compact_staging")
         shutil.rmtree(sdir, ignore_errors=True)
         blocks = spark.read.parquet(pdir)
         groups_before = sorted(m["completed_groups"])
         n_before = blocks.groupBy().sum("n_docs").first()[0] or 0
+
+        # ---- tombstone purge (the delete-reclaim half of the Lucene
+        # segment-merge model): dead postings are dropped during the
+        # re-block, doc_stats drops the dead rows, and the corpus stats
+        # (n_docs, avgdl) are RECOMPUTED over the survivors so idf/tf_norm
+        # reflect the alive corpus — block metadata is re-derived with the
+        # new avgdl inside the same merge kernel, so pruning bounds stay
+        # consistent with scoring. No tombstones -> bit-exact compaction
+        # (the original contract, still pinned by tests).
+        tdir_tomb = os.path.join(index_dir, TOMBSTONES_DIR)
+        n_deleted = int((m.get("metrics") or {}).get("n_deleted", 0))
+        tomb = None
+        dsdir = os.path.join(index_dir, "doc_stats")
+        ds = spark.read.parquet(dsdir).drop("group")
+        new_avgdl = stats.avgdl
+        if n_deleted and os.path.exists(tdir_tomb):
+            tomb_df = spark.read.parquet(tdir_tomb).select("doc_id").distinct()
+            tomb = np.sort(np.array(
+                [r.doc_id for r in tomb_df.collect()], dtype=np.int64
+            ))
+            ds = ds.join(tomb_df, "doc_id", "left_anti")
+            row = ds.agg(
+                F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+            ).first()
+            if not row.n:
+                raise ValueError(
+                    "compaction would delete every document; refusing "
+                    "(drop the index directory instead)"
+                )
+            new_n_docs, new_avgdl = int(row.n), float(row.avgdl)
         runs = blocks.select(
             "term", "shard_id", "n_docs",
             F.col("docs_vbyte").alias("docs_vb"),
@@ -513,7 +547,10 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         new_blocks = (
             runs.repartition(merged_parts, "term", "shard_id")
             .sortWithinPartitions("term", "shard_id")
-            .mapInPandas(_make_merge_gen(params, stats.avgdl), schema=BLOCK_SCHEMA)
+            .mapInPandas(
+                _make_merge_gen(params, new_avgdl, tombstones=tomb),
+                schema=BLOCK_SCHEMA,
+            )
             .withColumn(
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(params.num_term_buckets)),
@@ -524,14 +561,24 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         )
         staged = spark.read.parquet(os.path.join(sdir, "postings"))
         n_after = staged.groupBy().sum("n_docs").first()[0] or 0
-        if n_after != n_before:
-            raise ValueError(
-                f"compaction dropped postings: {n_before} before, "
-                f"{n_after} after — staging kept at {sdir} for inspection"
-            )
+        if tomb is None:
+            if n_after != n_before:
+                raise ValueError(
+                    f"compaction dropped postings: {n_before} before, "
+                    f"{n_after} after — staging kept at {sdir} for inspection"
+                )
+        else:
+            # purge direction audit here; the exact count closes below
+            # against doc_stats (postings of dead docs are unknowable
+            # without decoding, which the merge kernel just did)
+            if n_after > n_before:
+                raise ValueError(
+                    f"purge compaction GREW postings: {n_before} -> "
+                    f"{n_after} — staging kept at {sdir}"
+                )
         # doc_stats: collapse the per-group layout into one group too
-        dsdir = os.path.join(index_dir, "doc_stats")
-        spark.read.parquet(dsdir).drop("group").write.mode(
+        # (already tombstone-filtered when purging)
+        ds.write.mode(
             "overwrite"
         ).parquet(os.path.join(sdir, "doc_stats", "group=compacted"))
 
@@ -549,6 +596,23 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             spark.read.parquet(os.path.join(index_dir, "postings"))
         ).write.mode("overwrite").parquet(tdir)
         m["build"]["n_terms"] = spark.read.parquet(tdir).count()
+        if tomb is not None:
+            # frozen corpus stats roll forward to the alive corpus; the
+            # purge audit closes here: doc_stats rows must equal the new
+            # n_docs, and tombstones are cleared (blockmax re-enabled)
+            got_docs = spark.read.parquet(
+                os.path.join(index_dir, "doc_stats")
+            ).count()
+            if got_docs != new_n_docs:
+                raise ValueError(
+                    f"purge audit failed: doc_stats has {got_docs} rows, "
+                    f"expected {new_n_docs}"
+                )
+            m["build"]["n_docs"] = new_n_docs
+            m["build"]["avgdl"] = new_avgdl
+            m["metrics"]["n_deleted"] = 0
+            m["metrics"]["purged_docs"] = len(tomb)
+            shutil.rmtree(tdir_tomb, ignore_errors=True)
         m["completed_groups"] = {
             "compacted": {
                 "wall_s": round(time.time() - t0, 3),

@@ -228,3 +228,31 @@ def test_cli_heartbeat_index_probe(src, tmp_path_factory):
     r = run_cli("heartbeat", "--index-dir", "/nonexistent/ix")
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["index_status"] == "NOT_FOUND"
+
+
+def test_cli_delete_then_query_excludes(src, tmp_path_factory):
+    """delete --ids then query: tombstoned doc ids disappear from results
+    across a fresh process; compact reclaims and heartbeat shows COMPLETED."""
+    ix = str(tmp_path_factory.mktemp("cli_del") / "jobd")
+    r = run_cli("build", "--source", src, "--index-dir", ix,
+                "--doc-id-scheme", "conv_seq", "--num-shards", "2",
+                "--lineage-groups", "1", "--cores", "4")
+    assert r.returncode == 0, r.stderr[-500:]
+    r = run_cli("query", "--index-dir", ix, "--query", "w0001 w0002",
+                "-k", "5", "--cores", "4")
+    hits_before = [ln.split("\t")[1] for ln in r.stdout.strip().splitlines()
+                   if ln and ln[0].isdigit()]
+    assert hits_before
+    victim = hits_before[0]
+    r = run_cli("delete", "--index-dir", ix, "--ids", victim, "--cores", "4")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["n_deleted"] == 1
+    r = run_cli("query", "--index-dir", ix, "--query", "w0001 w0002",
+                "-k", "5", "--cores", "4")
+    hits_after = [ln.split("\t")[1] for ln in r.stdout.strip().splitlines()
+                  if ln and ln[0].isdigit()]
+    assert victim not in hits_after
+    r = run_cli("compact", "--index-dir", ix, "--cores", "4")
+    assert r.returncode == 0, r.stderr[-500:]
+    r = run_cli("heartbeat", "--index-dir", ix)
+    assert json.loads(r.stdout.strip().splitlines()[-1])["index_status"] == "COMPLETED"

@@ -459,3 +459,92 @@ def test_event_time_watermark_exceeding_gap_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="watermark_minutes"):
         streaming_sessionize_event_time(stream, gap_minutes=30,
                                         watermark_minutes=31)
+
+
+def test_delete_docs_then_compact_purges(spark, corpora, tmp_path):
+    """Tombstone lifecycle: (1) logical deletes exclude docs from every
+    search immediately (frozen stats — oracle with allowed=alive on the
+    ORIGINAL corpus), blockmax falling back soundly; (2) compaction
+    physically purges postings + doc_stats, rolls n_docs/avgdl forward to
+    the alive corpus (results == oracle REBUILT on alive docs), clears
+    tombstones and re-enables blockmax."""
+    import numpy as np
+
+    from sparkbm25.build import BuildParams
+    from sparkbm25.fixtures import make_queries
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index, build_index, delete_docs
+    from sparkbm25.oracle import OracleIndex
+    from sparkbm25.streaming import compact_index
+
+    full, _a, _b = corpora
+    corpus = full.select("doc_id", "text")
+    d = str(tmp_path / "tomb_ix")
+    build_index(
+        corpus, d,
+        BuildParams(num_shards=4, salt_factor=2, num_term_buckets=8,
+                    lineage_groups=2, doc_id_scheme="conv_seq"),
+        source_fingerprint="tomb",
+    )
+    docs = [(r.doc_id, r.text) for r in corpus.collect()]
+    rng = np.random.default_rng(5)
+    dead = {int(docs[i][0]) for i in rng.choice(len(docs), 25, replace=False)}
+    alive_docs = [(i, t) for i, t in docs if i not in dead]
+    queries = make_queries(15)
+
+    m = delete_docs(spark, d, sorted(dead))
+    assert m["metrics"]["n_deleted"] == len(dead)
+    ix = Index(spark, d)
+    ora_full = OracleIndex.build(docs)
+    want_logical = ora_full.search_all(
+        queries, k=10, allowed={i for i, _ in alive_docs}
+    )
+    got = sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9))
+                 for r in index_search(ix, queries, k=10).collect())
+    assert [g[:3] for g in got] == sorted(
+        (q, rk, d_) for q, rk, d_, _s in want_logical
+    ), "logical delete: sharded"
+    assert not ({r.doc_id for r in
+                 index_search(ix, queries, k=10).collect()} & dead)
+    # blockmax falls back (warning) but stays correct
+    with pytest.warns(UserWarning, match="tombstoned"):
+        got_bm = sorted(
+            (r.query_id, r.rank, r.doc_id)
+            for r in index_search(ix, queries, k=10,
+                                  strategy="blockmax").collect()
+        )
+    assert got_bm == sorted((q, rk, d_) for q, rk, d_, _s in want_logical)
+    # exhaustive path masks too
+    got_ex = sorted(
+        (r.query_id, r.rank, r.doc_id)
+        for r in index_search(ix, queries, k=10,
+                              strategy="exhaustive").collect()
+    )
+    assert got_ex == sorted((q, rk, d_) for q, rk, d_, _s in want_logical)
+
+    # ---- physical purge ------------------------------------------------
+    n_before = spark.read.parquet(f"{d}/postings").groupBy().sum(
+        "n_docs").first()[0]
+    m2 = compact_index(spark, d)
+    assert m2["metrics"]["n_deleted"] == 0
+    assert m2["metrics"]["purged_docs"] == len(dead)
+    assert not os.path.exists(os.path.join(d, "tombstones"))
+    n_after = spark.read.parquet(f"{d}/postings").groupBy().sum(
+        "n_docs").first()[0]
+    assert n_after < n_before
+    # results now equal the oracle REBUILT on the alive corpus (new stats)
+    ix2 = Index(spark, d)
+    assert len(ix2.tombstones_array()) == 0
+    ora_alive = OracleIndex.build(alive_docs)
+    want_purged = ora_alive.search_all(queries, k=10)
+    for strategy in ("sharded", "blockmax", "exhaustive"):
+        got2 = sorted(
+            (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+            for r in index_search(ix2, queries, k=10,
+                                  strategy=strategy).collect()
+        )
+        want_s = sorted((q, rk, d_, round(s, 9)) for q, rk, d_, s in want_purged)
+        assert [g[:3] for g in got2] == [w[:3] for w in want_s], strategy
+        for g, w in zip(got2, want_s):
+            assert g[3] == pytest.approx(w[3], rel=1e-9)
+    assert ix2.n_docs == len(alive_docs)
