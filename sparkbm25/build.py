@@ -356,10 +356,9 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
         post_ends = np.cumsum(lens)
         alive = None
         if tombstones is not None and len(tombstones):
-            pos = np.searchsorted(tombstones, docs_all)
-            pos_c = np.minimum(pos, len(tombstones) - 1)
-            alive = ~((pos < len(tombstones))
-                      & (tombstones[pos_c] == docs_all))
+            from .codecs import in_sorted
+
+            alive = ~in_sorted(docs_all, tombstones)
         for rs, re_ in zip(g_row_starts, g_row_ends):
             lo = run_starts[rs]
             hi = post_ends[re_ - 1]

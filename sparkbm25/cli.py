@@ -65,6 +65,11 @@ def _query(args) -> int:
             col, _, val = item.partition("=")
             if not _ or not col:
                 raise SystemExit(f"--where expects col=value, got {item!r}")
+            if col in where:
+                raise SystemExit(
+                    f"--where given twice for column {col!r}; use a "
+                    "comma-separated value list for membership"
+                )
             vals = val.split(",")
             where[col] = vals if len(vals) > 1 else vals[0]
     out = index_search(ix, [(0, args.query)], k=args.k,

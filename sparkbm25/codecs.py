@@ -23,6 +23,19 @@ import numpy as np
 BLOCK_SIZE = 128  # docs per posting block (classic BMW block size)
 
 
+def in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership of `values` in an ALREADY-SORTED int64 array via a
+    searchsorted probe. np.isin re-sorts its second argument on EVERY call
+    (measured 6.2 s of a 7.5 s WAND kernel at 5.5M-turn shards) — shared
+    here by the query kernels and the compaction purge so the clip-at-end
+    edge case lives in exactly one place."""
+    if not len(sorted_arr):
+        return np.zeros(len(values), dtype=bool)
+    pos = np.searchsorted(sorted_arr, values)
+    pos_c = np.minimum(pos, len(sorted_arr) - 1)
+    return (pos < len(sorted_arr)) & (sorted_arr[pos_c] == values)
+
+
 def vbyte_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Encode and also return per-value byte counts (for segment slicing:
     one encode call can serve millions of tiny runs — per-run encode calls

@@ -40,7 +40,12 @@ from pyspark.sql import functions as F
 
 from .analysis import tokenize_py
 from .bm25 import idf as idf_fn
-from .codecs import vbyte_decode, delta_decode, segment_delta_restore
+from .codecs import (
+    delta_decode,
+    in_sorted as _in_sorted,
+    segment_delta_restore,
+    vbyte_decode,
+)
 from .jobs import Index
 from .query import canonical_score_sum, topk_window
 
@@ -223,17 +228,6 @@ def _rescore_gen(k1: float, b: float, avgdl: float):
             )
 
     return gen
-
-
-def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
-    """Membership of `values` in an ALREADY-SORTED int64 array via a
-    searchsorted probe — np.isin re-sorts its second argument per call
-    (measured 6.2 s of a 7.5 s WAND kernel at 5.5M-turn shards)."""
-    if not len(sorted_arr):
-        return np.zeros(len(values), dtype=bool)
-    pos = np.searchsorted(sorted_arr, values)
-    pos_c = np.minimum(pos, len(sorted_arr) - 1)
-    return (pos < len(sorted_arr)) & (sorted_arr[pos_c] == values)
 
 
 def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],

@@ -233,8 +233,12 @@ def artifact_lock(index_dir: str, tag: str):
 
 TOMBSTONES_DIR = "tombstones"
 # driver-side tombstone cap for SEARCH masking: between compactions the
-# delete set rides into kernels as a sorted int64 array (8 B/id); beyond
-# this, compaction is the designed next step and search refuses loudly
+# delete set rides into kernels as a sorted int64 array (8 B/id via Arrow;
+# ~80 MB at the cap); beyond it search refuses loudly and compaction — the
+# designed next step — loads the set once the same way (same 8 B/id Arrow
+# path) to purge it. A deployment deleting >> this between compactions
+# should compact more often or rebuild; a fully distributed anti-join
+# purge is the Iceberg-equality-delete analog, noted as future work.
 TOMBSTONE_SEARCH_MAX = 10_000_000
 
 
@@ -259,7 +263,14 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> dict:
                 f"index at {index_dir} is {m['status']}, not COMPLETED"
             )
         if isinstance(doc_ids, DataFrame):
-            df = doc_ids.select(F.col("doc_id").cast("long"))
+            df = doc_ids.select(F.col("doc_id").try_cast("long"))
+            n_null = df.filter(F.col("doc_id").isNull()).count()
+            if n_null:
+                raise ValueError(
+                    f"{n_null} doc_ids are null or non-numeric — a null "
+                    "tombstone would crash every later search; clean the "
+                    "input first"
+                )
         else:
             df = spark.createDataFrame(
                 [(int(d),) for d in doc_ids], "doc_id long"
@@ -658,11 +669,11 @@ class Index:
                     f"({TOMBSTONE_SEARCH_MAX}); run compact_index to purge"
                 )
             else:
-                rows = self.spark.read.parquet(tdir).select(
+                pdf = self.spark.read.parquet(tdir).select(
                     "doc_id"
-                ).distinct().collect()
+                ).distinct().toPandas()  # Arrow: ~8 B/id, no Row objects
                 self._tombstones = np.sort(
-                    np.array([r.doc_id for r in rows], dtype=np.int64)
+                    pdf["doc_id"].to_numpy(dtype=np.int64)
                 )
         return self._tombstones
 

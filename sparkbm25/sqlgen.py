@@ -53,7 +53,17 @@ def bm25_topk_sql(
     if b is not None:
         kw["b"] = b
     tfn = tf_norm_sql("tf.tf", "dstats.dl", "cs.avgdl", **kw)
-    cand_where = f" WHERE {filter_where}" if filter_where else ""
+    # candidate restriction only when a filter exists — the unfiltered
+    # oracles keep their original (semi-join-free) shape
+    if filter_where:
+        cand_cte = (
+            f"\ncand AS (SELECT {id_col} AS doc_id FROM {table} "
+            f"WHERE {filter_where}),"
+        )
+        cand_filter = "\n  WHERE tf.doc_id IN (SELECT doc_id FROM cand)"
+    else:
+        cand_cte = ""
+        cand_filter = ""
     return f"""
 WITH q AS (SELECT * FROM {_values_clause(queries)}),
 qt AS (
@@ -70,8 +80,7 @@ tf AS (
   WHERE t.term IN (SELECT term FROM qt)
   GROUP BY 1, 2
 ),
-tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-cand AS (SELECT {id_col} AS doc_id FROM {table}{cand_where}),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),{cand_cte}
 scores AS (
   SELECT qt.query_id, tf.doc_id,
          sum(qt.qtf * {idf} * {tfn}) AS score
@@ -79,8 +88,7 @@ scores AS (
   JOIN qt ON qt.term = tf.term
   JOIN tdf ON tdf.term = tf.term
   JOIN dstats ON dstats.doc_id = tf.doc_id
-  CROSS JOIN cs
-  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+  CROSS JOIN cs{cand_filter}
   GROUP BY 1, 2
 ),
 ranked AS (

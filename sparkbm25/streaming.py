@@ -46,6 +46,7 @@ def _stats_from_manifest(m: dict) -> tuple[BuildParams, CorpusStats]:
         num_term_buckets=b["num_term_buckets"],
         lineage_groups=b["lineage_groups"],
         doc_id_scheme=b["doc_id_scheme"], store_text=b["store_text"],
+        attr_cols=tuple(b.get("attr_cols") or ()),
     )
     stats = CorpusStats(
         n_docs=b["n_docs"], avgdl=b["avgdl"], min_doc=b["min_doc"],
@@ -54,6 +55,29 @@ def _stats_from_manifest(m: dict) -> tuple[BuildParams, CorpusStats]:
         extras=b.get("extras", {}),
     )
     return params, stats
+
+
+def _undelete_ids(spark, index_dir: str, m: dict, ids_df: DataFrame) -> None:
+    import shutil as _sh
+
+    from .jobs import TOMBSTONES_DIR, _write_manifest as _wm
+
+    n_del = int((m.get("metrics") or {}).get("n_deleted", 0))
+    tdir = os.path.join(index_dir, TOMBSTONES_DIR)
+    if not n_del or not os.path.exists(tdir):
+        return
+    remaining = (
+        spark.read.parquet(tdir).select("doc_id").distinct()
+        .join(ids_df.select("doc_id"), "doc_id", "left_anti")
+    )
+    staged = tdir + ".rewrite"
+    remaining.write.mode("overwrite").parquet(staged)
+    n = spark.read.parquet(staged).count()
+    _sh.rmtree(tdir)
+    os.rename(staged, tdir)
+    if n == 0:
+        _sh.rmtree(tdir, ignore_errors=True)
+    m.setdefault("metrics", {})["n_deleted"] = int(n)
 
 
 def append_batch(
@@ -74,8 +98,15 @@ def append_batch(
             "doc_id",
             F.size(tokens_col("text")).alias("doc_len"),
             *(["text"] if params.store_text else []),
+            *params.attr_cols,
         ).write.mode("overwrite").parquet(ddir)
     )
+    # a re-ingested id supersedes its tombstone (latest write wins): drop
+    # appended ids from the delete set so the fresh doc is searchable and
+    # the next compaction does not purge it (Lucene applies deletes only
+    # to segments existing at delete time; this is the same effect)
+    _undelete_ids(corpus_batch.sparkSession, index_dir, m,
+                  corpus_batch.select("doc_id"))
     blocks = build_postings(corpus_batch, params, stats)
     blocks.write.partitionBy("term_bucket").mode("overwrite").parquet(gdir)
     m["completed_groups"][g] = {
@@ -524,9 +555,10 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         new_avgdl = stats.avgdl
         if n_deleted and os.path.exists(tdir_tomb):
             tomb_df = spark.read.parquet(tdir_tomb).select("doc_id").distinct()
-            tomb = np.sort(np.array(
-                [r.doc_id for r in tomb_df.collect()], dtype=np.int64
-            ))
+            # Arrow transfer (no per-id Row objects) — ~8 B/id on the driver
+            tomb = np.sort(
+                tomb_df.toPandas()["doc_id"].to_numpy(dtype=np.int64)
+            )
             ds = ds.join(tomb_df, "doc_id", "left_anti")
             row = ds.agg(
                 F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
@@ -581,6 +613,19 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         ds.write.mode(
             "overwrite"
         ).parquet(os.path.join(sdir, "doc_stats", "group=compacted"))
+        if tomb is not None:
+            # purge audit BEFORE the destructive swap: the staged doc_stats
+            # must hold exactly the alive corpus — a mismatch aborts while
+            # the original artifact is still intact
+            staged_docs = spark.read.parquet(
+                os.path.join(sdir, "doc_stats")
+            ).count()
+            if staged_docs != new_n_docs:
+                raise ValueError(
+                    f"purge audit failed pre-swap: staged doc_stats has "
+                    f"{staged_docs} rows, expected {new_n_docs} — staging "
+                    f"kept at {sdir}"
+                )
 
         # ---- swap (manifest guards the non-atomic window) ----------------
         m["status"] = "COMPACTING"
@@ -597,17 +642,9 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         ).write.mode("overwrite").parquet(tdir)
         m["build"]["n_terms"] = spark.read.parquet(tdir).count()
         if tomb is not None:
-            # frozen corpus stats roll forward to the alive corpus; the
-            # purge audit closes here: doc_stats rows must equal the new
-            # n_docs, and tombstones are cleared (blockmax re-enabled)
-            got_docs = spark.read.parquet(
-                os.path.join(index_dir, "doc_stats")
-            ).count()
-            if got_docs != new_n_docs:
-                raise ValueError(
-                    f"purge audit failed: doc_stats has {got_docs} rows, "
-                    f"expected {new_n_docs}"
-                )
+            # frozen corpus stats roll forward to the alive corpus (the
+            # row-count audit ran pre-swap); tombstones cleared below
+            # re-enables blockmax
             m["build"]["n_docs"] = new_n_docs
             m["build"]["avgdl"] = new_avgdl
             m["metrics"]["n_deleted"] = 0

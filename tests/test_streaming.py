@@ -548,3 +548,92 @@ def test_delete_docs_then_compact_purges(spark, corpora, tmp_path):
         for g, w in zip(got2, want_s):
             assert g[3] == pytest.approx(w[3], rel=1e-9)
     assert ix2.n_docs == len(alive_docs)
+
+
+def test_reingested_id_supersedes_tombstone(spark, corpora, tmp_path):
+    """Latest write wins: deleting id X and then appending a batch whose
+    ids include X must make X searchable again (tombstone dropped), and a
+    later compaction must NOT purge it — the reviewed failure mode where a
+    corrected re-ingested doc was silently lost."""
+    from sparkbm25.build import BuildParams, compute_corpus_stats
+    from sparkbm25.fixtures import make_queries
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index, build_index, delete_docs, read_manifest
+    from sparkbm25.streaming import append_batch, compact_index, finalize_stream
+
+    full, a, b = corpora
+    params = BuildParams(num_shards=4, salt_factor=2, num_term_buckets=8,
+                         lineage_groups=1, doc_id_scheme="conv_seq")
+    full_stats = compute_corpus_stats(full.select("doc_id", "text"), params)
+    d = str(tmp_path / "undel_ix")
+    build_index(a.select("doc_id", "text"), d, params, "undelA",
+                stats_override=full_stats)
+
+    bdocs = add_doc_id(b, "conv_seq").select("doc_id", "text")
+    victim = int(bdocs.first().doc_id)
+    # also delete one id that will NOT be re-ingested (stays dead)
+    a_ids = [r.doc_id for r in a.select("doc_id").limit(2).collect()]
+    stay_dead = int(a_ids[0])
+    delete_docs(spark, d, [victim, stay_dead])
+    assert read_manifest(d)["metrics"]["n_deleted"] == 2
+
+    append_batch(bdocs, d, epoch_id=7)
+    finalize_stream(spark, d)
+    m = read_manifest(d)
+    assert m["metrics"]["n_deleted"] == 1  # victim superseded, dead stays
+
+    ix = Index(spark, d)
+    assert victim not in set(ix.tombstones_array())
+    assert stay_dead in set(ix.tombstones_array())
+    # the re-ingested doc is searchable: query its own text
+    vtext = bdocs.filter(f"doc_id = {victim}").first().text
+    hits = {r.doc_id for r in index_search(ix, [(0, vtext)], k=10).collect()}
+    assert victim in hits and stay_dead not in hits
+
+    compact_index(spark, d)
+    ix2 = Index(spark, d)
+    hits2 = {r.doc_id for r in index_search(ix2, [(0, vtext)], k=10).collect()}
+    assert victim in hits2
+    assert ix2.doc_stats().filter(f"doc_id = {victim}").count() == 1
+    assert ix2.doc_stats().filter(f"doc_id = {stay_dead}").count() == 0
+
+
+def test_stream_append_preserves_attr_cols(spark, corpora, tmp_path):
+    """Filterable attributes must survive segment append: a filtered
+    search over base + appended groups sees BOTH groups' attribute values
+    (the reviewed failure dropped attr columns from streamed doc_stats,
+    silently excluding every appended doc from filtered searches)."""
+    from sparkbm25.build import BuildParams, compute_corpus_stats
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index, build_index
+    from sparkbm25.streaming import append_batch, finalize_stream
+
+    full, a, b = corpora
+    params = BuildParams(num_shards=4, salt_factor=2, num_term_buckets=8,
+                         lineage_groups=1, doc_id_scheme="conv_seq",
+                         attr_cols=("role",))
+    full_stats = compute_corpus_stats(full.select("doc_id", "text"), params)
+    d = str(tmp_path / "attr_stream_ix")
+    build_index(a.select("doc_id", "text", "role"), d, params, "attrA",
+                stats_override=full_stats)
+    bdocs = add_doc_id(b, "conv_seq").select("doc_id", "text", "role")
+    append_batch(bdocs, d, epoch_id=3)
+    finalize_stream(spark, d)
+
+    ix = Index(spark, d)
+    user_ids = {r.doc_id for r in full.filter("role = 'user'")
+                .select("doc_id").collect()}
+    b_user = {r.doc_id for r in bdocs.filter("role = 'user'")
+              .select("doc_id").collect()}
+    hits = {r.doc_id for r in index_search(ix, make_queries(15), k=10,
+                                           where={"role": "user"}).collect()}
+    assert hits and hits <= user_ids
+    # appended docs are reachable through the filter, not silently excluded
+    all_user_hits = {
+        r.doc_id
+        for r in index_search(
+            ix, [(0, bdocs.filter("role = 'user'").first().text)], k=10,
+            where={"role": "user"},
+        ).collect()
+    }
+    assert all_user_hits & b_user, "no appended doc passed the filter"
