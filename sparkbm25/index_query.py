@@ -196,9 +196,12 @@ def _rescore_gen(k1: float, b: float, avgdl: float):
         for pdf in batches:
             outs = []
             for r in pdf.itertuples(index=False):
-                cands = np.asarray(r.wanted, dtype=np.int64)
+                # same searchsorted primitive as the hot kernels (np.isin
+                # re-sorts its second argument per call) — this path exists
+                # to cross-check the kernels, so it uses their membership op
+                cands = np.sort(np.asarray(r.wanted, dtype=np.int64))
                 ids = delta_decode(vbyte_decode(r.docs_vbyte, r.n_docs))
-                keep = np.isin(ids, cands)
+                keep = _in_sorted(ids, cands)
                 if not keep.any():
                     continue
                 tfs = vbyte_decode(r.tfs_vbyte, r.n_docs).astype(np.float64)[keep]
@@ -709,6 +712,14 @@ def index_search(
         )
     eff_k1 = ix.k1 if k1 is None else float(k1)
     eff_b = ix.b if b is None else float(b)
+    # range-validate the shape parameters: b > 1 makes the tf_norm
+    # denominator zero/negative for short docs (inf / negative
+    # contributions), silently violating the kernels' strictly-positive-
+    # contribution assumption instead of failing loudly
+    if not (eff_k1 >= 0.0):
+        raise ValueError(f"k1 must be >= 0, got {eff_k1}")
+    if not (0.0 <= eff_b <= 1.0):
+        raise ValueError(f"b must be in [0, 1], got {eff_b}")
     spark = ix.spark
     weights, occ = _query_weights(ix, queries)
     if not weights:

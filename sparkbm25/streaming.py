@@ -342,7 +342,15 @@ def streaming_sessionize_event_time(
     size tracks concurrently-active users, not all users ever seen. That is
     the correct 10^12-event retention story — wall-clock idle_timeout_ms
     approximates it only when processing time tracks event time (not true
-    for backfills)."""
+    for backfills).
+
+    CHECKPOINT COMPATIBILITY: the state schema changed from scalar
+    (start, last, n, sv) to the parallel-array form below. Spark's state
+    store does not migrate applyInPandasWithState schemas — a stream
+    restarted from a checkpoint written by the scalar-state version fails
+    (or misreads state). Restart upgraded streams from a FRESH checkpoint
+    directory; in-flight sessions older than the watermark re-emerge from
+    a source replay."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -351,3 +351,20 @@ def test_index_search_query_time_k1_b_override(spark, built, oracle):
     )
     with pytest.raises(ValueError, match="blockmax"):
         index_search(ix, queries, k=K, strategy="blockmax", k1=0.9)
+
+
+def test_index_search_k1_b_range_validated(spark, built):
+    """Out-of-range shape parameters are rejected loudly: b > 1 can zero
+    or negate the tf_norm denominator for short docs, silently breaking
+    the kernels' strictly-positive-contribution assumption."""
+    d, _ = built
+    ix = Index(spark, d)
+    queries = make_queries(2)
+    with pytest.raises(ValueError, match="b must be"):
+        index_search(ix, queries, k=K, b=1.5)
+    with pytest.raises(ValueError, match="b must be"):
+        index_search(ix, queries, k=K, b=-0.1)
+    with pytest.raises(ValueError, match="k1 must be"):
+        index_search(ix, queries, k=K, k1=-1.0)
+    with pytest.raises(ValueError, match="k1 must be"):
+        index_search(ix, queries, k=K, k1=float("nan"))
