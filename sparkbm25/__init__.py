@@ -21,7 +21,7 @@ Package layout
                  multimodal column plumbing
 """
 
-__version__ = "0.5.0"  # bump on ANY index-layout change (0.5: attr_cols in doc_stats for filtered search)
+__version__ = "0.6.0"  # bump on ANY index-layout change (0.6: per-group tombstones — group seqs + del_seq)
 
 K1 = 1.2
 B = 0.75

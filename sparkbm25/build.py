@@ -317,13 +317,16 @@ _BLOCK_COLS = [
 
 
 def _make_merge_gen(params: BuildParams, avgdl: float,
-                    tombstones: "np.ndarray | None" = None):
+                    tombstones: "tuple | None" = None):
     """Stage-2 kernel: a PARTITION-WISE merge over runs sorted by
     (term, shard_id) within each hash partition.
 
-    ``tombstones`` (sorted int64 doc ids) physically PURGES those docs
-    while re-blocking — the compaction path's delete reclaim; None for
-    normal builds (no per-posting test at all).
+    ``tombstones`` — (sorted int64 doc ids, per-id max delete seq) —
+    physically PURGES dead copies while re-blocking: a posting from a run
+    with group seq g is dead iff its id has a tombstone with del_seq >= g
+    (per-group semantics — a doc re-ingested after its delete keeps its
+    newest copy; codecs.dead_mask). Requires a ``gseq`` int column on the
+    runs. None for normal builds (no per-posting test at all).
 
     applyInPandas-per-group costs ~ms of pandas/scheduling overhead per
     group — at 160k (term, shard) groups that dominated the whole build
@@ -355,10 +358,13 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
         g_row_ends = np.r_[g_row_starts[1:], len(pdf)]
         post_ends = np.cumsum(lens)
         alive = None
-        if tombstones is not None and len(tombstones):
-            from .codecs import in_sorted
+        if tombstones is not None and len(tombstones[0]):
+            from .codecs import dead_mask
 
-            alive = ~in_sorted(docs_all, tombstones)
+            gseqs = np.repeat(
+                pdf["gseq"].to_numpy(dtype=np.int64), lens
+            )
+            alive = ~dead_mask(docs_all, gseqs, tombstones[0], tombstones[1])
         for rs, re_ in zip(g_row_starts, g_row_ends):
             lo = run_starts[rs]
             hi = post_ends[re_ - 1]

@@ -36,6 +36,23 @@ def in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     return (pos < len(sorted_arr)) & (sorted_arr[pos_c] == values)
 
 
+def dead_mask(ids: np.ndarray, gseqs,
+              tomb_ids: np.ndarray, tomb_seqs: np.ndarray) -> np.ndarray:
+    """Per-GROUP tombstone deadness (the Lucene per-segment delete model):
+    posting (id, gseq) is dead iff a tombstone (id, s) exists with
+    s >= gseq — a delete applies only to lineage groups that existed when
+    it was issued, so a doc re-ingested AFTER its delete (new group, higher
+    seq) stays live while the old copy stays masked. ``gseqs`` may be a
+    scalar (whole-block group seq) or a per-posting array; ``tomb_ids``
+    sorted ascending with ``tomb_seqs`` the per-id MAX delete seq."""
+    if not len(tomb_ids):
+        return np.zeros(len(ids), dtype=bool)
+    pos = np.searchsorted(tomb_ids, ids)
+    pos_c = np.minimum(pos, len(tomb_ids) - 1)
+    hit = (pos < len(tomb_ids)) & (tomb_ids[pos_c] == ids)
+    return hit & (tomb_seqs[pos_c] >= gseqs)
+
+
 def vbyte_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Encode and also return per-value byte counts (for segment slicing:
     one encode call can serve millions of tiny runs — per-run encode calls

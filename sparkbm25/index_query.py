@@ -95,9 +95,13 @@ def _query_weights(ix: Index, queries: list[tuple[int, str]]):
     return rows, occ
 
 
-def _matched_blocks(ix: Index, weights: list[tuple]) -> DataFrame:
+def _matched_blocks(
+    ix: Index, weights: list[tuple], with_gseq: bool = False
+) -> DataFrame:
     """Postings blocks of the query terms, joined with per-(query,term)
-    weights. Partition pruning via term_bucket; predicate pushdown on term."""
+    weights. Partition pruning via term_bucket; predicate pushdown on term.
+    ``with_gseq`` attaches each block's lineage-group creation seq (needed
+    only for per-group tombstone masking)."""
     spark = ix.spark
     terms = sorted({t for _, t, *_ in weights})
     # term_bucket computed driver-side with the Spark-parity XXH64 — no job
@@ -114,6 +118,8 @@ def _matched_blocks(ix: Index, weights: list[tuple]) -> DataFrame:
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )
+    if with_gseq:
+        blocks = blocks.withColumn("gseq", ix.gseq_col())
     return blocks.join(F.broadcast(w_df), "term")
 
 
@@ -144,7 +150,9 @@ def _theta(qblocks: DataFrame, k: int) -> DataFrame:
 
 
 def _decode_gen(k1: float, b: float, avgdl: float,
-                tombstones: np.ndarray | None = None):
+                tombstones: "tuple | None" = None):
+    from .codecs import dead_mask as _dead_mask
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
@@ -152,8 +160,12 @@ def _decode_gen(k1: float, b: float, avgdl: float,
                 ids = delta_decode(vbyte_decode(r.docs_vbyte, r.n_docs))
                 tfs = vbyte_decode(r.tfs_vbyte, r.n_docs).astype(np.float64)
                 dls = vbyte_decode(r.dls_vbyte, r.n_docs).astype(np.float64)
-                if tombstones is not None and len(tombstones):
-                    alive = ~_in_sorted(ids, tombstones)
+                if tombstones is not None and len(tombstones[0]):
+                    # per-group deadness: r.gseq is this block's lineage
+                    # seq (scalar broadcast into the mask)
+                    alive = ~_dead_mask(
+                        ids, np.int64(r.gseq), tombstones[0], tombstones[1]
+                    )
                     if not alive.any():
                         continue
                     ids, tfs, dls = ids[alive], tfs[alive], dls[alive]
@@ -235,8 +247,9 @@ def _rescore_gen(k1: float, b: float, avgdl: float):
 
 def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                      k1: float, b: float, avgdl: float, k: int,
-                     sub_shift: int | None = None, filtered: bool = False,
-                     tombstones: np.ndarray | None = None):
+                     sub_shift: int | None = None, cogroup: bool = False,
+                     has_qual: bool = False,
+                     tombstones: "tuple | None" = None):
     """Per-shard exact scoring kernel: decode each query term's blocks ONCE,
     densify each term into one contribution column over the group's doc
     universe, and score every query as a few whole-vector adds.
@@ -262,10 +275,21 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
     (VERDICT r03 #2): per-query work drops to O(group-docs) vector adds +
     one top-k extraction. Memory: one column per distinct matched term over
     <= group-doc-count doubles — bounded by the doc-range grouping and
-    shrunk further by sub_shift."""
+    shrunk further by sub_shift.
+
+    Masking inputs (all optional, composable):
+    - ``tombstones`` — closure-shipped (sorted ids, per-id max del_seq)
+      pair for SMALL delete sets; per-group deadness via codecs.dead_mask
+      with the block's ``gseq`` column.
+    - ``cogroup`` — the kernel takes a co-partitioned side frame
+      (doc_id, kind, seq): kind=0 rows are `where=` qualifying ids (active
+      when ``has_qual``), kind=1 rows are DISTRIBUTED tombstones (the
+      no-driver-array path for large delete sets; they override the
+      closure pair, index_search routes one source at a time)."""
 
     def _run(vs: int, pdf: pd.DataFrame,
-             qual: np.ndarray | None) -> pd.DataFrame:
+             qual: np.ndarray | None,
+             tomb: "tuple | None") -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "query_id": pd.Series(dtype="int32"),
@@ -300,8 +324,11 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
             # arithmetic >> matches the build's F.shiftright sharding
             # (overflow-free over the full signed-int64 id range)
             m = (all_ids >> np.int64(sub_shift)) == vs
-        if tombstones is not None and len(tombstones):
-            mt = ~_in_sorted(all_ids, tombstones)
+        if tomb is not None and len(tomb[0]):
+            from .codecs import dead_mask as _dead_mask
+
+            gseqs = np.repeat(pdf["gseq"].to_numpy(np.int64), n_arr)
+            mt = ~_dead_mask(all_ids, gseqs, tomb[0], tomb[1])
             m = mt if m is None else (m & mt)
         if qual is not None:
             # `where=` filter: restrict scoring to the group's QUALIFYING
@@ -382,16 +409,30 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
         )
 
     def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        return _run(int(key[0]), pdf, None)
+        return _run(int(key[0]), pdf, None, tombstones)
 
-    def topk_filtered(key: tuple, blocks_pdf: pd.DataFrame,
-                      qual_pdf: pd.DataFrame) -> pd.DataFrame:
+    def topk_cogroup(key: tuple, blocks_pdf: pd.DataFrame,
+                     side_pdf: pd.DataFrame) -> pd.DataFrame:
         # cogroup form: the right side carries this doc-range group's
-        # qualifying doc ids (already co-partitioned by the same key)
-        qual = np.sort(qual_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True))
-        return _run(int(key[0]), blocks_pdf, qual)
+        # qualifying ids (kind=0) and/or distributed tombstones (kind=1),
+        # already co-partitioned by the same key
+        if len(side_pdf):
+            kind = side_pdf["kind"].to_numpy()
+            ids_side = side_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
+        else:
+            kind = np.empty(0, dtype=np.int64)
+            ids_side = np.empty(0, dtype=np.int64)
+        qual = np.sort(ids_side[kind == 0]) if has_qual else None
+        tomb = tombstones
+        tm = kind == 1
+        if tm.any():
+            t_ids = ids_side[tm]
+            t_seqs = side_pdf["seq"].to_numpy(dtype=np.int64)[tm]
+            o = np.argsort(t_ids)
+            tomb = (t_ids[o], t_seqs[o])
+        return _run(int(key[0]), blocks_pdf, qual, tomb)
 
-    return topk_filtered if filtered else topk
+    return topk_cogroup if cogroup else topk
 
 
 def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
@@ -680,10 +721,17 @@ def index_search(
     max/min_tf_norm block metadata PRECOMPUTED under the build's k1/b,
     which ceases to bound a different shape.
     """
+    from .jobs import TOMBSTONE_BROADCAST_MAX
+
     if prune is not None:
         strategy = "blockmax" if prune else "exhaustive"
-    tomb = ix.tombstones_array()
-    if len(tomb):
+    n_del = ix.n_deleted()
+    # small delete sets ship into kernels as closure (ids, del_seq) arrays;
+    # large ones co-partition with the blocks on the doc-range key exactly
+    # like `where=` qualifying ids — no driver array, no size cap
+    use_cotomb = n_del > TOMBSTONE_BROADCAST_MAX
+    tomb = ix.tombstones_pair() if (n_del and not use_cotomb) else None
+    if n_del:
         # logical deletes: block-max pruning bounds count dead docs (a
         # too-high theta would over-prune live ones), so pruned strategies
         # fall back to the dense exact kernel until a compaction purges
@@ -691,7 +739,7 @@ def index_search(
             import warnings
 
             warnings.warn(
-                f"{len(tomb)} tombstoned docs: blockmax falls back to the "
+                f"{n_del} tombstoned docs: blockmax falls back to the "
                 "sharded strategy (pruning bounds assume all docs live); "
                 "compact_index restores it",
                 stacklevel=2,
@@ -701,6 +749,13 @@ def index_search(
             raise ValueError(
                 "blockmax_plan does not support tombstoned indexes; use "
                 "strategy='sharded' (or compact_index first)"
+            )
+        elif strategy == "exhaustive" and use_cotomb:
+            raise ValueError(
+                f"{n_del} tombstoned docs exceed the closure-mask "
+                f"threshold ({TOMBSTONE_BROADCAST_MAX}); the exhaustive "
+                "cross-check path has no distributed mask — use "
+                "strategy='sharded' or compact_index first"
             )
     if (k1 is not None or b is not None) and strategy not in (
         "sharded", "exhaustive"
@@ -726,8 +781,7 @@ def index_search(
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"
         )
-    decode = _decode_gen(eff_k1, eff_b, ix.avgdl,
-                         tombstones=tomb if len(tomb) else None)
+    decode = _decode_gen(eff_k1, eff_b, ix.avgdl, tombstones=tomb)
 
     if (where or where_expr is not None) and strategy != "sharded":
         raise ValueError(
@@ -775,7 +829,10 @@ def index_search(
                     "first_doc", "last_doc",
                     *[c for c in meta_cols if c not in
                       ("first_doc", "last_doc")],
-                    "docs_vbyte", "tfs_vbyte", "dls_vbyte")
+                    "docs_vbyte", "tfs_vbyte", "dls_vbyte",
+                    # per-group tombstone masking needs each block's
+                    # lineage seq (codecs.dead_mask)
+                    *([ix.gseq_col().alias("gseq")] if n_del else []))
         )
         if n_sub > 1:
             sub_shift = ix.shard_shift - (n_sub.bit_length() - 1)
@@ -798,40 +855,54 @@ def index_search(
             group_key = "shard_id"
         if strategy != "blockmax":
             blocks = blocks.drop("first_doc", "last_doc")
-        if where or where_expr is not None:
-            ds = ix.doc_stats()
-            missing = sorted(set(where or {}) - set(ds.columns))
-            if missing:
-                raise ValueError(
-                    f"attributes {missing} not stored in this index's "
-                    f"doc_stats (build with BuildParams(attr_cols=...)); "
-                    f"stored columns: {sorted(ds.columns)}"
-                )
-            qual = ds
-            for c, v in (where or {}).items():
-                qual = qual.filter(
-                    F.col(c).isin(*list(v))
-                    if isinstance(v, (list, tuple, set))
-                    else F.col(c) == v
-                )
-            if where_expr is not None:
-                qual = qual.filter(where_expr)
-            # co-partition qualifying ids on the SAME doc-range key as the
-            # blocks: a doc's group key is unique (no replication needed)
-            qual = qual.select(
-                "doc_id",
-                F.shiftright(
+        has_qual = bool(where) or where_expr is not None
+        if has_qual or use_cotomb:
+            key_shift = sub_shift if sub_shift is not None else ix.shard_shift
+            sides = []
+            if has_qual:
+                # LIVE rows only: a re-ingested doc has a dead old
+                # doc_stats row whose stale attributes must not qualify it
+                ds = ix.live_doc_stats()
+                missing = sorted(set(where or {}) - set(ds.columns))
+                if missing:
+                    raise ValueError(
+                        f"attributes {missing} not stored in this index's "
+                        f"doc_stats (build with BuildParams(attr_cols=...)); "
+                        f"stored columns: {sorted(ds.columns)}"
+                    )
+                qual = ds
+                for c, v in (where or {}).items():
+                    qual = qual.filter(
+                        F.col(c).isin(*list(v))
+                        if isinstance(v, (list, tuple, set))
+                        else F.col(c) == v
+                    )
+                if where_expr is not None:
+                    qual = qual.filter(where_expr)
+                # co-partition qualifying ids on the SAME doc-range key as
+                # the blocks: a doc's group key is unique (no replication)
+                sides.append(qual.select(
                     "doc_id",
-                    sub_shift if sub_shift is not None else ix.shard_shift,
-                ).alias(group_key),
-            )
+                    F.shiftright("doc_id", key_shift).alias(group_key),
+                    F.lit(0).alias("kind"),
+                    F.lit(0).cast("long").alias("seq"),
+                ))
+            if use_cotomb:
+                # distributed tombstones: same co-partitioning, kind=1
+                sides.append(ix.tombstones_df().select(
+                    "doc_id",
+                    F.shiftright("doc_id", key_shift).alias(group_key),
+                    F.lit(1).alias("kind"),
+                    F.col("del_seq").alias("seq"),
+                ))
+            side = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
             kern = _sharded_topk_fn(
-                occ, eff_k1, eff_b, ix.avgdl, k, sub_shift, filtered=True,
-                tombstones=tomb if len(tomb) else None,
+                occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
+                cogroup=True, has_qual=has_qual, tombstones=tomb,
             )
             shard_tops = (
                 blocks.groupBy(group_key)
-                .cogroup(qual.groupBy(group_key))
+                .cogroup(side.groupBy(group_key))
                 .applyInPandas(
                     kern, schema="query_id int, doc_id long, score double"
                 )
@@ -842,7 +913,7 @@ def index_search(
             if strategy == "blockmax"
             else _sharded_topk_fn(
                 occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
-                tombstones=tomb if len(tomb) else None,
+                tombstones=tomb,
             )
         )
         shard_tops = blocks.groupBy(group_key).applyInPandas(
@@ -850,7 +921,7 @@ def index_search(
         )
         return topk_window(shard_tops, k)
 
-    qblocks = _matched_blocks(ix, weights)
+    qblocks = _matched_blocks(ix, weights, with_gseq=tomb is not None)
     # canonical per-doc summation for the plan paths too: sum contributions
     # in query-occurrence order (sort_array by qpos + ordered fold), so
     # exact ties agree bit-for-bit with the oracle's accumulation — the

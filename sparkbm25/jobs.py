@@ -232,28 +232,93 @@ def artifact_lock(index_dir: str, tag: str):
 
 
 TOMBSTONES_DIR = "tombstones"
-# driver-side tombstone cap for SEARCH masking: between compactions the
-# delete set rides into kernels as a sorted int64 array (8 B/id via Arrow;
-# ~80 MB at the cap); beyond it search refuses loudly and compaction — the
-# designed next step — loads the set once the same way (same 8 B/id Arrow
-# path) to purge it. A deployment deleting >> this between compactions
-# should compact more often or rebuild; a fully distributed anti-join
-# purge is the Iceberg-equality-delete analog, noted as future work.
-TOMBSTONE_SEARCH_MAX = 10_000_000
+# driver-side tombstone threshold for SEARCH masking: small delete sets
+# ride into kernels as sorted (id, del_seq) closure arrays (16 B/id via
+# Arrow — the p50-friendly path); past the threshold search switches to
+# the fully distributed cogroup path (tombstones co-partitioned with the
+# posting blocks on the doc-range key, exactly like `where=` qualifying
+# ids) — no driver array, no cap, no refusal.
+TOMBSTONE_BROADCAST_MAX = int(
+    os.environ.get("SPARKBM25_TOMBSTONE_BROADCAST_MAX", "1000000")
+)
+# legacy (pre-0.6) tombstone rows carry no del_seq: they mask the id in
+# EVERY group, old behavior preserved (the undelete flow they relied on is
+# superseded by per-group seqs)
+LEGACY_DEL_SEQ = 1 << 62
+
+TOMBSTONE_SCHEMA = "doc_id long, del_seq long"
+
+
+def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(doc_id, del_seq) rows — del_seq is the per-id MAX delete sequence
+    (one row per id). Legacy files without the column read as null and
+    coalesce to LEGACY_DEL_SEQ (mask everywhere)."""
+    tdir = os.path.join(index_dir, TOMBSTONES_DIR)
+    return (
+        spark.read.schema(TOMBSTONE_SCHEMA).parquet(tdir)
+        .withColumn(
+            "del_seq", F.coalesce("del_seq", F.lit(LEGACY_DEL_SEQ))
+        )
+        .groupBy("doc_id")
+        .agg(F.max("del_seq").alias("del_seq"))
+    )
+
+
+def group_seq_expr(m: dict) -> F.Column:
+    """Column mapping the ``group`` partition column to its creation seq
+    (manifest ``completed_groups[g]["seq"]``; pre-0.6 groups default 0).
+    Literal map — group counts are manifest-bounded (compaction collapses
+    them), so this stays a small codegen'd expression."""
+    pairs: list = []
+    for g, rec in (m.get("completed_groups") or {}).items():
+        pairs += [F.lit(str(g)), F.lit(int(rec.get("seq", 0)))]
+    if not pairs:
+        return F.lit(0)
+    return F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col("group").cast("string")),
+        F.lit(0),
+    )
+
+
+def live_doc_stats_df(
+    spark: SparkSession, index_dir: str, m: dict, ds: DataFrame | None = None
+) -> DataFrame:
+    """doc_stats restricted to LIVE rows under per-group tombstones: row
+    (doc_id, group) is dead iff a tombstone (doc_id, s) has s >= seq(group).
+    A re-ingested doc keeps exactly its newest copy. Plain equi-join on
+    doc_id — distributed, no driver materialization."""
+    if ds is None:
+        ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    n_del = int((m.get("metrics") or {}).get("n_deleted", 0))
+    if not n_del or not os.path.exists(
+        os.path.join(index_dir, TOMBSTONES_DIR)
+    ):
+        return ds
+    tomb = read_tombstones(spark, index_dir)
+    return (
+        ds.join(tomb, "doc_id", "left")
+        .filter(
+            F.col("del_seq").isNull() | (F.col("del_seq") < group_seq_expr(m))
+        )
+        .drop("del_seq")
+    )
 
 
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> dict:
-    """Logical document deletes (Lucene tombstone model): append the ids
-    to ``tombstones/`` under the artifact lock; every subsequent search
-    excludes them (scores keep the FROZEN corpus stats — idf/avgdl change
-    only when a compaction physically purges the postings, exactly like a
-    segment store before/after merge). Deleting an absent id is a no-op by
-    masking. ``doc_ids``: an int iterable or a DataFrame with doc_id.
+    """Logical document deletes (Lucene PER-SEGMENT tombstone model): the
+    ids append to ``tombstones/`` stamped with the artifact's next
+    sequence number, and the delete applies ONLY to lineage groups that
+    existed at delete time (seq(group) <= del_seq). Every subsequent
+    search excludes the dead copies (scores keep the FROZEN corpus stats —
+    idf/avgdl change only when a compaction physically purges postings,
+    exactly like a segment store before/after merge); a doc re-ingested
+    AFTER its delete lands in a NEW group with a higher seq and is live
+    immediately, while its old postings stay masked until the purge.
+    Deleting an absent id is a no-op by masking. ``doc_ids``: an int
+    iterable or a DataFrame with doc_id.
 
     Returns the updated manifest (metrics.n_deleted = distinct tombstoned
-    ids on disk)."""
-    import os
-
+    ids on disk; superseded ids stay counted until compaction clears them)."""
     with artifact_lock(index_dir, "delete"):
         m = read_manifest(index_dir)
         if m is None:
@@ -262,6 +327,7 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> dict:
             raise ValueError(
                 f"index at {index_dir} is {m['status']}, not COMPLETED"
             )
+        del_seq = int(m.get("seq_counter", 0)) + 1
         if isinstance(doc_ids, DataFrame):
             df = doc_ids.select(F.col("doc_id").try_cast("long"))
             n_null = df.filter(F.col("doc_id").isNull()).count()
@@ -275,10 +341,12 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> dict:
             df = spark.createDataFrame(
                 [(int(d),) for d in doc_ids], "doc_id long"
             )
+        df = df.withColumn("del_seq", F.lit(del_seq))
         tdir = os.path.join(index_dir, TOMBSTONES_DIR)
         df.write.mode("append").parquet(tdir)
         n = spark.read.parquet(tdir).select("doc_id").distinct().count()
         m.setdefault("metrics", {})["n_deleted"] = int(n)
+        m["seq_counter"] = del_seq
         _write_manifest(index_dir, m)
         return m
 
@@ -346,6 +414,7 @@ def _build_index_locked(
             "completed_groups": {},
             "metrics": {},
             "error_message": None,
+            "seq_counter": 0,
         }
 
     # --- cross-driver claim (manifest CAS) --------------------------------
@@ -478,6 +547,10 @@ def _build_index_locked(
                 "wall_s": round(time.time() - t0, 3),
                 "postings_path": gdir,
                 "doc_stats_path": ddir,
+                # base groups share creation seq 0 (disjoint doc subsets);
+                # later appends/deletes draw from seq_counter — the
+                # per-group tombstone ordering (delete_docs docstring)
+                "seq": 0,
             }
             _write_manifest(index_dir, m)
             if fail_after_group is not None and g >= fail_after_group:
@@ -651,31 +724,64 @@ class Index:
     def postings(self) -> DataFrame:
         return self._load("postings")
 
-    def tombstones_array(self):
-        """Sorted int64 array of tombstoned doc ids (empty when none),
-        cached on the handle; refresh() reloads after delete/compact. The
-        array ships into search kernels by closure, so its size is capped
-        (TOMBSTONE_SEARCH_MAX) — past that, compact the index first."""
+    def n_deleted(self) -> int:
+        n = int((self.manifest.get("metrics") or {}).get("n_deleted", 0))
+        if n and not os.path.exists(
+            os.path.join(self.index_dir, TOMBSTONES_DIR)
+        ):
+            return 0
+        return n
+
+    def group_seqs(self) -> dict[str, int]:
+        """{group_name: creation seq} from the manifest (pre-0.6 groups: 0).
+        The per-group tombstone ordering key (delete_docs docstring)."""
+        return {
+            str(g): int(rec.get("seq", 0))
+            for g, rec in (self.manifest.get("completed_groups") or {}).items()
+        }
+
+    def gseq_col(self) -> F.Column:
+        return group_seq_expr(self.manifest)
+
+    def tombstones_pair(self):
+        """(ids, seqs): sorted int64 doc ids with their per-id MAX delete
+        seq — the closure-shipped search mask for small delete sets (the
+        distributed cogroup path takes over past TOMBSTONE_BROADCAST_MAX;
+        index_search routes). Cached; refresh() reloads after
+        delete/compact."""
         import numpy as np
 
         if getattr(self, "_tombstones", None) is None:
-            tdir = os.path.join(self.index_dir, TOMBSTONES_DIR)
-            n = int((self.manifest.get("metrics") or {}).get("n_deleted", 0))
-            if n == 0 or not os.path.exists(tdir):
-                self._tombstones = np.empty(0, dtype=np.int64)
-            elif n > TOMBSTONE_SEARCH_MAX:
-                raise ValueError(
-                    f"{n} tombstoned docs exceed the search-side mask cap "
-                    f"({TOMBSTONE_SEARCH_MAX}); run compact_index to purge"
+            if self.n_deleted() == 0:
+                self._tombstones = (
+                    np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
                 )
             else:
-                pdf = self.spark.read.parquet(tdir).select(
-                    "doc_id"
-                ).distinct().toPandas()  # Arrow: ~8 B/id, no Row objects
-                self._tombstones = np.sort(
-                    pdf["doc_id"].to_numpy(dtype=np.int64)
-                )
+                pdf = read_tombstones(
+                    self.spark, self.index_dir
+                ).toPandas()  # Arrow: ~16 B/id, no Row objects
+                ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+                seqs = pdf["del_seq"].to_numpy(dtype=np.int64)
+                order = np.argsort(ids)
+                self._tombstones = (ids[order], seqs[order])
         return self._tombstones
+
+    def tombstones_array(self):
+        """Sorted int64 array of tombstoned doc ids (empty when none) —
+        ids only; per-group masking uses tombstones_pair()."""
+        return self.tombstones_pair()[0]
+
+    def tombstones_df(self) -> DataFrame:
+        """(doc_id, del_seq) DataFrame — the distributed masking side."""
+        return read_tombstones(self.spark, self.index_dir)
+
+    def live_doc_stats(self) -> DataFrame:
+        """doc_stats restricted to live rows under per-group tombstones —
+        what filtered search and stored-field fetch must read (a
+        re-ingested doc has a dead old row and a live new one)."""
+        return live_doc_stats_df(
+            self.spark, self.index_dir, self.manifest, self.doc_stats()
+        )
 
     def term_stats(self) -> DataFrame:
         return self._load("term_stats")
@@ -688,7 +794,7 @@ class Index:
         available when built with store_text=True (the inverse of the
         reference's skip-stored-vectors: faiss_index_hnsw_cagra_builder.py:77-83,
         serialized with IO_FLAG_SKIP_STORAGE when dropped)."""
-        ds = self.doc_stats()
+        ds = self.live_doc_stats()
         if "text" not in ds.columns:
             raise ValueError(
                 "index was built without store_text; rebuild with "

@@ -57,65 +57,57 @@ def _stats_from_manifest(m: dict) -> tuple[BuildParams, CorpusStats]:
     return params, stats
 
 
-def _undelete_ids(spark, index_dir: str, m: dict, ids_df: DataFrame) -> None:
-    import shutil as _sh
-
-    from .jobs import TOMBSTONES_DIR, _write_manifest as _wm
-
-    n_del = int((m.get("metrics") or {}).get("n_deleted", 0))
-    tdir = os.path.join(index_dir, TOMBSTONES_DIR)
-    if not n_del or not os.path.exists(tdir):
-        return
-    remaining = (
-        spark.read.parquet(tdir).select("doc_id").distinct()
-        .join(ids_df.select("doc_id"), "doc_id", "left_anti")
-    )
-    staged = tdir + ".rewrite"
-    remaining.write.mode("overwrite").parquet(staged)
-    n = spark.read.parquet(staged).count()
-    _sh.rmtree(tdir)
-    os.rename(staged, tdir)
-    if n == 0:
-        _sh.rmtree(tdir, ignore_errors=True)
-    m.setdefault("metrics", {})["n_deleted"] = int(n)
-
-
 def append_batch(
     corpus_batch: DataFrame, index_dir: str, epoch_id: int
 ) -> None:
     """Fold one micro-batch (doc_id, text) into group stream_<epoch>.
-    Idempotent per epoch: re-running a failed epoch overwrites its group."""
-    m = read_manifest(index_dir)
-    if m is None:
-        raise FileNotFoundError(f"no base index manifest at {index_dir}")
-    params, stats = _stats_from_manifest(m)
-    g = f"stream_{epoch_id}"
-    gdir = os.path.join(index_dir, "postings", f"group={g}")
-    ddir = os.path.join(index_dir, "doc_stats", f"group={g}")
-    t0 = time.time()
-    (
-        corpus_batch.select(
-            "doc_id",
-            F.size(tokens_col("text")).alias("doc_len"),
-            *(["text"] if params.store_text else []),
-            *params.attr_cols,
-        ).write.mode("overwrite").parquet(ddir)
-    )
-    # a re-ingested id supersedes its tombstone (latest write wins): drop
-    # appended ids from the delete set so the fresh doc is searchable and
-    # the next compaction does not purge it (Lucene applies deletes only
-    # to segments existing at delete time; this is the same effect)
-    _undelete_ids(corpus_batch.sparkSession, index_dir, m,
-                  corpus_batch.select("doc_id"))
-    blocks = build_postings(corpus_batch, params, stats)
-    blocks.write.partitionBy("term_bucket").mode("overwrite").parquet(gdir)
-    m["completed_groups"][g] = {
-        "wall_s": round(time.time() - t0, 3),
-        "postings_path": gdir,
-        "doc_stats_path": ddir,
-        "stream_epoch": epoch_id,
-    }
-    _write_manifest(index_dir, m)
+    Idempotent per epoch: re-running a failed epoch overwrites its group
+    (and keeps its original seq).
+
+    The new group's creation seq comes from the manifest's seq_counter
+    under the artifact lock, so a doc re-ingested AFTER a delete lands in
+    a group with seq > del_seq and is live immediately while its OLD
+    postings in pre-existing groups stay masked — Lucene's per-segment
+    delete semantics (a delete applies only to segments existing at delete
+    time); the next compaction purges the dead copy and keeps this one.
+    The lock also serializes the manifest read-modify-write against
+    concurrent delete_docs (an unlocked rewrite could clobber a
+    just-appended tombstone file or n_deleted)."""
+    from .jobs import artifact_lock
+
+    with artifact_lock(index_dir, f"append:{epoch_id}"):
+        m = read_manifest(index_dir)
+        if m is None:
+            raise FileNotFoundError(f"no base index manifest at {index_dir}")
+        params, stats = _stats_from_manifest(m)
+        g = f"stream_{epoch_id}"
+        prior = m["completed_groups"].get(g)
+        seq = (
+            int(prior["seq"]) if prior and "seq" in prior
+            else int(m.get("seq_counter", 0)) + 1
+        )
+        gdir = os.path.join(index_dir, "postings", f"group={g}")
+        ddir = os.path.join(index_dir, "doc_stats", f"group={g}")
+        t0 = time.time()
+        (
+            corpus_batch.select(
+                "doc_id",
+                F.size(tokens_col("text")).alias("doc_len"),
+                *(["text"] if params.store_text else []),
+                *params.attr_cols,
+            ).write.mode("overwrite").parquet(ddir)
+        )
+        blocks = build_postings(corpus_batch, params, stats)
+        blocks.write.partitionBy("term_bucket").mode("overwrite").parquet(gdir)
+        m["completed_groups"][g] = {
+            "wall_s": round(time.time() - t0, 3),
+            "postings_path": gdir,
+            "doc_stats_path": ddir,
+            "stream_epoch": epoch_id,
+            "seq": seq,
+        }
+        m["seq_counter"] = max(int(m.get("seq_counter", 0)), seq)
+        _write_manifest(index_dir, m)
 
 
 def stream_append(
@@ -164,32 +156,43 @@ def finalize_stream(spark: SparkSession, index_dir: str) -> None:
     df <= n_docs always holds, so idf >= ln(1 + 0.5/(df+0.5)) > 0.
     avgdl stays frozen by contract (tf normalization drift is handled by
     periodic full rebuild, like segment-merge policies)."""
+    from .jobs import live_doc_stats_df
+
     m = read_manifest(index_dir)
     blocks = spark.read.parquet(os.path.join(index_dir, "postings"))
     tdir = os.path.join(index_dir, "term_stats")
     ts = term_stats_from_blocks(blocks)
     ts.write.mode("overwrite").parquet(tdir)
-    # doc_id uniqueness audit across base + ALL streamed epochs: an id
-    # ingested twice (base/stream overlap, or one doc in two epochs' files)
-    # would silently double-count in every query path and violate the
+    # doc_id uniqueness audit across base + ALL streamed epochs, over LIVE
+    # rows only: an id ingested twice while both copies are live
+    # (base/stream overlap, or one doc in two epochs' files) would silently
+    # double-count in every query path and violate the
     # one-posting-per-(term,doc) invariant the block-max bounds and the
-    # merge kernel's strictly-increasing check rely on (which only runs
-    # within a single build). Mirrors compute_corpus_stats' hash64 audit.
-    row = (
-        spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    # merge kernel's strictly-increasing check rely on. A re-ingested
+    # previously-DELETED id is legal: its old copy is tombstone-masked
+    # (dead), so exactly one live copy remains. Mirrors
+    # compute_corpus_stats' hash64 audit.
+    ds_all = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    live_row = (
+        live_doc_stats_df(spark, index_dir, m, ds_all)
         .agg(
             F.count("doc_id").alias("n"),
             F.countDistinct("doc_id").alias("nd"),
         )
         .first()
     )
-    if int(row.n) != int(row.nd):
+    if int(live_row.n) != int(live_row.nd):
         raise ValueError(
-            f"doc_id collision across base+streamed groups: {row.n} rows, "
-            f"{row.nd} distinct — a document was ingested twice; drop the "
-            "offending epoch group or rebuild"
+            f"doc_id collision across base+streamed groups: {live_row.n} "
+            f"live rows, {live_row.nd} distinct — a document was ingested "
+            "twice without an intervening delete; drop the offending epoch "
+            "group or rebuild"
         )
-    total_docs = int(row.n)
+    # frozen-stats universe keeps ALL copies (dead ones included) until a
+    # compaction purges them — df counts dead postings too, so n_docs must
+    # as well or idf could go negative (df > N breaks the nonnegative-
+    # contribution assumption the pruning bounds rely on)
+    total_docs = int(ds_all.count())
     m["streamed_total_docs"] = total_docs
     m["build"]["n_docs"] = max(int(m["build"]["n_docs"]), int(total_docs))
     m["build"]["n_terms"] = spark.read.parquet(tdir).count()
@@ -538,7 +541,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         params, stats = _stats_from_manifest(m)
         import numpy as np
 
-        from .jobs import TOMBSTONES_DIR
+        from .jobs import TOMBSTONES_DIR, group_seq_expr
 
         pdir = os.path.join(index_dir, "postings")
         sdir = os.path.join(index_dir, "compact_staging")
@@ -558,16 +561,24 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         tdir_tomb = os.path.join(index_dir, TOMBSTONES_DIR)
         n_deleted = int((m.get("metrics") or {}).get("n_deleted", 0))
         tomb = None
+        n_tomb_ids = 0
         dsdir = os.path.join(index_dir, "doc_stats")
-        ds = spark.read.parquet(dsdir).drop("group")
+        ds_all = spark.read.parquet(dsdir)
+        ds = ds_all.drop("group")
         new_avgdl = stats.avgdl
         if n_deleted and os.path.exists(tdir_tomb):
-            tomb_df = spark.read.parquet(tdir_tomb).select("doc_id").distinct()
-            # Arrow transfer (no per-id Row objects) — ~8 B/id on the driver
-            tomb = np.sort(
-                tomb_df.toPandas()["doc_id"].to_numpy(dtype=np.int64)
-            )
-            ds = ds.join(tomb_df, "doc_id", "left_anti")
+            from .jobs import live_doc_stats_df, read_tombstones
+
+            # per-group deadness: a tombstone (id, s) kills copies only in
+            # groups with seq <= s, so a doc re-ingested after its delete
+            # keeps exactly its newest copy through the purge
+            tomb_pdf = read_tombstones(spark, index_dir).toPandas()
+            t_ids = tomb_pdf["doc_id"].to_numpy(dtype=np.int64)
+            t_seqs = tomb_pdf["del_seq"].to_numpy(dtype=np.int64)
+            order = np.argsort(t_ids)
+            tomb = (t_ids[order], t_seqs[order])
+            n_tomb_ids = len(t_ids)
+            ds = live_doc_stats_df(spark, index_dir, m, ds_all).drop("group")
             row = ds.agg(
                 F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
             ).first()
@@ -582,6 +593,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             F.col("docs_vbyte").alias("docs_vb"),
             F.col("tfs_vbyte").alias("tfs_vb"),
             F.col("dls_vbyte").alias("dls_vb"),
+            group_seq_expr(m).alias("gseq")
+            if tomb is not None else F.lit(0).alias("gseq"),
         )
         merged_parts = max(params.num_shards, 8)
         new_blocks = (
@@ -656,8 +669,10 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             m["build"]["n_docs"] = new_n_docs
             m["build"]["avgdl"] = new_avgdl
             m["metrics"]["n_deleted"] = 0
-            m["metrics"]["purged_docs"] = len(tomb)
+            m["metrics"]["purged_docs"] = n_tomb_ids
             shutil.rmtree(tdir_tomb, ignore_errors=True)
+        new_seq = int(m.get("seq_counter", 0)) + 1
+        m["seq_counter"] = new_seq
         m["completed_groups"] = {
             "compacted": {
                 "wall_s": round(time.time() - t0, 3),
@@ -668,6 +683,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                     index_dir, "doc_stats", "group=compacted"
                 ),
                 "compacted_from": groups_before,
+                "seq": new_seq,
             }
         }
         m.setdefault("metrics", {})["compaction"] = {

@@ -551,12 +551,12 @@ def test_delete_docs_then_compact_purges(spark, corpora, tmp_path):
 
 
 def test_reingested_id_supersedes_tombstone(spark, corpora, tmp_path):
-    """Latest write wins: deleting id X and then appending a batch whose
-    ids include X must make X searchable again (tombstone dropped), and a
-    later compaction must NOT purge it — the reviewed failure mode where a
-    corrected re-ingested doc was silently lost."""
+    """Latest write wins via PER-GROUP tombstones: deleting id X and then
+    appending a batch whose ids include X must make X searchable again
+    (the new group's seq exceeds the delete seq, so only pre-existing
+    copies stay masked), and a later compaction must NOT purge the new
+    copy."""
     from sparkbm25.build import BuildParams, compute_corpus_stats
-    from sparkbm25.fixtures import make_queries
     from sparkbm25.index_query import index_search
     from sparkbm25.jobs import Index, build_index, delete_docs, read_manifest
     from sparkbm25.streaming import append_batch, compact_index, finalize_stream
@@ -580,11 +580,13 @@ def test_reingested_id_supersedes_tombstone(spark, corpora, tmp_path):
     append_batch(bdocs, d, epoch_id=7)
     finalize_stream(spark, d)
     m = read_manifest(d)
-    assert m["metrics"]["n_deleted"] == 1  # victim superseded, dead stays
+    # both tombstones REMAIN on disk (they mask only pre-delete groups);
+    # the appended group's seq supersedes them for the new copy
+    assert m["metrics"]["n_deleted"] == 2
+    assert m["completed_groups"]["stream_7"]["seq"] > 0
 
     ix = Index(spark, d)
-    assert victim not in set(ix.tombstones_array())
-    assert stay_dead in set(ix.tombstones_array())
+    assert {victim, stay_dead} <= set(ix.tombstones_array())
     # the re-ingested doc is searchable: query its own text
     vtext = bdocs.filter(f"doc_id = {victim}").first().text
     hits = {r.doc_id for r in index_search(ix, [(0, vtext)], k=10).collect()}
@@ -592,10 +594,192 @@ def test_reingested_id_supersedes_tombstone(spark, corpora, tmp_path):
 
     compact_index(spark, d)
     ix2 = Index(spark, d)
+    assert ix2.n_deleted() == 0
     hits2 = {r.doc_id for r in index_search(ix2, [(0, vtext)], k=10).collect()}
     assert victim in hits2
     assert ix2.doc_stats().filter(f"doc_id = {victim}").count() == 1
     assert ix2.doc_stats().filter(f"doc_id = {stay_dead}").count() == 0
+
+
+def test_reingest_of_doc_with_base_postings(spark, corpora, tmp_path):
+    """The 'corrected document' flow where the re-ingested id ALREADY HAS
+    postings in the base index (the round-4 advice's failure mode): after
+    delete + re-ingest with DIFFERENT text, (1) only the NEW copy scores —
+    no duplicate live postings, no double counting; (2) the old copy's
+    unique terms no longer find the doc; (3) finalize's uniqueness audit
+    passes (one LIVE copy); (4) compaction does not crash on duplicate
+    doc_ids and keeps exactly the new copy; (5) scores equal an oracle
+    whose corpus holds the corrected text."""
+    from sparkbm25.build import BuildParams, compute_corpus_stats
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index, build_index, delete_docs
+    from sparkbm25.oracle import OracleIndex
+    from sparkbm25.streaming import append_batch, compact_index, finalize_stream
+
+    full, a, _b = corpora
+    params = BuildParams(num_shards=4, salt_factor=2, num_term_buckets=8,
+                         lineage_groups=1, doc_id_scheme="conv_seq")
+    adocs = a.select("doc_id", "text")
+    stats = compute_corpus_stats(adocs, params)
+    d = str(tmp_path / "correct_ix")
+    build_index(adocs, d, params, "corrA", stats_override=stats)
+
+    rows = adocs.orderBy("doc_id").limit(3).collect()
+    victim = int(rows[1].doc_id)
+    old_text = rows[1].text
+    # corrected text shares SOME terms with the old copy (the
+    # double-counting hazard) and adds a unique marker
+    shared = " ".join(old_text.split()[:4])
+    new_text = f"{shared} zzcorrectedzz fresh copy"
+    delete_docs(spark, d, [victim])
+    append_batch(
+        spark.createDataFrame([(victim, new_text)], "doc_id long, text string"),
+        d, epoch_id=3,
+    )
+    finalize_stream(spark, d)  # must NOT raise the collision audit
+
+    ix = Index(spark, d)
+    # exact emulation of the pre-compaction index state: the DEAD old copy
+    # still contributes to df (Lucene docFreq includes deleted docs until
+    # merge — term_stats here count dead postings too) but never scores;
+    # model it as a sentinel doc excluded via allowed=. n_docs counts both
+    # copies (frozen-stats contract); avgdl stays frozen at the base value.
+    docs_a = [(int(r.doc_id), r.text) for r in adocs.collect()]
+    sentinel = max(i for i, _ in docs_a) + 1_000_000
+    emu = [(i if i != victim else sentinel, t) for i, t in docs_a]
+    emu.append((victim, new_text))
+    ora = OracleIndex.build(emu)
+    assert ora.n_docs == ix.n_docs  # manifest counted the dead copy too
+    ora.avgdl = ix.avgdl  # frozen base avgdl (append never re-averages)
+    allowed = {i for i, _ in emu if i != sentinel}
+    queries = [(0, new_text), (1, old_text), (2, shared)]
+    for strategy in ("sharded", "exhaustive"):
+        got = sorted(
+            (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+            for r in index_search(ix, queries, k=10,
+                                  strategy=strategy).collect()
+        )
+        want = sorted(
+            (q, rk, di, round(s, 9))
+            for q, rk, di, s in ora.search_all(queries, k=10, allowed=allowed)
+        )
+        assert [g[:3] for g in got] == [w[:3] for w in want], strategy
+        for g, w in zip(got, want):
+            assert g[3] == pytest.approx(w[3], rel=1e-9), strategy
+
+    # compaction: no duplicate-doc crash, exactly the new copy survives
+    compact_index(spark, d)
+    ix2 = Index(spark, d)
+    assert ix2.doc_stats().filter(f"doc_id = {victim}").count() == 1
+    hits = {r.doc_id for r in
+            index_search(ix2, [(0, "zzcorrectedzz")], k=10).collect()}
+    assert hits == {victim}
+
+    # delete-after-reingest: a NEWER delete kills the corrected copy too
+    delete_docs(spark, d, [victim])
+    ix3 = Index(spark, d).refresh()
+    hits3 = {r.doc_id for r in
+             index_search(ix3, [(0, "zzcorrectedzz")], k=10).collect()}
+    assert hits3 == set()
+
+
+def test_distributed_tombstone_masking(spark, corpora, tmp_path, monkeypatch):
+    """Past the closure threshold the tombstones co-partition with the
+    posting blocks (kind=1 cogroup rows) — no driver-side array, no cap:
+    results must be identical to the closure path and to the oracle, and
+    compose with `where=` filters (both kinds in one side frame)."""
+    import sparkbm25.jobs as J
+    from sparkbm25.build import BuildParams
+    from sparkbm25.fixtures import make_queries
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index, build_index, delete_docs
+    from sparkbm25.oracle import OracleIndex
+
+    full, _a, _b = corpora
+    corpus = full.select("doc_id", "text", "role")
+    d = str(tmp_path / "cotomb_ix")
+    build_index(
+        corpus, d,
+        BuildParams(num_shards=4, salt_factor=2, num_term_buckets=8,
+                    lineage_groups=2, doc_id_scheme="conv_seq",
+                    attr_cols=("role",)),
+        source_fingerprint="cotomb",
+    )
+    rows = corpus.collect()
+    dead = {int(r.doc_id) for r in rows[::7]}
+    delete_docs(spark, d, sorted(dead))
+    queries = make_queries(12)
+    ora = OracleIndex.build([(r.doc_id, r.text) for r in rows])
+    alive = {int(r.doc_id) for r in rows} - dead
+    want = sorted(
+        (q, rk, di) for q, rk, di, _s in
+        ora.search_all(queries, k=10, allowed=alive)
+    )
+
+    ix = Index(spark, d)
+    got_closure = sorted(
+        (r.query_id, r.rank, r.doc_id)
+        for r in index_search(ix, queries, k=10).collect()
+    )
+    assert got_closure == want
+
+    # force the distributed path (threshold below the delete-set size)
+    monkeypatch.setattr(J, "TOMBSTONE_BROADCAST_MAX", 1)
+    ix2 = Index(spark, d)
+    got_dist = sorted(
+        (r.query_id, r.rank, r.doc_id)
+        for r in index_search(ix2, queries, k=10).collect()
+    )
+    assert got_dist == want
+    # composes with where= (qual kind=0 + tombstones kind=1 in one side)
+    allowed_user = {int(r.doc_id) for r in rows if r.role == "user"} - dead
+    want_f = sorted(
+        (q, rk, di) for q, rk, di, _s in
+        ora.search_all(queries, k=10, allowed=allowed_user)
+    )
+    got_f = sorted(
+        (r.query_id, r.rank, r.doc_id)
+        for r in index_search(ix2, queries, k=10,
+                              where={"role": "user"}).collect()
+    )
+    assert got_f == want_f
+    # exhaustive has no distributed mask: loud refusal, not wrong results
+    with pytest.raises(ValueError, match="closure-mask threshold"):
+        index_search(ix2, queries, k=10, strategy="exhaustive")
+
+
+def test_ten_million_tombstones_search_succeeds(spark, corpora, tmp_path):
+    """The round-4 cap (driver-side array, refuse past 10M) is GONE:
+    deleting >10M ids must leave the index searchable without compaction.
+    Most synthetic ids are absent (no-op by masking) plus real victims."""
+    from pyspark.sql import functions as F
+
+    from sparkbm25.build import BuildParams
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index, build_index, delete_docs
+
+    full, _a, _b = corpora
+    corpus = full.select("doc_id", "text")
+    d = str(tmp_path / "bigtomb_ix")
+    build_index(
+        corpus, d,
+        BuildParams(num_shards=4, salt_factor=2, num_term_buckets=8,
+                    lineage_groups=1, doc_id_scheme="conv_seq"),
+        source_fingerprint="bigtomb",
+    )
+    victims = [int(r.doc_id) for r in corpus.limit(3).collect()]
+    synthetic = spark.range(10_500_000).select(
+        (F.col("id") + 4_000_000_000_000).alias("doc_id")
+    )
+    ids_df = synthetic.unionByName(
+        spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    )
+    m = delete_docs(spark, d, ids_df)
+    assert m["metrics"]["n_deleted"] > 10_000_000
+    ix = Index(spark, d)
+    vtext = corpus.filter(f"doc_id = {victims[0]}").first().text
+    hits = {r.doc_id for r in index_search(ix, [(0, vtext)], k=10).collect()}
+    assert hits and not (hits & set(victims))
 
 
 def test_stream_append_preserves_attr_cols(spark, corpora, tmp_path):
