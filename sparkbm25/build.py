@@ -63,13 +63,23 @@ from .kernels import _tf_batch
 
 RUN_SCHEMA = (
     "term string, shard_id long, n_docs int, "
-    "docs_vb binary, tfs_vb binary, dls_vb binary"
+    "docs_vb binary, tfs_vb binary, dls_vb binary, pos_vb binary"
 )
 
+# Block metadata carries BOTH the precomputed tf_norm bounds under the
+# build-time (k1, b) — bit-exact fast path for default-parameter queries —
+# and the RAW (max_tf, min_tf, min_dl, max_dl) integers, from which a
+# sound upper/lower contribution bound is derivable at query time for ANY
+# (k1, b) in range (tf_norm is monotone increasing in tf and decreasing
+# in dl), so block-max pruning survives query-time parameter overrides.
+# pos_vbyte (optional, BuildParams.store_positions) is the positional
+# stream: per posting, its token positions as first-absolute + gaps
+# varbyte, concatenated in posting order (tf values per posting).
 BLOCK_SCHEMA = (
     "term string, shard_id long, block_id int, n_docs int, "
     "first_doc long, last_doc long, max_tf_norm double, min_tf_norm double, "
-    "sum_tf long, docs_vbyte binary, tfs_vbyte binary, dls_vbyte binary"
+    "sum_tf long, max_tf long, min_tf long, min_dl long, max_dl long, "
+    "docs_vbyte binary, tfs_vbyte binary, dls_vbyte binary, pos_vbyte binary"
 )
 
 
@@ -91,6 +101,9 @@ class BuildParams:
     # search-time `where=` filters read (e.g. role / lang / source).
     # Tuple (hashable + JSON-stable) so job_id stays canonical.
     attr_cols: tuple = ()
+    # store per-posting token positions (delta-varbyte) — enables phrase /
+    # proximity queries at ~1 extra byte per token occurrence
+    store_positions: bool = False
     tokenizer: str = "ascii_alnum_lower"
 
     def validate(self) -> None:
@@ -227,7 +240,7 @@ def compute_corpus_stats(corpus: DataFrame, params: BuildParams) -> CorpusStats:
     )
 
 
-def _make_runs_gen(shard_shift: int):
+def _make_runs_gen(shard_shift: int, store_positions: bool = False):
     """Stage-1 kernel: corpus batches -> COMPRESSED sorted runs per
     (term, shard).
 
@@ -235,7 +248,13 @@ def _make_runs_gen(shard_shift: int):
     (term, shard, doc_id), boundary detection, then ONE varbyte encode call
     per stream for the whole batch with per-run byte slicing — runs ship at
     ~3-4 B/posting instead of 16 B raw, cutting the SPIMI shuffle ~4-5x
-    (at 10^12 turns the runs shuffle is the dominant network cost)."""
+    (at 10^12 turns the runs shuffle is the dominant network cost).
+
+    With ``store_positions`` the batch is instead flattened to one
+    (term, doc, token_position) frame and lexsorted once — postings come
+    out with their position lists attached (first-absolute + gaps varbyte
+    per posting, ~1 B per token occurrence), still one encode call per
+    stream."""
     from .codecs import (
         segment_delta_gaps,
         slice_bytes,
@@ -272,17 +291,102 @@ def _make_runs_gen(shard_shift: int):
                     "docs_vb": slice_bytes(docs_buf, docs_sz, lens),
                     "tfs_vb": slice_bytes(tfs_buf, tfs_sz, lens),
                     "dls_vb": slice_bytes(dls_buf, dls_sz, lens),
+                    "pos_vb": None,
                 }
             )
 
-    return gen
+    def gen_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .analysis import tokenize_series
+
+        for pdf in batches:
+            tok_lists = tokenize_series(pdf["text"])
+            lens_d = tok_lists.str.len().to_numpy(dtype=np.int64)
+            total = int(lens_d.sum())
+            if len(pdf) == 0 or total == 0:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            flat_terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists]
+            )
+            flat_doc = np.repeat(doc_ids, lens_d)
+            flat_dl = np.repeat(lens_d, lens_d)
+            tok_starts = np.cumsum(lens_d) - lens_d
+            flat_pos = np.arange(total, dtype=np.int64) - np.repeat(
+                tok_starts, lens_d
+            )
+            uniq, tcode = np.unique(flat_terms, return_inverse=True)
+            # one lexsort of the whole batch: (term, doc, position)
+            order = np.lexsort((flat_pos, flat_doc, tcode))
+            tcode_s = tcode[order]
+            doc_s = flat_doc[order]
+            dl_s = flat_dl[order]
+            pos_s = flat_pos[order]
+            # posting boundaries: (term, doc) change; tf = positions/posting
+            pchange = np.ones(total, dtype=bool)
+            pchange[1:] = (tcode_s[1:] != tcode_s[:-1]) | (
+                doc_s[1:] != doc_s[:-1]
+            )
+            p_starts = np.flatnonzero(pchange)
+            p_lens = np.r_[p_starts[1:], total] - p_starts
+            post_doc = doc_s[p_starts]
+            post_tf = p_lens.astype(np.uint64)
+            post_dl = dl_s[p_starts].astype(np.uint64)
+            post_tcode = tcode_s[p_starts]
+            post_shard = post_doc >> shard_shift
+            n_post = len(p_starts)
+            # run boundaries over postings: (term, shard) change — shard is
+            # monotone in doc (arithmetic >>), so runs are contiguous
+            rchange = np.ones(n_post, dtype=bool)
+            rchange[1:] = (post_tcode[1:] != post_tcode[:-1]) | (
+                post_shard[1:] != post_shard[:-1]
+            )
+            r_starts = np.flatnonzero(rchange)
+            r_lens = np.r_[r_starts[1:], n_post] - r_starts
+            gaps = segment_delta_gaps(post_doc, r_starts)
+            docs_buf, docs_sz = vbyte_encode_with_sizes(gaps)
+            tfs_buf, tfs_sz = vbyte_encode_with_sizes(post_tf)
+            dls_buf, dls_sz = vbyte_encode_with_sizes(post_dl)
+            # positions: per-posting delta restart (first absolute)
+            pos_gaps = segment_delta_gaps(pos_s, p_starts)
+            pos_buf, pos_sz = vbyte_encode_with_sizes(pos_gaps)
+            run_tok_lens = np.add.reduceat(p_lens, r_starts)
+            yield pd.DataFrame(
+                {
+                    "term": uniq[post_tcode[r_starts]],
+                    "shard_id": post_shard[r_starts],
+                    "n_docs": r_lens.astype(np.int32),
+                    "docs_vb": slice_bytes(docs_buf, docs_sz, r_lens),
+                    "tfs_vb": slice_bytes(tfs_buf, tfs_sz, r_lens),
+                    "dls_vb": slice_bytes(dls_buf, dls_sz, r_lens),
+                    "pos_vb": slice_bytes(pos_buf, pos_sz, run_tok_lens),
+                }
+            )
+
+    return gen_pos if store_positions else gen
 
 
 def _merge_group(term: str, shard_id: int,
                  docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                 k1: float, b: float, bs: int, avgdl: float) -> list[tuple]:
-    """Merge one (term, shard)'s decoded postings into compressed blocks."""
+                 k1: float, b: float, bs: int, avgdl: float,
+                 pos_flat: "np.ndarray | None" = None) -> list[tuple]:
+    """Merge one (term, shard)'s decoded postings into compressed blocks.
+    ``pos_flat``: the group's token positions, concatenated in the SAME
+    (pre-sort) posting order as docs/tfs (tf values per posting)."""
+    from .codecs import segment_delta_gaps
+
     order = np.argsort(docs, kind="stable")
+    if pos_flat is not None:
+        # ragged gather: reorder each posting's position slice along with
+        # its posting (no per-posting Python loop)
+        counts = tfs.astype(np.int64)
+        starts = np.cumsum(counts) - counts
+        c_p = counts[order]
+        new_starts = np.cumsum(c_p) - c_p
+        within = np.arange(int(c_p.sum()), dtype=np.int64) - np.repeat(
+            new_starts, c_p
+        )
+        pos_flat = pos_flat[np.repeat(starts[order], c_p) + within]
+        pos_ends = np.cumsum(c_p)
     docs, tfs, dls = docs[order], tfs[order], dls[order]
     if docs.size > 1 and (np.diff(docs) <= 0).any():
         raise ValueError(f"duplicate doc_id in postings of term={term!r}")
@@ -295,15 +399,28 @@ def _merge_group(term: str, shard_id: int,
     rows = []
     for bi, lo in enumerate(range(0, n, bs)):
         hi = min(lo + bs, n)
+        if pos_flat is None:
+            pos_vbyte = None
+        else:
+            t_lo = int(pos_ends[lo - 1]) if lo else 0
+            t_hi = int(pos_ends[hi - 1])
+            blk_counts = c_p[lo:hi]
+            blk_starts = np.cumsum(blk_counts) - blk_counts
+            pos_vbyte = vbyte_encode(
+                segment_delta_gaps(pos_flat[t_lo:t_hi], blk_starts)
+            )
         rows.append(
             (
                 term, int(shard_id), bi, int(hi - lo),
                 int(docs[lo]), int(docs[hi - 1]),
                 float(tfn[lo:hi].max()), float(tfn[lo:hi].min()),
                 int(tfs[lo:hi].sum()),
+                int(tfs[lo:hi].max()), int(tfs[lo:hi].min()),
+                int(dls[lo:hi].min()), int(dls[lo:hi].max()),
                 vbyte_encode(delta_encode(docs[lo:hi])),
                 vbyte_encode(tfs[lo:hi]),
                 vbyte_encode(dls[lo:hi]),
+                pos_vbyte,
             )
         )
     return rows
@@ -312,7 +429,8 @@ def _merge_group(term: str, shard_id: int,
 _BLOCK_COLS = [
     "term", "shard_id", "block_id", "n_docs", "first_doc", "last_doc",
     "max_tf_norm", "min_tf_norm", "sum_tf",
-    "docs_vbyte", "tfs_vbyte", "dls_vbyte",
+    "max_tf", "min_tf", "min_dl", "max_dl",
+    "docs_vbyte", "tfs_vbyte", "dls_vbyte", "pos_vbyte",
 ]
 
 
@@ -352,6 +470,15 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
         docs_all = segment_delta_restore(gaps, run_starts, lens)
         tfs_all = vbyte_decode(b"".join(pdf["tfs_vb"]), count=total).astype(np.int64)
         dls_all = vbyte_decode(b"".join(pdf["dls_vb"]), count=total).astype(np.int64)
+        pos_all = None
+        post_tok_starts = None
+        if params.store_positions:
+            total_pos = int(tfs_all.sum())
+            pos_gaps = vbyte_decode(b"".join(pdf["pos_vb"]), count=total_pos)
+            post_tok_starts = np.cumsum(tfs_all) - tfs_all
+            pos_all = segment_delta_restore(
+                pos_gaps, post_tok_starts, tfs_all
+            )
         change = np.ones(len(pdf), dtype=bool)
         change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
         g_row_starts = np.flatnonzero(change)
@@ -368,10 +495,18 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
         for rs, re_ in zip(g_row_starts, g_row_ends):
             lo = run_starts[rs]
             hi = post_ends[re_ - 1]
+            p_ = None
+            if pos_all is not None:
+                t_lo = int(post_tok_starts[lo])
+                t_hi = int(post_tok_starts[hi - 1] + tfs_all[hi - 1])
+                p_ = pos_all[t_lo:t_hi]
             if alive is not None:
                 sel = alive[lo:hi]
                 if not sel.any():
                     continue
+                if p_ is not None:
+                    # ragged purge: drop dead postings' position slices
+                    p_ = p_[np.repeat(sel, tfs_all[lo:hi])]
                 d_, t_, l_ = (docs_all[lo:hi][sel], tfs_all[lo:hi][sel],
                               dls_all[lo:hi][sel])
             else:
@@ -379,7 +514,7 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
             rows.extend(
                 _merge_group(
                     terms[rs], shards[rs], d_, t_, l_,
-                    k1, b, bs, avgdl,
+                    k1, b, bs, avgdl, pos_flat=p_,
                 )
             )
         return pd.DataFrame(rows, columns=_BLOCK_COLS)
@@ -417,7 +552,8 @@ def build_postings(
         n_parts, F.pmod(F.xxhash64("doc_id"), F.lit(n_parts))
     )
     runs = salted.mapInPandas(
-        _make_runs_gen(stats.shard_shift), schema=RUN_SCHEMA
+        _make_runs_gen(stats.shard_shift, params.store_positions),
+        schema=RUN_SCHEMA,
     )
     merged_parts = max(params.num_shards, n_parts // 2)
     blocks = (

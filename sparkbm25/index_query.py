@@ -437,7 +437,10 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
 
 def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
                   k1: float, b: float, avgdl: float, k: int,
-                  sub_shift: int | None = None):
+                  sub_shift: int | None = None,
+                  derived_bounds: bool = False,
+                  cogroup: bool = False, has_qual: bool = False,
+                  tombstones: "tuple | None" = None):
     """Shard-local block-max WAND kernel: the module doc's 3-phase pruned
     traversal executed INSIDE the shard task on block metadata, so pruned
     search keeps the sharded path's one-shuffle plan (the DataFrame 3-phase
@@ -463,12 +466,32 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
     bootstrap counts only blocks fully CONTAINED in it (a straddling
     block's n_docs overcounts this range, and an overcounted "k docs >= θ"
     claim would over-prune — containment keeps θ sound, merely looser, so
-    the result stays exact)."""
+    the result stays exact).
+
+    Round-5 unification — the pruned path survives production traffic:
+    - ``derived_bounds``: per-block upper/lower contribution bounds are
+      computed AT QUERY TIME from the stored raw (max_tf, min_dl) /
+      (min_tf, max_dl) integers under the EFFECTIVE (k1, b) — tf_norm is
+      monotone increasing in tf and decreasing in dl (each IEEE op is
+      correctly rounded hence weakly monotone, so the float bound is
+      sound, not just the real-arithmetic one) — removing the k1/b
+      override refusal.
+    - ``tombstones`` (closure pair) / ``cogroup`` side rows (kind=1
+      distributed tombstones, kind=0 `where=` qualifying ids when
+      ``has_qual``): decoded blocks mask per posting exactly like the
+      dense kernel. Phase 1's METADATA bootstrap would count dead or
+      non-qualifying docs toward "k docs ≥ θ" and over-prune, so under
+      any mask it switches to a DECODE-BASED bootstrap: blocks are walked
+      in descending lower-bound order and their LIVE QUALIFYING posting
+      counts accumulate until k is proven (decodes cache, so phase 2
+      reuses them). θ stays sound; pruning degrades gracefully with
+      mask selectivity instead of being refused."""
     EPS = 1e-9
     wanted = {t for tw in q_occ.values() for t, _ in tw}
 
-    def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        vs = int(key[0])
+    def _run(vs: int, pdf: pd.DataFrame,
+             qual: "np.ndarray | None",
+             tomb: "tuple | None") -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "query_id": pd.Series(dtype="int32"),
@@ -478,16 +501,38 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
         )
         if pdf.empty:
             return empty
+        masked = (qual is not None) or (tomb is not None and len(tomb[0]))
+        if tomb is not None and not len(tomb[0]):
+            tomb = None
+        from .bm25 import tf_norm_np
+        from .codecs import dead_mask as _dead_mask
+
         tdata: dict[str, dict] = {}
         for term, grp in pdf.groupby("term", sort=False):
             if term not in wanted:
                 continue
+            if derived_bounds:
+                maxt = tf_norm_np(
+                    grp["max_tf"].to_numpy(dtype=np.int64),
+                    grp["min_dl"].to_numpy(dtype=np.int64), avgdl, k1, b,
+                )
+                mint = tf_norm_np(
+                    grp["min_tf"].to_numpy(dtype=np.int64),
+                    grp["max_dl"].to_numpy(dtype=np.int64), avgdl, k1, b,
+                )
+            else:
+                maxt = grp["max_tf_norm"].to_numpy()
+                mint = grp["min_tf_norm"].to_numpy()
             tdata[term] = {
                 "n": grp["n_docs"].to_numpy(),
                 "first": grp["first_doc"].to_numpy(),
                 "last": grp["last_doc"].to_numpy(),
-                "maxt": grp["max_tf_norm"].to_numpy(),
-                "mint": grp["min_tf_norm"].to_numpy(),
+                "maxt": maxt,
+                "mint": mint,
+                "gseq": (
+                    grp["gseq"].to_numpy(dtype=np.int64)
+                    if tomb is not None else None
+                ),
                 "dv": grp["docs_vbyte"].to_list(),
                 "tv": grp["tfs_vbyte"].to_list(),
                 "lv": grp["dls_vbyte"].to_list(),
@@ -501,8 +546,18 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
                 tfs = vbyte_decode(td["tv"][j], n).astype(np.float64)
                 dls = vbyte_decode(td["lv"][j], n).astype(np.float64)
                 tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                m = None
                 if sub_shift is not None:
                     m = (ids >> np.int64(sub_shift)) == vs
+                if tomb is not None:
+                    mt = ~_dead_mask(
+                        ids, td["gseq"][j], tomb[0], tomb[1]
+                    )
+                    m = mt if m is None else (m & mt)
+                if qual is not None:
+                    mq = _in_sorted(ids, qual)
+                    m = mq if m is None else (m & mq)
+                if m is not None:
                     ids, tfn = ids[m], tfn[m]
                 td["dec"][j] = (ids, tfn)
             return td["dec"][j]
@@ -519,12 +574,23 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
                 continue
             ub = {qpos: w * float(tdata[t]["maxt"].max()) for qpos, t, w in tw}
             S = sum(ub.values())
-            # phase 1: θ from metadata minima (per occurrence — a bound
-            # from one occurrence's contribution alone is still valid)
+            # phase 1: θ bootstrap — "k docs provably score >= θ". From
+            # metadata minima alone when unmasked; under tombstone/filter
+            # masks, from cached decodes in descending lower-bound order
+            # (only LIVE QUALIFYING docs may count toward the claim).
             theta = 0.0
             for qpos, t, w in tw:
                 td = tdata[t]
                 L = w * td["mint"]
+                if masked:
+                    order = np.argsort(-L, kind="stable")
+                    cnt = 0
+                    for j in order:
+                        cnt += len(dec(td, int(j))[0])
+                        if cnt >= k:
+                            theta = max(theta, float(L[j]))
+                            break
+                    continue
                 nn = td["n"]
                 if sub_shift is not None:
                     # only blocks fully inside this doc-range may count
@@ -636,7 +702,275 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
             }
         )
 
+    def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _run(int(key[0]), pdf, None, tombstones)
+
+    def topk_cogroup(key: tuple, blocks_pdf: pd.DataFrame,
+                     side_pdf: pd.DataFrame) -> pd.DataFrame:
+        # same kind-tagged side contract as the dense kernel
+        if len(side_pdf):
+            kind = side_pdf["kind"].to_numpy()
+            ids_side = side_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
+        else:
+            kind = np.empty(0, dtype=np.int64)
+            ids_side = np.empty(0, dtype=np.int64)
+        qual = np.sort(ids_side[kind == 0]) if has_qual else None
+        tomb = tombstones
+        tm = kind == 1
+        if tm.any():
+            t_ids = ids_side[tm]
+            t_seqs = side_pdf["seq"].to_numpy(dtype=np.int64)[tm]
+            o = np.argsort(t_ids)
+            tomb = (t_ids[o], t_seqs[o])
+        return _run(int(key[0]), blocks_pdf, qual, tomb)
+
+    return topk_cogroup if cogroup else topk
+
+
+PHRASE_MATCH_SCHEMA = "query_id int, doc_id long, ptf int, dl int"
+
+
+def _phrase_match_fn(q_phrases: dict[int, list[str]],
+                     tombstones: "tuple | None" = None):
+    """Per-shard phrase-occurrence kernel over POSITIONAL postings.
+
+    For each query phrase t0..t(n-1): candidate docs are the AND of the
+    terms' postings within the shard (a doc lives in exactly one doc-range
+    shard, so the intersection is shard-local and exact); occurrences are
+    counted by position intersection, fully vectorized ACROSS docs — each
+    candidate doc gets a dense index ``didx`` and every term occurrence
+    becomes a key ``didx * 2^32 + position`` (positions < 2^32 by
+    construction: doc_len is bounded far below it), so the classic
+    "starts = starts ∩ (positions(t_j) - j)" phrase walk is n-1 sorted
+    membership probes over flat int64 arrays — no per-doc Python loop.
+    Emits (query_id, doc_id, phrase_tf, doc_len) rows for phrase_tf > 0;
+    BM25 weighting over phrase_tf happens plan-side (index_phrase_search).
+
+    Tombstones mask per (id, group-seq) at decode, exactly like the
+    scoring kernels."""
+    wanted = sorted({t for ts in q_phrases.values() for t in ts})
+
+    def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from .codecs import dead_mask as _dead_mask
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int32"),
+                "doc_id": pd.Series(dtype="int64"),
+                "ptf": pd.Series(dtype="int32"),
+                "dl": pd.Series(dtype="int32"),
+            }
+        )
+        if pdf.empty:
+            return empty
+        # per-term doc order: blocks of one (term, shard) partition the
+        # sorted posting list, so ordering by first_doc restores it
+        pdf = pdf.sort_values(["term", "first_doc"], kind="stable",
+                              ignore_index=True)
+        terms_arr = pdf["term"].to_numpy()
+        n_arr = pdf["n_docs"].to_numpy().astype(np.int64)
+        total = int(n_arr.sum())
+        if total == 0:
+            return empty
+        seg_starts = np.cumsum(n_arr) - n_arr
+        gaps = vbyte_decode(b"".join(pdf["docs_vbyte"]), total)
+        all_ids = segment_delta_restore(gaps, seg_starts, n_arr)
+        tfs = vbyte_decode(b"".join(pdf["tfs_vbyte"]), total).astype(np.int64)
+        dls = vbyte_decode(b"".join(pdf["dls_vbyte"]), total).astype(np.int64)
+        total_pos = int(tfs.sum())
+        pos_gaps = vbyte_decode(b"".join(pdf["pos_vbyte"]), total_pos)
+        tok_starts = np.cumsum(tfs) - tfs
+        pos_all = segment_delta_restore(pos_gaps, tok_starts, tfs)
+        alive = None
+        if tombstones is not None and len(tombstones[0]):
+            gseqs = np.repeat(pdf["gseq"].to_numpy(np.int64), n_arr)
+            alive = ~_dead_mask(all_ids, gseqs, tombstones[0], tombstones[1])
+        # slice per term
+        tdata: dict[str, tuple] = {}
+        blk_change = np.r_[True, terms_arr[1:] != terms_arr[:-1]]
+        t_first = np.flatnonzero(blk_change)
+        t_post_off = np.r_[seg_starts[t_first], total]
+        for i, tb in enumerate(t_first):
+            lo, hi = int(t_post_off[i]), int(t_post_off[i + 1])
+            if hi <= lo:
+                continue
+            ids_t = all_ids[lo:hi]
+            tfs_t = tfs[lo:hi]
+            dls_t = dls[lo:hi]
+            p_lo = int(tok_starts[lo])
+            p_hi = p_lo + int(tfs_t.sum())
+            pos_t = pos_all[p_lo:p_hi]
+            if alive is not None:
+                sel = alive[lo:hi]
+                if not sel.any():
+                    continue
+                pos_t = pos_t[np.repeat(sel, tfs_t)]
+                ids_t, tfs_t, dls_t = ids_t[sel], tfs_t[sel], dls_t[sel]
+            tdata[terms_arr[tb]] = (ids_t, tfs_t, dls_t, pos_t)
+
+        rows_q, rows_d, rows_p, rows_l = [], [], [], []
+        for qid, terms in q_phrases.items():
+            uniq_terms = set(terms)
+            if not uniq_terms <= set(tdata):
+                continue
+            # candidate docs: AND over the distinct terms' posting ids
+            inter = None
+            for t in uniq_terms:
+                ids_t = tdata[t][0]
+                inter = ids_t if inter is None else inter[
+                    _in_sorted(inter, ids_t)
+                ]
+                if not len(inter):
+                    break
+            if inter is None or not len(inter):
+                continue
+            # per distinct term: flat occurrence keys didx*2^32 + pos,
+            # restricted to the intersection (computed once per term)
+            keys: dict[str, np.ndarray] = {}
+            dl_of = None
+            for t in uniq_terms:
+                ids_t, tfs_t, dls_t, pos_t = tdata[t]
+                sel = _in_sorted(ids_t, inter)
+                didx = np.searchsorted(inter, ids_t[sel])
+                cnt = tfs_t[sel]
+                pos_sel = pos_t[np.repeat(sel, tfs_t)]
+                keys[t] = np.repeat(didx << np.int64(32), cnt) + pos_sel
+                if dl_of is None:
+                    dl_of = np.zeros(len(inter), dtype=np.int64)
+                dl_of[didx] = dls_t[sel]
+            starts = keys[terms[0]]
+            for j, t in enumerate(terms[1:], start=1):
+                if not len(starts):
+                    break
+                starts = starts[_in_sorted(starts + np.int64(j), keys[t])]
+            if not len(starts):
+                continue
+            ptf = np.bincount(
+                (starts >> np.int64(32)).astype(np.int64),
+                minlength=len(inter),
+            )
+            nz = np.flatnonzero(ptf)
+            rows_q.append(np.full(len(nz), qid, dtype=np.int32))
+            rows_d.append(inter[nz])
+            rows_p.append(ptf[nz].astype(np.int32))
+            rows_l.append(dl_of[nz].astype(np.int32))
+        if not rows_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(rows_q),
+                "doc_id": np.concatenate(rows_d),
+                "ptf": np.concatenate(rows_p),
+                "dl": np.concatenate(rows_l),
+            }
+        )
+
     return topk
+
+
+def index_phrase_search(
+    ix: Index,
+    phrases: list[tuple[int, str]],
+    k: int = 10,
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """Exact top-k PHRASE search: docs containing the exact token sequence,
+    ranked by BM25 over the PHRASE frequency — score = idf(df_phrase) *
+    tf_norm(phrase_tf, dl), where df_phrase is the number of matching docs
+    (the phrase treated as one composite term; idf computed driver-side
+    from the matched counts with the same libm as the oracle, tf_norm pure
+    Catalyst arithmetic). Requires BuildParams(store_positions=True).
+
+    Plan: posting blocks of the phrase terms (term_bucket-pruned scan) →
+    ONE shard-grouped position-intersection kernel → tiny (query, doc,
+    phrase_tf) stream → Catalyst scoring + top-k window. Same shuffle
+    shape as the sharded scoring path.
+
+    Returns (query_id, rank, doc_id, score); queries whose phrase matches
+    nothing (or with an absent term) yield no rows."""
+    from .bm25 import idf as idf_py
+    from .jobs import TOMBSTONE_BROADCAST_MAX
+    from .query import tf_norm_col
+    from .xxhash64 import spark_pmod_bucket
+
+    spark = ix.spark
+    if not ix.manifest["build"].get("store_positions"):
+        raise ValueError(
+            "this index stores no positional postings; rebuild with "
+            "BuildParams(store_positions=True) to serve phrase queries"
+        )
+    if ix.shard_shift is None:
+        raise ValueError("phrase search needs the doc-range shard layout")
+    eff_k1 = ix.k1 if k1 is None else float(k1)
+    eff_b = ix.b if b is None else float(b)
+    if not (eff_k1 >= 0.0):
+        raise ValueError(f"k1 must be >= 0, got {eff_k1}")
+    if not (0.0 <= eff_b <= 1.0):
+        raise ValueError(f"b must be in [0, 1], got {eff_b}")
+    n_del = ix.n_deleted()
+    if n_del > TOMBSTONE_BROADCAST_MAX:
+        raise ValueError(
+            f"{n_del} tombstoned docs exceed the closure-mask threshold; "
+            "compact_index before phrase search"
+        )
+    tomb = ix.tombstones_pair() if n_del else None
+    q_phrases: dict[int, list[str]] = {}
+    for qid, text in phrases:
+        toks = tokenize_py(text)
+        if toks:
+            q_phrases[qid] = toks
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, doc_id long, score double"
+    )
+    if not q_phrases:
+        return empty
+    terms = sorted({t for ts in q_phrases.values() for t in ts})
+    buckets = sorted(
+        {spark_pmod_bucket(t, ix.num_term_buckets) for t in terms}
+    )
+    blocks = (
+        ix.postings()
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "shard_id", "n_docs", "first_doc",
+                "docs_vbyte", "tfs_vbyte", "dls_vbyte", "pos_vbyte",
+                *([ix.gseq_col().alias("gseq")] if n_del else []))
+    )
+    matched = blocks.groupBy("shard_id").applyInPandas(
+        _phrase_match_fn(q_phrases, tombstones=tomb),
+        schema=PHRASE_MATCH_SCHEMA,
+    )
+    # materialize the (small) match stream once: the df-per-query count and
+    # the scoring pass must see the same rows without re-running the kernel
+    matched = matched.localCheckpoint(eager=True)
+    counts = {
+        r.query_id: r.cnt
+        for r in matched.groupBy("query_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    if not counts:
+        return empty
+    # idf from the SAME libm as the oracle (glibc via CPython math.log —
+    # JVM Math.log rounds differently on ~9% of inputs, query.score_all)
+    idf_df = spark.createDataFrame(
+        [(q, idf_py(c, ix.n_docs)) for q, c in counts.items()],
+        "query_id int, idf double",
+    )
+    scored = (
+        matched.select(
+            "query_id", "doc_id",
+            F.col("ptf").alias("tf"), F.col("dl").alias("doc_len"),
+        )
+        .join(F.broadcast(idf_df), "query_id")
+        .select(
+            "query_id", "doc_id",
+            (F.col("idf") * tf_norm_col(ix.avgdl, eff_k1, eff_b))
+            .alias("score"),
+        )
+    )
+    return topk_window(scored, k)
 
 
 def _auto_subsplit(ix: Index, parallelism: int, n_queries: int) -> int:
@@ -698,7 +1032,7 @@ def index_search(
     postings to the group's range — exact, bit-identical scores). Default
     None auto-derives from cluster parallelism vs num_shards; 1 disables.
 
-    `where` (sharded strategy only) restricts the top-k to docs whose
+    `where` (sharded/blockmax strategies) restricts the top-k to docs whose
     stored attributes match every predicate: `{"lang": "en"}` (equality)
     or `{"source": ["web", "wiki"]}` (membership). Attributes come from
     the build's `attr_cols` stored in doc_stats; the qualifying doc ids
@@ -716,10 +1050,11 @@ def index_search(
     `k1`/`b` override the BM25 shape parameters at QUERY time without a
     rebuild — tf and doc lengths are stored raw, tf_norm is computed in
     the kernel, and idf/avgdl don't depend on k1/b (the reference sweeps
-    its search-time knob the same way, benchmarks.yml ef_search).
-    Sharded/exhaustive only: the blockmax strategies prune with
-    max/min_tf_norm block metadata PRECOMPUTED under the build's k1/b,
-    which ceases to bound a different shape.
+    its search-time knob the same way, benchmarks.yml ef_search). The
+    blockmax strategy derives sound pruning bounds for the effective
+    (k1, b) from each block's raw (max_tf, min_tf, min_dl, max_dl)
+    metadata (layout >= 0.7); only the legacy blockmax_plan cross-check
+    path refuses overrides.
     """
     from .jobs import TOMBSTONE_BROADCAST_MAX
 
@@ -732,23 +1067,14 @@ def index_search(
     use_cotomb = n_del > TOMBSTONE_BROADCAST_MAX
     tomb = ix.tombstones_pair() if (n_del and not use_cotomb) else None
     if n_del:
-        # logical deletes: block-max pruning bounds count dead docs (a
-        # too-high theta would over-prune live ones), so pruned strategies
-        # fall back to the dense exact kernel until a compaction purges
-        if strategy == "blockmax":
-            import warnings
-
-            warnings.warn(
-                f"{n_del} tombstoned docs: blockmax falls back to the "
-                "sharded strategy (pruning bounds assume all docs live); "
-                "compact_index restores it",
-                stacklevel=2,
-            )
-            strategy = "sharded"
-        elif strategy == "blockmax_plan":
+        # blockmax stays available under tombstones: the WAND kernel masks
+        # dead postings per (id, group-seq) and switches its θ bootstrap
+        # to live-count decodes (sound; see _wand_topk_fn). Only the two
+        # legacy cross-check paths refuse.
+        if strategy == "blockmax_plan":
             raise ValueError(
                 "blockmax_plan does not support tombstoned indexes; use "
-                "strategy='sharded' (or compact_index first)"
+                "strategy='sharded'/'blockmax' (or compact_index first)"
             )
         elif strategy == "exhaustive" and use_cotomb:
             raise ValueError(
@@ -757,13 +1083,11 @@ def index_search(
                 "cross-check path has no distributed mask — use "
                 "strategy='sharded' or compact_index first"
             )
-    if (k1 is not None or b is not None) and strategy not in (
-        "sharded", "exhaustive"
-    ):
+    if (k1 is not None or b is not None) and strategy == "blockmax_plan":
         raise ValueError(
-            "query-time k1/b overrides need the 'sharded' or 'exhaustive' "
-            "strategy: blockmax prunes with tf_norm bounds precomputed "
-            "under the build parameters"
+            "query-time k1/b overrides are not supported by the legacy "
+            "blockmax_plan cross-check path; use 'sharded', 'blockmax' or "
+            "'exhaustive'"
         )
     eff_k1 = ix.k1 if k1 is None else float(k1)
     eff_b = ix.b if b is None else float(b)
@@ -783,9 +1107,24 @@ def index_search(
         )
     decode = _decode_gen(eff_k1, eff_b, ix.avgdl, tombstones=tomb)
 
-    if (where or where_expr is not None) and strategy != "sharded":
+    if (where or where_expr is not None) and strategy not in (
+        "sharded", "blockmax"
+    ):
         raise ValueError(
-            "where= filters are supported on the 'sharded' strategy only"
+            "where= filters are supported on the 'sharded' and 'blockmax' "
+            "strategies only"
+        )
+    # k1/b overrides on blockmax need the RAW per-block bound inputs
+    # (max_tf/min_tf/min_dl/max_dl, layout >= 0.7) to derive sound bounds
+    # under the effective parameters at query time
+    derived = strategy == "blockmax" and (
+        eff_k1 != ix.k1 or eff_b != ix.b
+    )
+    if derived and "max_tf" not in ix.postings().columns:
+        raise ValueError(
+            "this index predates the raw block-bound layout (engine < 0.7):"
+            " blockmax cannot derive pruning bounds for overridden k1/b — "
+            "rebuild the index, or use strategy='sharded'"
         )
 
     if strategy in ("sharded", "blockmax"):
@@ -816,6 +1155,7 @@ def index_search(
         n_sub = min(n_sub, 1 << ix.shard_shift)
         meta_cols = (
             ["first_doc", "last_doc", "max_tf_norm", "min_tf_norm"]
+            + (["max_tf", "min_tf", "min_dl", "max_dl"] if derived else [])
             if strategy == "blockmax"
             else []
         )
@@ -896,9 +1236,17 @@ def index_search(
                     F.col("del_seq").alias("seq"),
                 ))
             side = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
-            kern = _sharded_topk_fn(
-                occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
-                cogroup=True, has_qual=has_qual, tombstones=tomb,
+            kern = (
+                _wand_topk_fn(
+                    occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
+                    derived_bounds=derived, cogroup=True,
+                    has_qual=has_qual, tombstones=tomb,
+                )
+                if strategy == "blockmax"
+                else _sharded_topk_fn(
+                    occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
+                    cogroup=True, has_qual=has_qual, tombstones=tomb,
+                )
             )
             shard_tops = (
                 blocks.groupBy(group_key)
@@ -909,7 +1257,8 @@ def index_search(
             )
             return topk_window(shard_tops, k)
         kern = (
-            _wand_topk_fn(occ, ix.k1, ix.b, ix.avgdl, k, sub_shift)
+            _wand_topk_fn(occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
+                          derived_bounds=derived, tombstones=tomb)
             if strategy == "blockmax"
             else _sharded_topk_fn(
                 occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,

@@ -102,6 +102,71 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def phrase_topk_sql(
+    phrases: list[tuple[int, str]],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> str:
+    """DuckDB oracle for PHRASE top-k: per doc, count exact token-sequence
+    occurrences positionally (``list_filter`` over candidate start
+    offsets), then BM25-weight the phrase as one composite term —
+    score = idf(df_phrase) * tf_norm(phrase_tf, dl) — matching
+    index_phrase_search. Phrases tokenizing to nothing contribute no rows
+    (same as the engine)."""
+    from .analysis import tokenize_py
+    from .bm25 import idf_sql, tf_norm_sql
+
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    arms = []
+    for qid, text in phrases:
+        terms = tokenize_py(text)
+        if not terms:
+            continue
+        n = len(terms)
+        conds = " AND ".join(
+            "ts[i+{}] = '{}'".format(j, t.replace("'", "''"))
+            for j, t in enumerate(terms)
+        )
+        arms.append(
+            f"SELECT {qid} AS query_id, doc_id, len(ts) AS dl,\n"
+            f"  len(list_filter(range(1, greatest(len(ts) - {n - 1}, 0) + 1),"
+            f" i -> {conds})) AS ptf\nFROM toks"
+        )
+    if not arms:
+        return (
+            "SELECT CAST(NULL AS INT) AS query_id, CAST(NULL AS INT) AS "
+            "rank, CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) "
+            "AS score WHERE FALSE"
+        )
+    pm = "\nUNION ALL\n".join(arms)
+    idf = idf_sql("dfq.df", "cs.n")
+    tfn = tf_norm_sql("m.ptf", "m.dl", "cs.avgdl")
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {toks} AS ts FROM {table}),
+cs AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM toks),
+pm AS (
+{pm}
+),
+matches AS (SELECT * FROM pm WHERE ptf > 0),
+dfq AS (SELECT query_id, count(*) AS df FROM matches GROUP BY 1),
+scores AS (
+  SELECT m.query_id, m.doc_id, {idf} * {tfn} AS score
+  FROM matches m JOIN dfq ON dfq.query_id = m.query_id CROSS JOIN cs
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, {round_dp}) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def doc_stats_sql(table: str = "documents", id_col: str = "doc_id",
                   text_col: str = "text") -> str:
     toks = DUCKDB_TOKENS.format(col=text_col)

@@ -47,6 +47,7 @@ def _stats_from_manifest(m: dict) -> tuple[BuildParams, CorpusStats]:
         lineage_groups=b["lineage_groups"],
         doc_id_scheme=b["doc_id_scheme"], store_text=b["store_text"],
         attr_cols=tuple(b.get("attr_cols") or ()),
+        store_positions=bool(b.get("store_positions", False)),
     )
     stats = CorpusStats(
         n_docs=b["n_docs"], avgdl=b["avgdl"], min_doc=b["min_doc"],
@@ -593,6 +594,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             F.col("docs_vbyte").alias("docs_vb"),
             F.col("tfs_vbyte").alias("tfs_vb"),
             F.col("dls_vbyte").alias("dls_vb"),
+            *([F.col("pos_vbyte").alias("pos_vb")]
+              if params.store_positions else []),
             group_seq_expr(m).alias("gseq")
             if tomb is not None else F.lit(0).alias("gseq"),
         )

@@ -290,10 +290,69 @@ def test_index_search_filtered_rank_identical(spark, tmp_path):
     # unknown attribute -> descriptive refusal
     with pytest.raises(ValueError, match="attr_cols"):
         index_search(ix, queries, k=K, where={"missing_col": "x"}).count()
-    # filters only on the sharded strategy
+    # blockmax supports filters too (round-5 unification); the legacy
+    # cross-check paths refuse
     with pytest.raises(ValueError, match="sharded"):
-        index_search(ix, queries, k=K, strategy="blockmax",
+        index_search(ix, queries, k=K, strategy="exhaustive",
                      where={"role": "user"})
+
+
+def test_blockmax_unified_filters_tuning_tombstones(spark, tmp_path):
+    """The PRUNED path survives production traffic (VERDICT r04 #2): the
+    blockmax strategy must stay rank-identical to the oracle with (a)
+    `where=` filters, (b) query-time k1/b overrides (bounds derived from
+    raw block metadata), (c) tombstones, and (d) all three at once."""
+    import numpy as np
+
+    pdf = make_transcripts_pdf(60)
+    df = add_doc_id(spark.createDataFrame(pdf), scheme="conv_seq")
+    corpus = df.select("doc_id", "text", "role")
+    d = str(tmp_path / "ix_bmuni")
+    build_index(
+        corpus, d,
+        BuildParams(num_shards=6, salt_factor=2, num_term_buckets=8,
+                    lineage_groups=2, doc_id_scheme="conv_seq",
+                    attr_cols=("role",)),
+        source_fingerprint="bmuni60",
+    )
+    rows = corpus.collect()
+    ora = OracleIndex.build([(r.doc_id, r.text) for r in rows])
+    roles = {r.doc_id: r.role for r in rows}
+    users = {d_ for d_, ro in roles.items() if ro == "user"}
+    queries = make_queries(25)
+    ix = Index(spark, d)
+
+    # (a) filtered blockmax == filtered oracle
+    want = ora.search_all(queries, k=K, allowed=users)
+    got = index_search(ix, queries, k=K, strategy="blockmax",
+                       where={"role": "user"}).collect()
+    _assert_rank_identical(got, want)
+    # (b) tuned blockmax == tuned oracle (derived bounds)
+    want = ora.search_all(queries, k=K, k1=0.9, b=0.4)
+    got = index_search(ix, queries, k=K, strategy="blockmax",
+                       k1=0.9, b=0.4).collect()
+    _assert_rank_identical(got, want)
+
+    # (c) tombstones: blockmax stays pruned AND correct
+    from sparkbm25.jobs import delete_docs
+
+    rng = np.random.default_rng(11)
+    all_ids = sorted(roles)
+    dead = {int(all_ids[i]) for i in rng.choice(len(all_ids), 20,
+                                               replace=False)}
+    delete_docs(spark, d, sorted(dead))
+    ix = Index(spark, d)
+    alive = set(all_ids) - dead
+    want = ora.search_all(queries, k=K, allowed=alive)
+    got = index_search(ix, queries, k=K, strategy="blockmax").collect()
+    _assert_rank_identical(got, want)
+
+    # (d) filters + tombstones + tuning, one call
+    want = ora.search_all(queries, k=K, allowed=users - dead,
+                          k1=0.9, b=0.4)
+    got = index_search(ix, queries, k=K, strategy="blockmax",
+                       where={"role": "user"}, k1=0.9, b=0.4).collect()
+    _assert_rank_identical(got, want)
 
 
 def test_index_search_where_expr_range(spark, tmp_path):
@@ -332,15 +391,16 @@ def test_index_search_where_expr_range(spark, tmp_path):
 
 def test_index_search_query_time_k1_b_override(spark, built, oracle):
     """k1/b overridden at query time (no rebuild) must be rank-identical
-    to the oracle scored with the same parameters, for both supporting
-    strategies; blockmax refuses (its pruning bounds were precomputed
-    under the build parameters)."""
+    to the oracle scored with the same parameters, for ALL strategies —
+    blockmax derives sound pruning bounds for the effective (k1, b) from
+    the raw per-block (max_tf, min_tf, min_dl, max_dl) metadata; only the
+    legacy blockmax_plan cross-check path refuses."""
     d, _ = built
     ix = Index(spark, d)
     queries = make_queries(20)
     for k1, b in [(0.9, 0.4), (2.0, 0.0), (1.2, 0.75)]:
         want = oracle.search_all(queries, k=K, k1=k1, b=b)
-        for strategy in ("sharded", "exhaustive"):
+        for strategy in ("sharded", "exhaustive", "blockmax"):
             got = index_search(ix, queries, k=K, strategy=strategy,
                                k1=k1, b=b).collect()
             _assert_rank_identical(got, want)
@@ -349,8 +409,178 @@ def test_index_search_query_time_k1_b_override(spark, built, oracle):
         index_search(ix, queries, k=K).collect(),
         oracle.search_all(queries, k=K),
     )
-    with pytest.raises(ValueError, match="blockmax"):
-        index_search(ix, queries, k=K, strategy="blockmax", k1=0.9)
+    with pytest.raises(ValueError, match="blockmax_plan"):
+        index_search(ix, queries, k=K, strategy="blockmax_plan", k1=0.9)
+
+
+def _phrase_oracle(docs, phrases, k, n_docs=None, avgdl=None, allowed=None):
+    """Pure-Python phrase BM25 oracle: exact token-sequence counts, the
+    phrase scored as one composite term (idf over matching-doc count)."""
+    from sparkbm25.analysis import tokenize_py
+    from sparkbm25.bm25 import idf as idf_py
+    from sparkbm25.bm25 import tf_norm
+
+    toks = {i: tokenize_py(t) for i, t in docs}
+    n = n_docs if n_docs is not None else len(toks)
+    av = (avgdl if avgdl is not None
+          else sum(len(v) for v in toks.values()) / len(toks))
+    out = []
+    for qid, ph in phrases:
+        terms = tokenize_py(ph)
+        if not terms:
+            continue
+        matches = []
+        for i, ts in toks.items():
+            if allowed is not None and i not in allowed:
+                continue
+            c = sum(
+                1 for s in range(len(ts) - len(terms) + 1)
+                if ts[s:s + len(terms)] == terms
+            )
+            if c:
+                matches.append((i, c, len(ts)))
+        if not matches:
+            continue
+        w = idf_py(len(matches), n)
+        ranked = sorted(
+            ((i, w * tf_norm(c, dl, av)) for i, c, dl in matches),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:k]
+        out += [(qid, r + 1, i, s) for r, (i, s) in enumerate(ranked)]
+    return out
+
+
+@pytest.fixture(scope="module")
+def pos_built(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ixpos"))
+    params = BuildParams(num_shards=6, salt_factor=2, num_term_buckets=8,
+                         lineage_groups=2, doc_id_scheme="conv_seq",
+                         store_positions=True)
+    build_index(corpus, d, params, source_fingerprint="pos60")
+    return d
+
+
+def test_positional_postings_roundtrip(spark, pos_built, corpus):
+    """store_positions=True: every block's positional stream must decode to
+    exactly the token positions of its term in each doc (per-posting delta
+    restart, tf values per posting)."""
+    from sparkbm25.analysis import tokenize_py
+    from sparkbm25.codecs import segment_delta_restore
+
+    from sparkbm25.analysis import tokenize_py
+
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    blocks = spark.read.parquet(os.path.join(pos_built, "postings"))
+    some = tokenize_py(next(iter(texts.values())))
+    probe_terms = {"w0001", "w0100", some[0], some[-1]}
+    for term in sorted(probe_terms):
+        rows = blocks.filter(blocks.term == term).collect()
+        seen = 0
+        for r in rows:
+            tfs = vbyte_decode(r.tfs_vbyte, r.n_docs).astype(np.int64)
+            ids = delta_decode(vbyte_decode(r.docs_vbyte, r.n_docs))
+            gaps = vbyte_decode(r.pos_vbyte, int(tfs.sum()))
+            starts = np.cumsum(tfs) - tfs
+            pos = segment_delta_restore(gaps, starts, tfs)
+            for i, doc in enumerate(ids.tolist()):
+                want = [
+                    p for p, t in enumerate(tokenize_py(texts[doc]))
+                    if t == term
+                ]
+                got = pos[starts[i]:starts[i] + tfs[i]].tolist()
+                assert got == want, (term, doc)
+                seen += 1
+        assert seen > 0, term
+
+
+def test_phrase_search_rank_identical(spark, pos_built, corpus):
+    """index_phrase_search == the pure-Python phrase oracle: multi-term,
+    repeated-term, single-term, and absent phrases."""
+    from sparkbm25.index_query import index_phrase_search
+
+    docs = [(r.doc_id, r.text) for r in corpus.collect()]
+    # phrases drawn from real doc token windows + synthetic edge cases
+    from sparkbm25.analysis import tokenize_py
+
+    t0 = tokenize_py(docs[0][1])
+    t7 = tokenize_py(docs[7][1])
+    phrases = [
+        (0, " ".join(t0[:2])),
+        (1, " ".join(t0[3:6])),
+        (2, " ".join(t7[:4])),
+        (3, t7[0]),                      # single term
+        (4, f"{t0[0]} {t0[0]}"),         # repeated term
+        (5, "w0001 zzneverzz"),          # absent
+        (6, ""),                          # empty
+    ]
+    ix = Index(spark, pos_built)
+    want = sorted(
+        (q, rk, di, round(s, 9))
+        for q, rk, di, s in _phrase_oracle(docs, phrases, k=K)
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in index_phrase_search(ix, phrases, k=K).collect()
+    )
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], rel=1e-9)
+
+
+def test_phrase_search_deletes_and_compaction(spark, corpus, tmp_path):
+    """Phrase search respects tombstones (df recomputed over LIVE matches,
+    frozen n/avgdl) and positional streams survive compaction bit-intact."""
+    from sparkbm25.analysis import tokenize_py
+    from sparkbm25.index_query import index_phrase_search
+    from sparkbm25.jobs import delete_docs
+    from sparkbm25.streaming import compact_index
+
+    d = str(tmp_path / "ixposdel")
+    params = BuildParams(num_shards=4, salt_factor=2, num_term_buckets=8,
+                         lineage_groups=2, doc_id_scheme="conv_seq",
+                         store_positions=True)
+    build_index(corpus, d, params, source_fingerprint="posdel")
+    docs = [(r.doc_id, r.text) for r in corpus.collect()]
+    phrase = " ".join(tokenize_py(docs[0][1])[:2])
+    phrases = [(0, phrase)]
+    ix = Index(spark, d)
+    base = index_phrase_search(ix, phrases, k=K).collect()
+    assert base, "phrase must match at least its source doc"
+    victim = int(base[0].doc_id)
+    delete_docs(spark, d, [victim])
+    ix = Index(spark, d)
+    want = sorted(
+        (q, rk, di) for q, rk, di, _s in _phrase_oracle(
+            docs, phrases, k=K, n_docs=ix.n_docs, avgdl=ix.avgdl,
+            allowed={i for i, _ in docs} - {victim},
+        )
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id)
+        for r in index_phrase_search(ix, phrases, k=K).collect()
+    )
+    assert got == want and victim not in {g[2] for g in got}
+    # compaction purges the victim and carries positions through the merge
+    compact_index(spark, d)
+    ix2 = Index(spark, d)
+    want2 = sorted(
+        (q, rk, di) for q, rk, di, _s in _phrase_oracle(
+            [dd for dd in docs if dd[0] != victim], phrases, k=K,
+        )
+    )
+    got2 = sorted(
+        (r.query_id, r.rank, r.doc_id)
+        for r in index_phrase_search(ix2, phrases, k=K).collect()
+    )
+    assert got2 == want2
+
+
+def test_phrase_search_refused_without_positions(spark, built):
+    from sparkbm25.index_query import index_phrase_search
+
+    d, _ = built
+    with pytest.raises(ValueError, match="store_positions"):
+        index_phrase_search(Index(spark, d), [(0, "w0001 w0002")], k=5)
 
 
 def test_index_search_k1_b_range_validated(spark, built):

@@ -506,13 +506,13 @@ def test_delete_docs_then_compact_purges(spark, corpora, tmp_path):
     ), "logical delete: sharded"
     assert not ({r.doc_id for r in
                  index_search(ix, queries, k=10).collect()} & dead)
-    # blockmax falls back (warning) but stays correct
-    with pytest.warns(UserWarning, match="tombstoned"):
-        got_bm = sorted(
-            (r.query_id, r.rank, r.doc_id)
-            for r in index_search(ix, queries, k=10,
-                                  strategy="blockmax").collect()
-        )
+    # blockmax stays PRUNED under tombstones (round-5 unification): the
+    # kernel masks dead postings and bootstraps θ from live-count decodes
+    got_bm = sorted(
+        (r.query_id, r.rank, r.doc_id)
+        for r in index_search(ix, queries, k=10,
+                              strategy="blockmax").collect()
+    )
     assert got_bm == sorted((q, rk, d_) for q, rk, d_, _s in want_logical)
     # exhaustive path masks too
     got_ex = sorted(
@@ -731,6 +731,14 @@ def test_distributed_tombstone_masking(spark, corpora, tmp_path, monkeypatch):
         for r in index_search(ix2, queries, k=10).collect()
     )
     assert got_dist == want
+    # blockmax over the distributed-tombstone cogroup side (WAND kernel
+    # with live-count bootstrap) must agree too
+    got_bm = sorted(
+        (r.query_id, r.rank, r.doc_id)
+        for r in index_search(ix2, queries, k=10,
+                              strategy="blockmax").collect()
+    )
+    assert got_bm == want
     # composes with where= (qual kind=0 + tombstones kind=1 in one side)
     allowed_user = {int(r.doc_id) for r in rows if r.role == "user"} - dead
     want_f = sorted(
