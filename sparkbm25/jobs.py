@@ -12,15 +12,17 @@ Transposes the reference's control plane (SURVEY.md §2.7):
 
 Concurrency: same-host duplicate submissions are excluded by the flock
 lockfile (_acquire_build_lock); drivers on DIFFERENT hosts sharing an
-index_dir arbitrate through the manifest-CAS claim (_verify_claim): a
-unique submit token published atomically, re-verified after a settle
-window and at every group publish / finalize, with group output staged
-per-token and published by rename — exactly one driver completes, the
-loser raises ConcurrentBuildError and removes its staging. Residual
-window: POSIX rename has no compare-and-swap, so two claims landing
-inside one settle window are resolved at the next publish gate rather
-than instantaneously; a deployment with an Iceberg catalog should commit
-through it instead.
+index_dir arbitrate through the manifest-CAS claim: a unique submit token
+published through the SnapshotCatalog (sparkbm25.catalog), then every
+token-guarded manifest write is a genuine compare-and-swap
+(``publish(expected_token=...)``) — a competitor claiming at ANY point
+makes the earlier driver's next publish raise ConcurrentBuildError
+atomically, never reinstating the stale token. Group output is staged
+per-token and published by rename; exactly one driver completes, the
+loser removes its staging. The default FlockCasCatalog is linearizable
+wherever flock(2) works; stores without lock primitives select the
+RenameCatalog, which keeps the settle-window approximation, or an
+external catalog commit (Iceberg) through the same protocol.
 """
 
 from __future__ import annotations
@@ -33,6 +35,8 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .catalog import CasConflict, get_catalog
 
 from .build import (
     BuildParams,
@@ -107,14 +111,35 @@ def _verify_claim(index_dir: str, token: str) -> None:
         )
 
 
+def _cas_publish(index_dir: str, m: dict, token: str) -> None:
+    """Token-guarded manifest publish through the SnapshotCatalog: writes
+    ONLY if the current submit_token is still ours, atomically (no
+    verify-then-write gap with the flock catalog). A foreign token means
+    a later claimant superseded us → ConcurrentBuildError, and the
+    competitor's manifest is left untouched."""
+    try:
+        get_catalog().publish(index_dir, m, expected_token=token)
+    except CasConflict:
+        cur = read_manifest(index_dir)
+        claim = (cur or {}).get("claim") or {}
+        raise ConcurrentBuildError(
+            f"lost the build claim on {index_dir} to "
+            f"{claim.get('host', '?')}:{claim.get('pid', '?')} — another "
+            "driver re-claimed this index_dir (manifest CAS); its build "
+            "supersedes this one"
+        ) from None
+
+
 def _write_failed_if_claimed(index_dir: str, m: dict, token: str) -> None:
     """Record a FAILED manifest ONLY while the claim is still ours: a
     driver that lost the claim and then hit an unrelated error (e.g. its
     staging racing the winner) must not clobber the new claim-holder's
-    token and group bookkeeping with its stale copy."""
-    cur = read_manifest(index_dir)
-    if cur is not None and cur.get("submit_token") == token:
-        _write_manifest(index_dir, m)
+    token and group bookkeeping with its stale copy. Atomic via the
+    catalog CAS — the r04 verify-then-write race is closed."""
+    try:
+        get_catalog().publish(index_dir, m, expected_token=token)
+    except CasConflict:
+        pass
 
 
 LOCKFILE = ".build.lock"
@@ -419,29 +444,28 @@ def _build_index_locked(
 
     # --- cross-driver claim (manifest CAS) --------------------------------
     # The flock lockfile is single-host; two drivers on DIFFERENT hosts
-    # sharing index_dir arbitrate through the manifest instead: publish a
-    # unique submit token (atomic os.replace), wait a settle window, and
-    # re-read — a token that changed means another driver claimed after us
-    # and we lose BEFORE writing any artifact data. The claim is then
-    # re-verified at every group publish and at finalize (takeover by a
-    # later driver — e.g. resuming what it judged a dead build — makes the
-    # earlier one abort at its next boundary and clean its staging).
-    # Settle-window simultaneity is not bulletproof CAS — POSIX rename has
-    # no compare — so a catalog with conditional-put (Iceberg commit) is
-    # still the right answer where available; this closes the gap the
-    # sandbox can close (reference 429 analog across hosts,
-    # job_service.py:60-83).
+    # sharing index_dir arbitrate through the SnapshotCatalog instead:
+    # publish a unique submit token ("latest claim supersedes" — the claim
+    # itself is an unconditional publish), then every later token-guarded
+    # manifest write is an atomic CAS on that token — takeover by a later
+    # driver (e.g. resuming what it judged a dead build) makes the earlier
+    # one abort at its next publish boundary and clean its staging
+    # (reference 429 analog across hosts, job_service.py:60-83). With a
+    # non-atomic catalog (RenameCatalog) a settle-window re-read
+    # approximates the claim race; the atomic flock catalog needs none.
     import socket
     import uuid
 
+    cat = get_catalog()
     token = uuid.uuid4().hex
     m["submit_token"] = token
     m["status"] = STATUS_RUNNING  # resumed FAILED builds are running again
     m["claim"] = {
         "host": socket.gethostname(), "pid": os.getpid(), "ts": time.time()
     }
-    _write_manifest(index_dir, m)
-    time.sleep(_CAS_SETTLE_S)
+    cat.publish(index_dir, m)
+    if not cat.atomic:
+        time.sleep(_CAS_SETTLE_S)
     _verify_claim(index_dir, token)
     staging_root = os.path.join(index_dir, "build_staging")
     # our staging is keyed by the fresh token; other entries are left
@@ -460,7 +484,7 @@ def _build_index_locked(
         with timer.time("stats"):
             stats = stats_override or compute_corpus_stats(corpus, params)
         m["build"] = params_dict(params, stats)
-        _write_manifest(index_dir, m)
+        _cas_publish(index_dir, m, token)
     else:
         b = m["build"]
         if "shard_shift" not in b:
@@ -497,7 +521,7 @@ def _build_index_locked(
     if not ok:
         m["status"] = STATUS_FAILED
         m["error_message"] = f"admission refused: {msg}"
-        _write_manifest(index_dir, m)
+        _write_failed_if_claimed(index_dir, m, token)
         raise MemoryError(m["error_message"])
 
     # arithmetic shift: overflow-free over the full signed-int64 id range
@@ -552,7 +576,7 @@ def _build_index_locked(
                 # per-group tombstone ordering (delete_docs docstring)
                 "seq": 0,
             }
-            _write_manifest(index_dir, m)
+            _cas_publish(index_dir, m, token)
             if fail_after_group is not None and g >= fail_after_group:
                 raise InjectedFailure(f"injected failure after group {g}")
         _verify_claim(index_dir, token)
@@ -576,6 +600,7 @@ def _build_index_locked(
                     F.length("docs_vbyte")
                     + F.length("tfs_vbyte")
                     + F.length("dls_vbyte")
+                    + F.coalesce(F.length("pos_vbyte"), F.lit(0))
                 ).alias("payload_bytes"),
             ).first()
             m["metrics"]["total_postings"] = int(size_row.postings or 0)
@@ -613,8 +638,8 @@ def _build_index_locked(
     total_wall = sum(timer.stages.values())
     if total_wall > 0:
         m["metrics"]["build_throughput_docs_per_sec"] = round(n_turns / total_wall, 2)
-    _verify_claim(index_dir, token)  # last gate before publishing COMPLETED
-    _write_manifest(index_dir, m)
+    # last gate before publishing COMPLETED — atomic on the submit token
+    _cas_publish(index_dir, m, token)
     # the whole staging root is ours to reap now: anything left under it is
     # a loser's or dead build's garbage by definition
     shutil.rmtree(staging_root, ignore_errors=True)
