@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sparkbm25 import sqlgen
 from sparkbm25.analysis import tokens_col
+from sparkbm25.bm25f import bm25f_topk_sql as _bm25f_topk_sql
 from sparkbm25.kernels import doc_term_freqs
 from sparkbm25.query import score_all_topk
 from sparkbm25.session import ensure_shipped
@@ -89,8 +90,12 @@ def _entry_index(spark: SparkSession, sf_dir: str) -> str:
     # revision (prior round) must never be served by newer code
     tag = hashlib.sha1(f"{sf_dir}@{sparkbm25.__version__}".encode()).hexdigest()[:10]
     ix_dir = f"/tmp/sparkbm25_entry/ix_{tag}"
+    # store_positions: ONE shared artifact serves scoring, filtered, tuned
+    # AND phrase queries (the scoring kernels' column pruning drops the
+    # positional stream from their scans, so they pay nothing at query)
     params = BuildParams(num_shards=8, salt_factor=2, num_term_buckets=16,
-                         lineage_groups=2, attr_cols=("lang", "source"))
+                         lineage_groups=2, attr_cols=("lang", "source"),
+                         store_positions=True)
     build_index(docs, ix_dir, params, source_fingerprint=sf_dir)  # idempotent
     return ix_dir
 
@@ -138,6 +143,45 @@ def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix_dir = _entry_index(spark, sf_dir)
     out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K,
                        where={"lang": FILTER_LANG})
+    return out.withColumn("score", F.round("score", 6))
+
+
+DOC_PHRASES: list[tuple[int, str]] = [
+    (0, "sort table"),
+    (1, "batch batch"),      # repeated-term phrase
+    (2, "merge join"),
+    (3, "join order batch"),  # rare 3-gram
+    (4, "data zzabsentzz"),   # absent term -> no rows
+    (5, "window"),            # single-term phrase (ptf == tf)
+    (6, "stream spark"),
+]
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over POSITIONAL postings (SURVEY §2.5 T1
+    extension; VERDICT r04 next-round #1): docs containing the exact token
+    sequence, BM25-ranked over the phrase frequency (phrase as composite
+    term). Oracle: positional list_filter intersection + the same
+    idf/tf_norm fragments."""
+    from sparkbm25.index_query import index_phrase_search
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    out = index_phrase_search(Index(spark, ix_dir), DOC_PHRASES, k=K)
+    return out.withColumn("score", F.round("score", 6))
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F field-weighted ranking (VERDICT r04 next-round #7): title =
+    first TITLE_TOKENS tokens at weight 2, body at weight 1, folded into
+    weighted tf / weighted dl before one saturation pass (Robertson &
+    Zaragoza 2009 §3.3 simple BM25F). Integer weights keep every weighted
+    sum exact in f64, so engine and oracle agree bit-for-bit pre-rounding.
+    Oracle: identical composition over list-sliced fields."""
+    from sparkbm25.bm25f import bm25f_score_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = bm25f_score_topk(docs, DOC_QUERIES, k=K)
     return out.withColumn("score", F.round("score", 6))
 
 
@@ -394,6 +438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_tuned": q_bm25_topk_tuned,
+        "phrase_topk": q_phrase_topk,
+        "bm25f_topk": q_bm25f_topk,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "dedup_exact": q_dedup_exact,
@@ -436,6 +482,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_tuned": sqlgen.bm25_topk_sql(
             DOC_QUERIES, k=K, k1=TUNED_K1, b=TUNED_B
         ),
+        "phrase_topk": sqlgen.phrase_topk_sql(DOC_PHRASES, k=K),
+        "bm25f_topk": _bm25f_topk_sql(DOC_QUERIES, k=K),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_stats": sqlgen.term_stats_sql(),
         "dedup_exact": DD.exact_dedup_sql(),
