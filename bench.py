@@ -43,7 +43,8 @@ HEADLINE_EXTRAS = (
     "build_throughput_turns_per_sec", "n_turns", "build_peak_rss_mb",
     "batch_results", "query_throughput_qps", "query_peak_rss_mb",
     "ivf_n_centroids", "ivf_default_n_probe", "pipeline_curate_s",
-    "query_p50_lowlat_s",
+    "query_p50_lowlat_s", "positions_overhead_ratio", "query_phrase20_s",
+    "blockmax_tomb10_ratio", "pipeline_bm25f_topk_s",
 )
 
 
@@ -157,6 +158,87 @@ def main() -> int:
     index_search(ix, queries[:20], k=10, strategy="blockmax").count()
     timings["query_blockmax_20"] = round(time.time() - t0, 3)
 
+    # --- round-5 engine stages (extras: headline total stays comparable
+    # across rounds that predate them) -------------------------------------
+    # (a) positional postings: build overhead (bytes/posting vs the plain
+    #     layout) + a 20-phrase exact-match batch over the same corpus
+    try:
+        from pyspark.sql import functions as F
+
+        from sparkbm25.index_query import index_phrase_search
+
+        man_plain = Index(spark, ix_dir).manifest
+        extras["bytes_per_posting"] = man_plain["metrics"].get(
+            "bytes_per_posting"
+        )
+        pos_dir = f"/tmp/sparkbm25_bench/ixpos_sf{sf}_{cpus}"
+        pos_params = BuildParams(
+            num_shards=max(cpus, 8), salt_factor=4,
+            num_term_buckets=32, lineage_groups=1,
+            doc_id_scheme="conv_seq", store_positions=True,
+        )
+        shutil.rmtree(pos_dir, ignore_errors=True)
+        t0 = time.time()
+        man_pos = build_index(
+            corpus, pos_dir, pos_params, source_fingerprint=corpus_path
+        )
+        extras["build_positions_s"] = round(time.time() - t0, 3)
+        extras["positions_bytes_per_posting"] = man_pos["metrics"].get(
+            "bytes_per_posting"
+        )
+        if extras["bytes_per_posting"]:
+            extras["positions_overhead_ratio"] = round(
+                extras["positions_bytes_per_posting"]
+                / extras["bytes_per_posting"], 3
+            )
+        # deterministic phrases: leading trigrams of every ~(n/20)-th doc
+        pix = Index(spark, pos_dir)
+        sample = (
+            corpus.filter(F.col("doc_id") % max(n_turns // 20, 1) == 0)
+            .select("doc_id", "text").limit(20).collect()
+        )
+        phrases = [
+            (i, " ".join(r.text.split()[:3])) for i, r in enumerate(sample)
+        ]
+        index_phrase_search(pix, phrases[:2], k=10).count()  # warm
+        t0 = time.time()
+        index_phrase_search(pix, phrases, k=10).count()
+        extras["query_phrase20_s"] = round(time.time() - t0, 3)
+    except Exception as e:
+        extras["positions_error"] = str(e)[:200]
+
+    # (b) blockmax pruning retention under a 10% tombstone load: same
+    #     20-query WAND batch on a copy of the index with every 10th doc
+    #     deleted — the ratio shows pruning survives deletes (the r04
+    #     verdict's "pruned path unavailable under deletes" gap, closed)
+    try:
+        from pyspark.sql import functions as F
+
+        from sparkbm25.jobs import delete_docs
+
+        tomb_dir = f"/tmp/sparkbm25_bench/ixtomb_sf{sf}_{cpus}"
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+        shutil.copytree(ix_dir, tomb_dir)
+        victims = [
+            r.doc_id
+            for r in corpus.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id").collect()
+        ]
+        delete_docs(spark, tomb_dir, victims)
+        tix = Index(spark, tomb_dir)
+        index_search(tix, queries[:2], k=10, strategy="blockmax").count()
+        t0 = time.time()
+        index_search(tix, queries[:20], k=10, strategy="blockmax").count()
+        extras["query_blockmax20_tomb10_s"] = round(time.time() - t0, 3)
+        extras["blockmax_tomb10_ratio"] = round(
+            extras["query_blockmax20_tomb10_s"]
+            / timings["query_blockmax_20"], 3
+        )
+        extras["tomb10_n_deleted"] = len(victims)
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+    except Exception as e:
+        extras["tombstone_bench_error"] = str(e)[:200]
+
     # --- score-all over driver documents table -----------------------------
     from __spark_entry__ import q_bm25_topk
 
@@ -179,6 +261,13 @@ def main() -> int:
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 timings[f"pipeline_{name}"] = round(time.time() - t0, 3)
+            # bm25f is new in r5: recorded in extras, NOT the headline
+            # total (keeps `value` comparable with earlier rounds)
+            fn = entry_mod.queries().get("bm25f_topk")
+            if fn is not None:
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                extras["pipeline_bm25f_topk_s"] = round(time.time() - t0, 3)
         except Exception as e:  # pipeline bench must not sink the headline
             extras["pipeline_error"] = str(e)[:200]
         # integrative curation op: recorded in extras, NOT in the headline
