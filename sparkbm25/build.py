@@ -42,7 +42,10 @@ faiss_index_build_service.py:165-238):
     index_dir/
       manifest.json                    build params, stats, lineage, metrics
       doc_stats/group=G/               (doc_id, doc_len [, text])
-      postings/group=G/term_bucket=B/  block rows (see BLOCK_SCHEMA)
+      postings/group=G/term_bucket=B/shard_id=S/   block rows
+                                       (BLOCK_SCHEMA; posting layout 2 —
+                                       shard-clustered files; layout-1
+                                       indexes lack the shard_id level)
       term_stats/                      (term, df, cf, max_tf_norm)
 """
 
@@ -436,8 +439,9 @@ _BLOCK_COLS = [
 
 def _make_merge_gen(params: BuildParams, avgdl: float,
                     tombstones: "tuple | None" = None):
-    """Stage-2 kernel: a PARTITION-WISE merge over runs sorted by
-    (term, shard_id) within each hash partition.
+    """Stage-2 kernel: a PARTITION-WISE merge over runs sorted so every
+    (term, shard_id) group is contiguous within its partition (layout 2
+    sorts (shard_id, term); the gen only needs group contiguity).
 
     ``tombstones`` — (sorted int64 doc ids, per-id max delete seq) —
     physically PURGES dead copies while re-blocking: a posting from a run
@@ -556,14 +560,46 @@ def build_postings(
         schema=RUN_SCHEMA,
     )
     merged_parts = max(params.num_shards, n_parts // 2)
+    # RANGE partitioning on (shard_id, term) — not the hash on (term,
+    # shard_id) of layouts < 2 — keeps each merge partition a contiguous
+    # shard slice, so the group write's partitionBy("term_bucket",
+    # "shard_id") produces shard-CLUSTERED files (layout 2) with NO extra
+    # shuffle: a write task touches ~1 shard x its buckets. Equal
+    # (shard_id, term) keys always land in one partition (range assignment
+    # is by key comparison), so every (term, shard) run group still merges
+    # whole; the gen's group-change detection is order-scheme agnostic.
+    # Balance: block rows are uniform (<= block_size postings each), so the
+    # sampled row-count ranges track bytes.
     blocks = (
-        runs.repartition(merged_parts, "term", "shard_id")
-        .sortWithinPartitions("term", "shard_id")
+        runs.repartitionByRange(merged_parts, "shard_id", "term")
+        .sortWithinPartitions("shard_id", "term")
         .mapInPandas(_make_merge_gen(params, stats.avgdl), schema=BLOCK_SCHEMA)
     )
     return blocks.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(params.num_term_buckets))
     )
+
+
+# Physical postings layout generation. 2 (engine >= 0.8) adds a shard_id
+# directory level under each term_bucket: group=G/term_bucket=B/shard_id=S/
+# — shard-CLUSTERED files, so a search task can read exactly its shard's
+# blocks straight from shared storage (index_query's direct route: no
+# scan->kernel exchange, no JVM->Python Arrow hop). Layout 1 indexes keep
+# working through the exchange route; appends into them stay layout 1
+# (mixed directory depths would break Spark partition discovery), and
+# compaction rewrites the whole tree so it upgrades to 2.
+POSTING_LAYOUT = 2
+
+
+def write_group_blocks(
+    blocks: DataFrame, dest: str, layout: int = POSTING_LAYOUT,
+    mode: str = "overwrite",
+) -> None:
+    """Write one lineage group's block rows under the given layout."""
+    cols = (
+        ["term_bucket", "shard_id"] if layout >= 2 else ["term_bucket"]
+    )
+    blocks.write.partitionBy(*cols).mode(mode).parquet(dest)
 
 
 def term_stats_from_blocks(blocks: DataFrame) -> DataFrame:
@@ -603,6 +639,7 @@ class StageTimer:
 def params_dict(params: BuildParams, stats: CorpusStats) -> dict:
     d = asdict(params)
     d.update(
+        posting_layout=POSTING_LAYOUT,
         n_docs=stats.n_docs,
         avgdl=stats.avgdl,
         min_doc=stats.min_doc,

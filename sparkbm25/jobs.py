@@ -46,6 +46,7 @@ from .build import (
     compute_corpus_stats,
     params_dict,
     term_stats_from_blocks,
+    write_group_blocks,
 )
 
 MANIFEST = "manifest.json"
@@ -556,9 +557,7 @@ def _build_index_locked(
                     ).write.mode("overwrite").parquet(d_stage)
                 )
                 blocks = build_postings(sub, params, stats)
-                blocks.write.partitionBy("term_bucket").mode(
-                    "overwrite"
-                ).parquet(g_stage)
+                write_group_blocks(blocks, g_stage)
             # publish gate: only the claim holder may move staged output
             # into the artifact and update the manifest
             _verify_claim(index_dir, token)
@@ -671,6 +670,11 @@ class Index:
         self.num_shards: int = b.get("num_shards", 8)  # BuildParams default
         self.shard_shift: int | None = b.get("shard_shift")
         self.block_size: int = b.get("block_size", 128)
+        # physical postings layout generation (build.POSTING_LAYOUT):
+        # >= 2 means shard-clustered files, eligible for the direct
+        # (no-exchange) search route; pre-0.8 indexes report 1
+        self.posting_layout: int = int(b.get("posting_layout", 1))
+        self._bucket_files: dict[int, dict[int, list[tuple[int, str]]]] = {}
         self._dfs: dict[str, DataFrame] = {}
         self._stats_cache: dict[str, tuple[int, float] | None] = {}
         self._stats_preloaded = False
@@ -740,10 +744,14 @@ class Index:
         self._stats_cache.clear()
         self._stats_preloaded = False
         self._tombstones = None
+        # direct-route file listing: appended groups add files, compaction
+        # deletes them — a stale map would read the pre-refresh tree
+        self._bucket_files.clear()
         self.manifest = read_manifest(self.index_dir)
         b = self.manifest["build"]
         self.n_docs = b["n_docs"]
         self.avgdl = b["avgdl"]
+        self.posting_layout = int(b.get("posting_layout", 1))
         return self
 
     def postings(self) -> DataFrame:
@@ -767,6 +775,55 @@ class Index:
 
     def gseq_col(self) -> F.Column:
         return group_seq_expr(self.manifest)
+
+    def shard_file_map(
+        self, buckets: "list[int] | None" = None
+    ) -> dict[int, list[tuple[int, str]]]:
+        """{shard_id: [(group_seq, file_path), ...]} for layout-2 postings,
+        restricted to the given term_bucket dirs (None = all buckets).
+
+        This is the DIRECT search route's work-item source: each search
+        task reads exactly its shard's parquet files straight from the
+        (shared-storage) index dir — the layout makes co-location a
+        property of the artifact instead of a runtime shuffle. The listing
+        is one filesystem walk per bucket, cached on the handle (the
+        artifact is immutable for a handle's lifetime, same contract as
+        the stats cache)."""
+        import glob
+
+        if self.posting_layout < 2:
+            raise ValueError(
+                "shard_file_map needs posting layout >= 2 (engine >= "
+                "0.8); rebuild or compact this index first"
+            )
+        if buckets is None:
+            buckets = list(range(self.num_term_buckets))
+        seq_of = {
+            g: int(info.get("seq", 0))
+            for g, info in self.manifest["completed_groups"].items()
+        }
+        out: dict[int, list[tuple[int, str]]] = {}
+        for bkt in buckets:
+            cached = self._bucket_files.get(bkt)
+            if cached is None:
+                cached = {}
+                pat = os.path.join(
+                    self.index_dir, "postings", "group=*",
+                    f"term_bucket={bkt}", "shard_id=*", "*.parquet",
+                )
+                for path in glob.glob(pat):
+                    parts = dict(
+                        seg.split("=", 1)
+                        for seg in path.split(os.sep)
+                        if "=" in seg
+                    )
+                    s = int(parts["shard_id"])
+                    gseq = seq_of.get(parts["group"], 0)
+                    cached.setdefault(s, []).append((gseq, path))
+                self._bucket_files[bkt] = cached
+            for s, lst in cached.items():
+                out.setdefault(s, []).extend(lst)
+        return out
 
     def tombstones_pair(self):
         """(ids, seqs): sorted int64 doc ids with their per-id MAX delete

@@ -29,7 +29,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .analysis import tokens_col
-from .build import BuildParams, CorpusStats, build_postings, term_stats_from_blocks
+from .build import (
+    POSTING_LAYOUT,
+    BuildParams,
+    CorpusStats,
+    build_postings,
+    term_stats_from_blocks,
+    write_group_blocks,
+)
 from .jobs import read_manifest, _write_manifest
 
 TRANSCRIPT_SCHEMA = (
@@ -99,7 +106,12 @@ def append_batch(
             ).write.mode("overwrite").parquet(ddir)
         )
         blocks = build_postings(corpus_batch, params, stats)
-        blocks.write.partitionBy("term_bucket").mode("overwrite").parquet(gdir)
+        # match the INDEX's existing layout: shard-dir files appended into
+        # a layout-1 tree would give heterogeneous partition depths, which
+        # Spark's partition discovery rejects; compaction upgrades
+        write_group_blocks(
+            blocks, gdir, layout=int(m["build"].get("posting_layout", 1))
+        )
         m["completed_groups"][g] = {
             "wall_s": round(time.time() - t0, 3),
             "postings_path": gdir,
@@ -601,8 +613,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         )
         merged_parts = max(params.num_shards, 8)
         new_blocks = (
-            runs.repartition(merged_parts, "term", "shard_id")
-            .sortWithinPartitions("term", "shard_id")
+            runs.repartitionByRange(merged_parts, "shard_id", "term")
+            .sortWithinPartitions("shard_id", "term")
             .mapInPandas(
                 _make_merge_gen(params, new_avgdl, tombstones=tomb),
                 schema=BLOCK_SCHEMA,
@@ -612,8 +624,11 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                 F.pmod(F.xxhash64("term"), F.lit(params.num_term_buckets)),
             )
         )
-        new_blocks.write.partitionBy("term_bucket").mode("overwrite").parquet(
-            os.path.join(sdir, "postings", "group=compacted")
+        # compaction rewrites the WHOLE postings tree, so it always writes
+        # (and the manifest below records) the current layout — a layout-1
+        # index upgrades to the shard-clustered layout here
+        write_group_blocks(
+            new_blocks, os.path.join(sdir, "postings", "group=compacted")
         )
         staged = spark.read.parquet(os.path.join(sdir, "postings"))
         n_after = staged.groupBy().sum("n_docs").first()[0] or 0
@@ -694,6 +709,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             "postings": int(n_after),
             "wall_s": round(time.time() - t0, 3),
         }
+        m["build"]["posting_layout"] = POSTING_LAYOUT
         m["status"] = STATUS_COMPLETED
         _write_manifest(index_dir, m)
         return m

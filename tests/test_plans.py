@@ -144,13 +144,17 @@ def test_cosine_pairs_plan_single_shuffle(spark):
 
 
 def test_wand_plan_one_kernel_two_exchanges(built):
-    """The block-max WAND strategy keeps the sharded path's plan shape:
-    exactly one shard-grouped kernel (FlatMapGroupsInPandas) and two
-    exchanges total (shard groupBy + final skinny top-k window) — the
-    legacy DataFrame 3-phase plan this replaced ran ~8 jobs."""
+    """The block-max WAND strategy's EXCHANGE route keeps the sharded
+    path's plan shape: exactly one shard-grouped kernel
+    (FlatMapGroupsInPandas) and two exchanges total (shard groupBy +
+    final skinny top-k window) — the legacy DataFrame 3-phase plan this
+    replaced ran ~8 jobs. (direct=False pins the exchange route; the
+    default DIRECT route's 1-exchange shape is pinned in
+    test_direct_route.py.)"""
     from sparkbm25.index_query import index_search
 
-    df = index_search(built, [(0, "w0001 w0002")], k=5, strategy="blockmax")
+    df = index_search(built, [(0, "w0001 w0002")], k=5, strategy="blockmax",
+                      direct=False)
     plan = _plan(df)
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
