@@ -545,12 +545,20 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
 
 
 def build_postings(
-    corpus: DataFrame, params: BuildParams, stats: CorpusStats
+    corpus: DataFrame, params: BuildParams, stats: CorpusStats,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """corpus (doc_id, text) -> block rows DataFrame (BLOCK_SCHEMA + term_bucket).
 
     The macro-aggregation — analog of the reference's whole-dataset index
-    fold (faiss_gpu_index_cagra_builder.py:227-279)."""
+    fold (faiss_gpu_index_cagra_builder.py:227-279).
+
+    ``spill_dir``: materialize the stage-1 runs there before the range
+    partition. repartitionByRange SAMPLES its child to compute bounds,
+    which without the spill re-runs the tokenize+run kernel a second
+    time — measured 1.65x whole-build wall at 2.2M turns. Spilled runs
+    on (shared) storage are the classic disk-based SPIMI shape; the
+    caller owns deleting the dir once the block write commits."""
     n_parts = params.num_shards * params.salt_factor
     salted = corpus.select("doc_id", "text").repartition(
         n_parts, F.pmod(F.xxhash64("doc_id"), F.lit(n_parts))
@@ -559,6 +567,10 @@ def build_postings(
         _make_runs_gen(stats.shard_shift, params.store_positions),
         schema=RUN_SCHEMA,
     )
+    if spill_dir is not None:
+        runs.write.mode("overwrite").parquet(spill_dir)
+        # explicit schema: an empty group's spill dir has no footers
+        runs = corpus.sparkSession.read.schema(RUN_SCHEMA).parquet(spill_dir)
     merged_parts = max(params.num_shards, n_parts // 2)
     # RANGE partitioning on (shard_id, term) — not the hash on (term,
     # shard_id) of layouts < 2 — keeps each merge partition a contiguous

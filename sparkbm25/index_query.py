@@ -358,41 +358,87 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                 raw[terms_arr[tb]] = (all_ids[lo:hi], tfn[lo:hi])
         if not raw:
             return empty
-        # group doc universe; one dense contribution column per term (a doc
-        # appears once per term, so plain assignment — no accumulation)
+        # group doc universe; HYBRID per-term representation: a dense
+        # contribution column only for HEAVY terms (df >= universe/8 — the
+        # head of the Zipf where the dense fold's O(universe) streaming
+        # add is already proportional to the work), sparse (positions,
+        # contribs) for the long tail (a rare term's dense column was
+        # ~universe/df x more memory traffic than its data; at 500-query
+        # batches the fold is BANDWIDTH-bound, so wasted traffic is wall
+        # time at every core count and contention at high ones). Fold
+        # order stays bit-exact: per ELEMENT, contributions are added in
+        # the same qpos sequence — skipping a term's zero elements drops
+        # only exact `x + 0.0` no-ops (a doc appears once per term, so
+        # plain assignment/scatter — no accumulation within a term).
         uids_g = np.unique(np.concatenate([ids for ids, _ in raw.values()]))
+        U = len(uids_g)
+        heavy_at = max(1, U // 8)
         dense: dict[str, np.ndarray] = {}
+        sparse: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for t, (ids, tfn) in raw.items():
-            col = np.zeros(len(uids_g))
-            col[np.searchsorted(uids_g, ids)] = w_of.get(t, 0.0) * tfn
-            dense[t] = col
+            pos = np.searchsorted(uids_g, ids)
+            contrib = w_of.get(t, 0.0) * tfn
+            if len(ids) >= heavy_at:
+                col = np.zeros(U)
+                col[pos] = contrib
+                dense[t] = col
+            else:
+                sparse[t] = (pos, contrib)
         raw.clear()
 
         rows_q, rows_d, rows_s = [], [], []
         for qid, tw in q_terms.items():
-            scores: np.ndarray | None = None
-            for t, _w in tw:  # qpos order — the bit-exact fold order
-                col = dense.get(t)
-                if col is None:
+            present = [t for t, _w in tw if t in dense or t in sparse]
+            if not present:
+                continue
+            light_mass = sum(
+                len(sparse[t][0]) for t in present if t in sparse
+            )
+            if any(t in dense for t in present) or light_mass * 4 > U:
+                # dense accumulate over the whole universe; light terms
+                # scatter into it (fancy-index +=: positions are unique
+                # within a term, so no np.add.at needed)
+                scores: np.ndarray | None = None
+                for t in present:  # qpos order — the bit-exact fold order
+                    col = dense.get(t)
+                    if col is not None:
+                        if scores is None:
+                            scores = col.copy()
+                        else:
+                            np.add(scores, col, out=scores)
+                    else:
+                        pos, contrib = sparse[t]
+                        if scores is None:
+                            scores = np.zeros(U)
+                            scores[pos] = contrib
+                        else:
+                            scores[pos] += contrib
+                nz = np.flatnonzero(scores)  # contributions strictly > 0
+                if not len(nz):
                     continue
-                if scores is None:
-                    scores = col.copy()
-                else:
-                    np.add(scores, col, out=scores)
-            if scores is None:
-                continue
-            nz = np.flatnonzero(scores)  # contributions are strictly > 0
-            if not len(nz):
-                continue
-            sc = scores[nz]
-            ids_nz = uids_g[nz]
-            if len(nz) > k:
+                sc = scores[nz]
+                ids_nz = uids_g[nz]
+            else:
+                # sparse path: candidate set = union of the light terms'
+                # posting positions (== the nonzero set exactly, since
+                # contributions are strictly > 0)
+                parts = [sparse[t][0] for t in present]
+                cand = (
+                    parts[0] if len(parts) == 1  # already sorted unique
+                    else np.unique(np.concatenate(parts))
+                )
+                sc = np.zeros(len(cand))
+                for t in present:  # qpos order
+                    pos, contrib = sparse[t]
+                    sc[np.searchsorted(cand, pos)] += contrib
+                ids_nz = uids_g[cand]
+            if len(sc) > k:
                 # exact top-k under the TOTAL order (score desc, doc_id
                 # asc): kth score via partition, keep the tie plateau,
                 # lexsort survivors, cut to k
                 kth = -np.partition(-sc, k - 1)[k - 1]
-                cand = np.flatnonzero(sc >= kth)
-                keep = cand[np.lexsort((ids_nz[cand], -sc[cand]))][:k]
+                plat = np.flatnonzero(sc >= kth)
+                keep = plat[np.lexsort((ids_nz[plat], -sc[plat]))][:k]
             else:
                 keep = np.lexsort((ids_nz, -sc))
             rows_q.append(np.full(len(keep), qid, dtype=np.int32))

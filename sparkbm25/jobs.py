@@ -556,8 +556,11 @@ def _build_index_locked(
                         *params.attr_cols,
                     ).write.mode("overwrite").parquet(d_stage)
                 )
-                blocks = build_postings(sub, params, stats)
+                r_stage = os.path.join(staging, "runs", f"group={g}")
+                blocks = build_postings(sub, params, stats,
+                                        spill_dir=r_stage)
                 write_group_blocks(blocks, g_stage)
+                shutil.rmtree(r_stage, ignore_errors=True)
             # publish gate: only the claim holder may move staged output
             # into the artifact and update the manifest
             _verify_claim(index_dir, token)

@@ -23,6 +23,7 @@ Contract (recorded in the manifest):
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,13 +106,15 @@ def append_batch(
                 *params.attr_cols,
             ).write.mode("overwrite").parquet(ddir)
         )
-        blocks = build_postings(corpus_batch, params, stats)
+        r_tmp = os.path.join(index_dir, f"_runs_spill_{g}")
+        blocks = build_postings(corpus_batch, params, stats, spill_dir=r_tmp)
         # match the INDEX's existing layout: shard-dir files appended into
         # a layout-1 tree would give heterogeneous partition depths, which
         # Spark's partition discovery rejects; compaction upgrades
         write_group_blocks(
             blocks, gdir, layout=int(m["build"].get("posting_layout", 1))
         )
+        shutil.rmtree(r_tmp, ignore_errors=True)
         m["completed_groups"][g] = {
             "wall_s": round(time.time() - t0, 3),
             "postings_path": gdir,
