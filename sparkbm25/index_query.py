@@ -422,9 +422,14 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                 # sparse path: candidate set = union of the light terms'
                 # posting positions (== the nonzero set exactly, since
                 # contributions are strictly > 0)
+                # a single term's positions are UNIQUE but not sorted:
+                # within a term, blocks arrive in file order, and lineage
+                # groups' doc ranges interleave (streamed appends into an
+                # existing shard's id range) — searchsorted below needs
+                # sorted cand
                 parts = [sparse[t][0] for t in present]
                 cand = (
-                    parts[0] if len(parts) == 1  # already sorted unique
+                    np.sort(parts[0]) if len(parts) == 1
                     else np.unique(np.concatenate(parts))
                 )
                 sc = np.zeros(len(cand))
@@ -462,23 +467,33 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
         # cogroup form: the right side carries this doc-range group's
         # qualifying ids (kind=0) and/or distributed tombstones (kind=1),
         # already co-partitioned by the same key
-        if len(side_pdf):
-            kind = side_pdf["kind"].to_numpy()
-            ids_side = side_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
-        else:
-            kind = np.empty(0, dtype=np.int64)
-            ids_side = np.empty(0, dtype=np.int64)
-        qual = np.sort(ids_side[kind == 0]) if has_qual else None
-        tomb = tombstones
-        tm = kind == 1
-        if tm.any():
-            t_ids = ids_side[tm]
-            t_seqs = side_pdf["seq"].to_numpy(dtype=np.int64)[tm]
-            o = np.argsort(t_ids)
-            tomb = (t_ids[o], t_seqs[o])
+        qual, tomb = _parse_side(side_pdf, has_qual, tombstones)
         return _run(int(key[0]), blocks_pdf, qual, tomb)
 
     return topk_cogroup if cogroup else topk
+
+
+def _parse_side(side_pdf: pd.DataFrame, has_qual: bool,
+                closure_tomb: "tuple | None"):
+    """Split a cogrouped side frame (the kind-tagged contract shared by
+    the dense and WAND kernels) into (sorted qualifying ids | None,
+    tombstone (ids, seqs) pair — distributed rows override the
+    closure-shipped pair when present)."""
+    if len(side_pdf):
+        kind = side_pdf["kind"].to_numpy()
+        ids_side = side_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
+    else:
+        kind = np.empty(0, dtype=np.int64)
+        ids_side = np.empty(0, dtype=np.int64)
+    qual = np.sort(ids_side[kind == 0]) if has_qual else None
+    tomb = closure_tomb
+    tm = kind == 1
+    if tm.any():
+        t_ids = ids_side[tm]
+        t_seqs = side_pdf["seq"].to_numpy(dtype=np.int64)[tm]
+        o = np.argsort(t_ids)
+        tomb = (t_ids[o], t_seqs[o])
+    return qual, tomb
 
 
 def _direct_topk_gen(kernel, cols: list[str], terms: list[str],
@@ -576,9 +591,13 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
     )
     cols = ["term", "n_docs", "docs_vbyte", "tfs_vbyte", "dls_vbyte"]
     if strategy == "blockmax":
-        cols += ["first_doc", "last_doc", "max_tf_norm", "min_tf_norm"]
-        if derived:
-            cols += ["max_tf", "min_tf", "min_dl", "max_dl"]
+        cols += ["first_doc", "last_doc"]
+        # derived bounds replace the precomputed tf_norm bounds entirely —
+        # don't read columns the kernel ignores
+        cols += (
+            ["max_tf", "min_tf", "min_dl", "max_dl"] if derived
+            else ["max_tf_norm", "min_tf_norm"]
+        )
         kernel = _wand_topk_fn(
             occ, eff_k1, eff_b, ix.avgdl, k, None,
             derived_bounds=derived, tombstones=tomb,
@@ -885,20 +904,7 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
     def topk_cogroup(key: tuple, blocks_pdf: pd.DataFrame,
                      side_pdf: pd.DataFrame) -> pd.DataFrame:
         # same kind-tagged side contract as the dense kernel
-        if len(side_pdf):
-            kind = side_pdf["kind"].to_numpy()
-            ids_side = side_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
-        else:
-            kind = np.empty(0, dtype=np.int64)
-            ids_side = np.empty(0, dtype=np.int64)
-        qual = np.sort(ids_side[kind == 0]) if has_qual else None
-        tomb = tombstones
-        tm = kind == 1
-        if tm.any():
-            t_ids = ids_side[tm]
-            t_seqs = side_pdf["seq"].to_numpy(dtype=np.int64)[tm]
-            o = np.argsort(t_ids)
-            tomb = (t_ids[o], t_seqs[o])
+        qual, tomb = _parse_side(side_pdf, has_qual, tombstones)
         return _run(int(key[0]), blocks_pdf, qual, tomb)
 
     return topk_cogroup if cogroup else topk
@@ -983,6 +989,20 @@ def _phrase_match_fn(q_phrases: dict[int, list[str]],
                     continue
                 pos_t = pos_t[np.repeat(sel, tfs_t)]
                 ids_t, tfs_t, dls_t = ids_t[sel], tfs_t[sel], dls_t[sel]
+            if np.any(ids_t[1:] < ids_t[:-1]):
+                # blocks of one (term, shard) ascend only WITHIN a lineage
+                # group; group doc ranges interleave (streamed appends),
+                # and everything below — _in_sorted intersections and the
+                # didx<<32|pos occurrence keys — requires globally
+                # ascending per-term postings. Ragged re-sort: positions
+                # gather by per-posting segment.
+                order = np.argsort(ids_t, kind="stable")
+                starts_t = np.cumsum(tfs_t) - tfs_t
+                cnt_o = tfs_t[order]
+                intra = np.arange(int(cnt_o.sum()), dtype=np.int64)
+                intra -= np.repeat(np.cumsum(cnt_o) - cnt_o, cnt_o)
+                pos_t = pos_t[np.repeat(starts_t[order], cnt_o) + intra]
+                ids_t, tfs_t, dls_t = ids_t[order], cnt_o, dls_t[order]
             tdata[terms_arr[tb]] = (ids_t, tfs_t, dls_t, pos_t)
 
         rows_q, rows_d, rows_p, rows_l = [], [], [], []
@@ -1376,8 +1396,9 @@ def index_search(
             raise ValueError(f"subsplit must be a power of two >= 1, got {n_sub}")
         n_sub = min(n_sub, 1 << ix.shard_shift)
         meta_cols = (
-            ["first_doc", "last_doc", "max_tf_norm", "min_tf_norm"]
-            + (["max_tf", "min_tf", "min_dl", "max_dl"] if derived else [])
+            ["first_doc", "last_doc"]
+            + (["max_tf", "min_tf", "min_dl", "max_dl"] if derived
+               else ["max_tf_norm", "min_tf_norm"])
             if strategy == "blockmax"
             else []
         )

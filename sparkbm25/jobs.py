@@ -559,7 +559,13 @@ def _build_index_locked(
                 r_stage = os.path.join(staging, "runs", f"group={g}")
                 blocks = build_postings(sub, params, stats,
                                         spill_dir=r_stage)
-                write_group_blocks(blocks, g_stage)
+                # resumed pre-0.8 builds keep their layout-1 tree: mixed
+                # directory depths break Spark partition discovery (fresh
+                # manifests record POSTING_LAYOUT via params_dict)
+                write_group_blocks(
+                    blocks, g_stage,
+                    layout=int(m["build"].get("posting_layout", 1)),
+                )
                 shutil.rmtree(r_stage, ignore_errors=True)
             # publish gate: only the claim holder may move staged output
             # into the artifact and update the manifest
