@@ -185,6 +185,48 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("score", F.round("score", 6))
 
 
+def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive retrieval (mode='and'): only docs containing EVERY
+    distinct query token rank (Lucene BooleanQuery-MUST analog). Scores
+    are the same full BM25 sums — coverage is a group-local test in the
+    doc-range-sharded kernel, both routes. Query 3's absent token makes
+    its conjunction unsatisfiable (no rows), same as the oracle."""
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K, mode="and")
+    return out.withColumn("score", F.round("score", 6))
+
+
+# trailing-wildcard query set over the documents vocabulary: stem sizes
+# from 1 expansion to >cap (the deterministic df-desc cap must bind), an
+# absent stem, and an exact+prefix duplicate of the same stem
+DOC_PREFIX_QUERIES: list[tuple[int, str]] = [
+    (0, "spark mer*"),
+    (1, "wind*"),
+    (2, "s*"),             # broad stem — the expansion cap binds here
+    (3, "customer zz*"),   # absent stem: exact term still scores
+    (4, "batch bat*"),     # exact + prefix over the same stem
+]
+PREFIX_MAX_EXP = 8
+
+
+def q_bm25_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-wildcard search (Lucene PrefixQuery analog): 'mer*'
+    expands against the vocabulary artifact driver-side (capped to the
+    PREFIX_MAX_EXP highest-df terms per stem, df desc / term asc —
+    deterministic, so the oracle replicates it with a window), each
+    expansion scoring with its own idf through the unchanged kernels."""
+    from sparkbm25.index_query import index_prefix_search
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    out = index_prefix_search(Index(spark, ix_dir), DOC_PREFIX_QUERIES,
+                              k=K, max_expansions=PREFIX_MAX_EXP)
+    return out.withColumn("score", F.round("score", 6))
+
+
 # --- training-data pipeline ops (dedup / similarity / text analysis) -------
 
 JACCARD_T = 0.5  # every real near-dup pair in the data is >= 0.5 — the
@@ -440,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_tuned": q_bm25_topk_tuned,
         "phrase_topk": q_phrase_topk,
         "bm25f_topk": q_bm25f_topk,
+        "bm25_and_topk": q_bm25_and_topk,
+        "bm25_prefix_topk": q_bm25_prefix_topk,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "dedup_exact": q_dedup_exact,
@@ -484,6 +528,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "phrase_topk": sqlgen.phrase_topk_sql(DOC_PHRASES, k=K),
         "bm25f_topk": _bm25f_topk_sql(DOC_QUERIES, k=K),
+        "bm25_and_topk": sqlgen.bm25_topk_sql(DOC_QUERIES, k=K, mode="and"),
+        "bm25_prefix_topk": sqlgen.prefix_topk_sql(
+            DOC_PREFIX_QUERIES, k=K, max_expansions=PREFIX_MAX_EXP
+        ),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_stats": sqlgen.term_stats_sql(),
         "dedup_exact": DD.exact_dedup_sql(),

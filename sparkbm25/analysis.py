@@ -72,6 +72,30 @@ def tokenize_py(text: str | None) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
+def parse_prefix_query(qtext: str) -> list[tuple[str, bool]]:
+    """Tokenize a query that may contain trailing-wildcard tokens:
+    returns [(token, is_prefix), ...] in query order. A whitespace chunk
+    ending in '*' marks its LAST tokenizer token as a prefix stem (the
+    search-as-you-type shape: 'merge jo*'); every other token is an
+    exact occurrence. Chunks tokenizing to nothing are skipped, so '*'
+    alone matches nothing (an unconstrained full-vocabulary scan is
+    refused, not served). Shared by the engine (index_prefix_search)
+    and the oracle generator (sqlgen.prefix_topk_sql) so both sides
+    parse identically."""
+    out: list[tuple[str, bool]] = []
+    for chunk in qtext.split():
+        is_pref = chunk.endswith("*")
+        toks = tokenize_py(chunk.rstrip("*"))
+        if not toks:
+            continue
+        if is_pref:
+            out.extend((t, False) for t in toks[:-1])
+            out.append((toks[-1], True))
+        else:
+            out.extend((t, False) for t in toks)
+    return out
+
+
 def tokenize_series(texts: pd.Series) -> pd.Series:
     """Vectorized batch tokenizer over a pandas Series of strings."""
     return texts.fillna("").str.lower().str.findall(_TOKEN_RE)

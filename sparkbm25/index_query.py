@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .analysis import tokenize_py
+from .analysis import parse_prefix_query, tokenize_py
 from .bm25 import idf as idf_fn
 from .codecs import (
     delta_decode,
@@ -249,7 +249,8 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                      k1: float, b: float, avgdl: float, k: int,
                      sub_shift: int | None = None, cogroup: bool = False,
                      has_qual: bool = False,
-                     tombstones: "tuple | None" = None):
+                     tombstones: "tuple | None" = None,
+                     and_need: dict[int, int] | None = None):
     """Per-shard exact scoring kernel: decode each query term's blocks ONCE,
     densify each term into one contribution column over the group's doc
     universe, and score every query as a few whole-vector adds.
@@ -285,7 +286,16 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
       (doc_id, kind, seq): kind=0 rows are `where=` qualifying ids (active
       when ``has_qual``), kind=1 rows are DISTRIBUTED tombstones (the
       no-driver-array path for large delete sets; they override the
-      closure pair, index_search routes one source at a time)."""
+      closure pair, index_search routes one source at a time).
+
+    ``and_need`` activates CONJUNCTIVE (mode='and') semantics for the
+    listed queries: {query_id: required distinct-term count}. Because a
+    doc's postings for every term live in its one doc-range group, the
+    full-coverage test is group-local and exact: count per-doc distinct
+    matched query terms, keep docs where the count equals the
+    requirement. Scoring is the UNCHANGED fold restricted to those docs
+    (a covered doc's score is the full BM25 sum either way), so AND
+    scores are bit-identical to the OR scores of the same docs."""
 
     def _run(vs: int, pdf: pd.DataFrame,
              qual: np.ndarray | None,
@@ -375,9 +385,14 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
         heavy_at = max(1, U // 8)
         dense: dict[str, np.ndarray] = {}
         sparse: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        # conjunctive queries need each term's doc positions for the
+        # coverage count (dense columns lose them to O(U) scans)
+        pres: dict[str, np.ndarray] = {}
         for t, (ids, tfn) in raw.items():
             pos = np.searchsorted(uids_g, ids)
             contrib = w_of.get(t, 0.0) * tfn
+            if and_need:
+                pres[t] = pos
             if len(ids) >= heavy_at:
                 col = np.zeros(U)
                 col[pos] = contrib
@@ -391,6 +406,18 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
             present = [t for t, _w in tw if t in dense or t in sparse]
             if not present:
                 continue
+            need = and_need.get(qid) if and_need else None
+            and_pos = None
+            if need is not None:
+                tset = set(present)
+                if len(tset) < need:
+                    continue  # a required term absent from this doc range
+                cover = np.zeros(U, dtype=np.int32)
+                for t in tset:
+                    cover[pres[t]] += 1
+                and_pos = np.flatnonzero(cover == need)
+                if not len(and_pos):
+                    continue
             light_mass = sum(
                 len(sparse[t][0]) for t in present if t in sparse
             )
@@ -413,7 +440,12 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                             scores[pos] = contrib
                         else:
                             scores[pos] += contrib
-                nz = np.flatnonzero(scores)  # contributions strictly > 0
+                if and_pos is not None:
+                    # covered docs carry every term's strictly-positive
+                    # contribution, so their scores are already nonzero
+                    nz = and_pos
+                else:
+                    nz = np.flatnonzero(scores)  # contributions > 0
                 if not len(nz):
                     continue
                 sc = scores[nz]
@@ -436,7 +468,13 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                 for t in present:  # qpos order
                     pos, contrib = sparse[t]
                     sc[np.searchsorted(cand, pos)] += contrib
-                ids_nz = uids_g[cand]
+                if and_pos is not None:
+                    # intersection ⊆ union: project the covered docs out
+                    # of the candidate-set scores (same folded values)
+                    sc = sc[np.searchsorted(cand, and_pos)]
+                    ids_nz = uids_g[and_pos]
+                else:
+                    ids_nz = uids_g[cand]
             if len(sc) > k:
                 # exact top-k under the TOTAL order (score desc, doc_id
                 # asc): kth score via partition, keep the tie plateau,
@@ -574,7 +612,8 @@ def _direct_topk_gen(kernel, cols: list[str], terms: list[str],
 def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
                    k: int, tomb: "tuple | None",
                    strategy: str = "sharded",
-                   derived: bool = False) -> DataFrame:
+                   derived: bool = False,
+                   and_need: dict[int, int] | None = None) -> DataFrame:
     """Assemble the direct route's plan: a tiny work-item DataFrame (one
     row per shard; LocalRelation -> parallelize, NO exchange) feeding the
     pyarrow-reading kernel (dense sharded scoring, or block-max WAND for
@@ -604,7 +643,8 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
         )
     else:
         kernel = _sharded_topk_fn(
-            occ, eff_k1, eff_b, ix.avgdl, k, None, tombstones=tomb
+            occ, eff_k1, eff_b, ix.avgdl, k, None, tombstones=tomb,
+            and_need=and_need,
         )
     fm = ix.shard_file_map(buckets)
     rows = [
@@ -1170,6 +1210,61 @@ def index_phrase_search(
     return topk_window(scored, k)
 
 
+def index_prefix_search(
+    ix: Index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 with trailing-wildcard (prefix) tokens: 'jo*' expands
+    to every vocabulary term starting with 'jo', each scored with ITS
+    OWN idf as one occurrence at the wildcard's query position
+    (expansions fold in term-asc order — deterministic), exact tokens
+    score unchanged. A doc matching several expansions accumulates all
+    of them — standard disjunctive multi-term (Lucene PrefixQuery/
+    SynonymQuery-per-expansion with per-term idf) semantics, and the
+    SQL-expressible one: the oracle joins terms on LIKE 'stem%' and
+    sums the same contributions (sqlgen.prefix_topk_sql).
+
+    ``max_expansions`` bounds each stem's expansion to its N highest-df
+    terms (deterministic df DESC, term ASC cap — Index.prefix_expand);
+    None expands fully.
+
+    Resolution happens driver-side against the vocabulary artifact
+    (term_stats: |vocab| rows); the search itself delegates to
+    index_search's kernels via the resolved occurrence list, so every
+    strategy/route/filter/override there serves prefix queries too."""
+    parsed = {qid: parse_prefix_query(q) for qid, q in queries}
+    exact = sorted(
+        {t for p in parsed.values() for t, ip in p if not ip}
+    )
+    stems = sorted({t for p in parsed.values() for t, ip in p if ip})
+    stats = ix.term_stats_lookup(exact) if exact else {}
+    exp = ix.prefix_expand(stems, max_expansions) if stems else {}
+    occ: dict[int, list[tuple[str, float]]] = {}
+    rows: list[tuple] = []
+    for qid, toks in parsed.items():
+        # (term, idf, max_tf_norm) per resolved occurrence, query order
+        present: list[tuple[str, float, float]] = []
+        for t, is_pref in toks:
+            if is_pref:
+                for term, df, mtn in exp.get(t, ()):
+                    present.append((term, idf_fn(df, ix.n_docs), mtn))
+            elif (v := stats.get(t)) is not None:
+                present.append((t, idf_fn(v[0], ix.n_docs), v[1]))
+        if not present:
+            continue
+        occ[qid] = [(t, w) for t, w, _ in present]
+        ubs = [w * m for _, w, m in present]
+        total_ub = sum(ubs)
+        for qpos, ((t, w, _), ub) in enumerate(zip(present, ubs)):
+            rows.append((qid, t, w, ub, total_ub - ub, qpos))
+    return index_search(
+        ix, queries, k=k, _resolved=(rows, occ), **kwargs
+    )
+
+
 def _auto_subsplit(ix: Index, parallelism: int, n_queries: int) -> int:
     """Search-time kernel sub-split factor (power of two).
 
@@ -1206,6 +1301,8 @@ def index_search(
     k1: float | None = None,
     b: float | None = None,
     direct: bool | None = None,
+    mode: str = "or",
+    _resolved: tuple | None = None,
 ) -> DataFrame:
     """Exact top-k BM25 from the index.
 
@@ -1259,6 +1356,19 @@ def index_search(
     False forces the exchange route, True requires it (raises with the
     reason when ineligible). Results are bit-exact across routes — same
     kernel, same fold order.
+
+    `mode` selects the boolean semantics over the query's tokens:
+    "or" (default) ranks any doc matching >= 1 token; "and" ranks only
+    docs containing EVERY distinct token (conjunctive retrieval — the
+    classic search-engine AND query). Scores are the same full BM25
+    sums (an AND hit matches every term, so its OR and AND scores are
+    bitwise identical); the doc-range sharding makes the coverage test
+    group-local (see _sharded_topk_fn). Served by the 'sharded'
+    strategy, both routes; composes with where=/k1/b/tombstones.
+
+    `_resolved` (internal) bypasses _query_weights with pre-expanded
+    (weights, occ) — the prefix-search entry point resolves wildcard
+    tokens against the vocabulary and delegates everything else here.
     """
     from .jobs import TOMBSTONE_BROADCAST_MAX
 
@@ -1304,7 +1414,37 @@ def index_search(
     if not (0.0 <= eff_b <= 1.0):
         raise ValueError(f"b must be in [0, 1], got {eff_b}")
     spark = ix.spark
-    weights, occ = _query_weights(ix, queries)
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if _resolved is not None:
+        weights, occ = _resolved
+        if mode == "and":
+            raise ValueError(
+                "mode='and' does not compose with prefix expansion "
+                "(coverage over expanded synonym sets is undefined)"
+            )
+    else:
+        weights, occ = _query_weights(ix, queries)
+    and_need: dict[int, int] | None = None
+    if mode == "and":
+        if strategy != "sharded":
+            raise ValueError(
+                "mode='and' is served by the 'sharded' strategy only"
+            )
+        # required count = the query's distinct TOKENS (vocabulary
+        # membership included: a token absent from the whole corpus makes
+        # the conjunction unsatisfiable, so the query drops here instead
+        # of shipping to kernels that can never match it)
+        and_need = {}
+        for qid, qtext in queries:
+            toks = set(tokenize_py(qtext))
+            if not toks or qid not in occ:
+                continue
+            if len({t for t, _ in occ[qid]}) == len(toks):
+                and_need[qid] = len(toks)
+            else:
+                del occ[qid]
+        weights = [r for r in weights if r[0] in occ]
     if not weights:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"
@@ -1376,7 +1516,7 @@ def index_search(
         if use_direct:
             return _direct_search(
                 ix, weights, occ, eff_k1, eff_b, k, tomb,
-                strategy=strategy, derived=derived,
+                strategy=strategy, derived=derived, and_need=and_need,
             )
         # auto-split only the dense sharded kernel: WAND's block pruning
         # already bounds its per-group work, and finer groups just multiply
@@ -1489,6 +1629,7 @@ def index_search(
                 else _sharded_topk_fn(
                     occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
                     cogroup=True, has_qual=has_qual, tombstones=tomb,
+                    and_need=and_need,
                 )
             )
             shard_tops = (
@@ -1505,7 +1646,7 @@ def index_search(
             if strategy == "blockmax"
             else _sharded_topk_fn(
                 occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
-                tombstones=tomb,
+                tombstones=tomb, and_need=and_need,
             )
         )
         shard_tops = blocks.groupBy(group_key).applyInPandas(

@@ -744,6 +744,71 @@ class Index:
             if (v := self._stats_cache.get(t)) is not None
         }
 
+    def prefix_expand(
+        self, stems: list[str], max_expansions: int | None = None
+    ) -> dict[str, list[tuple[str, int, float]]]:
+        """Vocabulary expansion for wildcard query tokens: stem ->
+        [(term, df, max_tf_norm), ...] over every indexed term starting
+        with the stem, returned in term-ASC order (the engine's
+        deterministic fold order for a prefix's expansions).
+
+        ``max_expansions`` caps each stem to its N highest-df terms
+        (ties broken term-asc) — the 100 TB guard: a 1-character stem
+        over a web-scale vocabulary expands to millions of terms, and
+        the cap keeps both the posting scan and the per-query fold
+        bounded. The (df DESC, term ASC) cap order is deterministic, so
+        an oracle can replicate it exactly.
+
+        When the whole vocabulary is preloaded on the handle (small
+        indexes), expansion is a driver-side scan of the cache — zero
+        Spark jobs; otherwise one term_stats scan serves all stems
+        (term_stats is the metadata artifact: |vocab| rows, not corpus
+        rows)."""
+        if not stems:
+            return {}
+        if not self._stats_preloaded:
+            self.term_stats_lookup([])  # trigger the preload attempt
+        out: dict[str, list[tuple[str, int, float]]] = {s: [] for s in stems}
+        if self._stats_preloaded:
+            for t, v in self._stats_cache.items():
+                if v is None:
+                    continue
+                for s in stems:
+                    if t.startswith(s):
+                        out[s].append((t, v[0], v[1]))
+        else:
+            # big-vocabulary path: apply the per-stem cap IN the plan (a
+            # window over the broadcast stem join) so the driver receives
+            # at most stems × max_expansions rows, never the raw match set
+            from pyspark.sql import Window
+
+            stem_df = self.spark.createDataFrame(
+                [(s,) for s in stems], "stem string"
+            )
+            j = (
+                self.term_stats()
+                .select("term", "df", "max_tf_norm")
+                .join(
+                    F.broadcast(stem_df),
+                    F.col("term").startswith(F.col("stem")),
+                )
+            )
+            if max_expansions is not None:
+                w = Window.partitionBy("stem").orderBy(
+                    F.col("df").desc(), F.col("term").asc()
+                )
+                j = j.withColumn("rn", F.row_number().over(w)).filter(
+                    F.col("rn") <= max_expansions
+                )
+            for r in j.collect():
+                out[r.stem].append((r.term, r.df, r.max_tf_norm))
+        for s, lst in out.items():
+            if max_expansions is not None and len(lst) > max_expansions:
+                lst.sort(key=lambda e: (-e[1], e[0]))
+                del lst[max_expansions:]
+            lst.sort(key=lambda e: e[0])
+        return out
+
     def refresh(self) -> "Index":
         """Drop cached DataFrame handles and driver-side stats — REQUIRED
         after finalize_stream rewrites term_stats/ or appends postings

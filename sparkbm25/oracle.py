@@ -65,7 +65,8 @@ class OracleIndex:
     def search(self, query_text: str, k: int = 10,
                allowed: set | None = None,
                k1: float | None = None,
-               b: float | None = None) -> list[tuple[int, float]]:
+               b: float | None = None,
+               mode: str = "or") -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc, doc_id asc tie-break.
 
         Accumulates per query-term occurrence (duplicate query terms count
@@ -73,7 +74,9 @@ class OracleIndex:
         ``allowed`` restricts CANDIDATES to that doc-id set (filtered
         search: idf/avgdl stay global, matching the engine's `where=`).
         ``k1``/``b`` override the BM25 shape parameters at query time
-        (idf and avgdl do not depend on them)."""
+        (idf and avgdl do not depend on them). ``mode='and'`` keeps only
+        docs containing EVERY distinct query token (a token absent from
+        the corpus empties the result) — scores are unchanged full sums."""
         kw = {} if k1 is None else {"k1": k1}
         if b is not None:
             kw["b"] = b
@@ -89,6 +92,43 @@ class OracleIndex:
                 acc[doc_id] = acc.get(doc_id, 0.0) + w * tf_norm(
                     tf, self.doc_len[doc_id], self.avgdl, **kw
                 )
+        if mode == "and":
+            toks = set(tokenize_py(query_text))
+            acc = {
+                d: s for d, s in acc.items()
+                if all(d in self.postings.get(t, {}) for t in toks)
+            }
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def search_prefix(
+        self, query_text: str, k: int = 10,
+        max_expansions: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Trailing-wildcard top-k: each '*'-marked token expands to every
+        vocabulary term starting with its stem (capped to the
+        ``max_expansions`` highest-df terms, df desc / term asc — the
+        engine's deterministic cap), each expansion folding as one
+        occurrence with its own idf in term-asc order at the wildcard's
+        query position."""
+        from .analysis import parse_prefix_query
+
+        acc: dict[int, float] = {}
+        for stem, is_pref in parse_prefix_query(query_text):
+            if is_pref:
+                terms = [t for t in self.postings if t.startswith(stem)]
+                if max_expansions is not None and len(terms) > max_expansions:
+                    terms.sort(key=lambda t: (-len(self.postings[t]), t))
+                    del terms[max_expansions:]
+                terms.sort()
+            else:
+                terms = [stem] if stem in self.postings else []
+            for t in terms:
+                w = idf(self.df(t), self.n_docs)
+                for doc_id, tf in self.postings[t].items():
+                    acc[doc_id] = acc.get(doc_id, 0.0) + w * tf_norm(
+                        tf, self.doc_len[doc_id], self.avgdl
+                    )
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
@@ -96,11 +136,24 @@ class OracleIndex:
         self, queries: list[tuple[int, str]], k: int = 10,
         allowed: set | None = None,
         k1: float | None = None, b: float | None = None,
+        mode: str = "or",
     ) -> list[tuple[int, int, int, float]]:
         """[(query_id, rank(1-based), doc_id, score)] over a query set."""
         out = []
         for qid, qtext in queries:
-            ranked = self.search(qtext, k, allowed=allowed, k1=k1, b=b)
+            ranked = self.search(qtext, k, allowed=allowed, k1=k1, b=b,
+                                 mode=mode)
+            for rank, (doc_id, score) in enumerate(ranked, start=1):
+                out.append((qid, rank, doc_id, score))
+        return out
+
+    def search_prefix_all(
+        self, queries: list[tuple[int, str]], k: int = 10,
+        max_expansions: int | None = None,
+    ) -> list[tuple[int, int, int, float]]:
+        out = []
+        for qid, qtext in queries:
+            ranked = self.search_prefix(qtext, k, max_expansions)
             for rank, (doc_id, score) in enumerate(ranked, start=1):
                 out.append((qid, rank, doc_id, score))
         return out

@@ -29,6 +29,7 @@ def bm25_topk_sql(
     filter_where: str | None = None,
     k1: float | None = None,
     b: float | None = None,
+    mode: str = "or",
 ) -> str:
     """Full BM25 top-k in one DuckDB query (rank over raw score, score
     rounded only in the projection — the Spark side does the same).
@@ -44,7 +45,12 @@ def bm25_topk_sql(
 
     ``filter_where`` restricts the CANDIDATE docs (a SQL predicate over
     ``{table}``'s columns) while idf/avgdl stay computed over the whole
-    corpus — the oracle for the engine's filtered search (`where=`)."""
+    corpus — the oracle for the engine's filtered search (`where=`).
+
+    ``mode='and'`` keeps only docs matching EVERY distinct query token
+    (conjunctive retrieval): the per-doc matched-distinct-term count
+    must equal the query's distinct-token count — a token absent from
+    the corpus therefore empties that query, exactly like the engine."""
     toks = DUCKDB_TOKENS.format(col=text_col)
     idf = idf_sql("tdf.df", "cs.n")
     kw = {}
@@ -64,6 +70,24 @@ def bm25_topk_sql(
     else:
         cand_cte = ""
         cand_filter = ""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if mode == "and":
+        # qt has one row per distinct (query, token): its count per query
+        # is the conjunction's requirement
+        need_cte = (
+            "\nqneed AS (SELECT query_id, count(*) AS need FROM qt "
+            "GROUP BY 1),"
+        )
+        nmatched_col = ",\n         count(DISTINCT tf.term) AS nmatched"
+        and_join = (
+            "\n  JOIN qneed ON qneed.query_id = scores.query_id "
+            "AND scores.nmatched = qneed.need"
+        )
+    else:
+        need_cte = ""
+        nmatched_col = ""
+        and_join = ""
     return f"""
 WITH q AS (SELECT * FROM {_values_clause(queries)}),
 qt AS (
@@ -80,10 +104,10 @@ tf AS (
   WHERE t.term IN (SELECT term FROM qt)
   GROUP BY 1, 2
 ),
-tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),{cand_cte}
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),{cand_cte}{need_cte}
 scores AS (
   SELECT qt.query_id, tf.doc_id,
-         sum(qt.qtf * {idf} * {tfn}) AS score
+         sum(qt.qtf * {idf} * {tfn}) AS score{nmatched_col}
   FROM tf
   JOIN qt ON qt.term = tf.term
   JOIN tdf ON tdf.term = tf.term
@@ -92,10 +116,10 @@ scores AS (
   GROUP BY 1, 2
 ),
 ranked AS (
-  SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id
+  SELECT scores.query_id, doc_id, score,
+         row_number() OVER (PARTITION BY scores.query_id
                             ORDER BY score DESC, doc_id ASC) AS rank
-  FROM scores
+  FROM scores{and_join}
 )
 SELECT query_id, rank, doc_id, round(score, {round_dp}) AS score
 FROM ranked WHERE rank <= {k}
@@ -155,6 +179,106 @@ dfq AS (SELECT query_id, count(*) AS df FROM matches GROUP BY 1),
 scores AS (
   SELECT m.query_id, m.doc_id, {idf} * {tfn} AS score
   FROM matches m JOIN dfq ON dfq.query_id = m.query_id CROSS JOIN cs
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, {round_dp}) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def prefix_topk_sql(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> str:
+    """DuckDB oracle for trailing-wildcard (prefix) top-k: queries are
+    pre-parsed with the engine's own parser (analysis.parse_prefix_query)
+    into (stem, is_prefix) occurrence counts, wildcard stems join the
+    corpus vocabulary on LIKE 'stem%', and every matched term scores as
+    an ordinary query term with its own idf — the same disjunctive
+    expansion index_prefix_search folds. ``max_expansions`` replicates
+    the engine's deterministic per-stem cap (df DESC, term ASC) via a
+    window over the expansion join."""
+    from .analysis import parse_prefix_query
+
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    rows = []
+    for qid, text in queries:
+        counts: dict[tuple[str, bool], int] = {}
+        for stem, is_pref in parse_prefix_query(text):
+            counts[(stem, is_pref)] = counts.get((stem, is_pref), 0) + 1
+        for (stem, is_pref), qtf in counts.items():
+            rows.append(
+                "({}, '{}', {}, {})".format(
+                    qid, stem.replace("'", "''"),
+                    "TRUE" if is_pref else "FALSE", qtf,
+                )
+            )
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS INT) AS query_id, CAST(NULL AS INT) AS "
+            "rank, CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) "
+            "AS score WHERE FALSE"
+        )
+    qp_values = ", ".join(rows)
+    idf = idf_sql("qt.df", "cs.n")
+    tfn = tf_norm_sql("tf.tf", "dstats.dl", "cs.avgdl")
+    cap_where = (
+        ""
+        if max_expansions is None
+        else f"\n  WHERE (NOT is_prefix) OR rn <= {max_expansions}"
+    )
+    return f"""
+WITH qp AS (
+  SELECT * FROM (VALUES {qp_values})
+  AS v(query_id, stem, is_prefix, qtf)
+),
+toks AS (SELECT {id_col} AS doc_id, {toks} AS ts FROM {table}),
+dstats AS (SELECT doc_id, len(ts) AS dl FROM toks),
+cs AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dstats),
+tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM toks, unnest(ts) AS t(term)
+  WHERE EXISTS (
+    SELECT 1 FROM qp
+    WHERE (qp.is_prefix AND t.term LIKE qp.stem || '%')
+       OR (NOT qp.is_prefix AND t.term = qp.stem)
+  )
+  GROUP BY 1, 2
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+expanded AS (
+  SELECT qp.query_id, tdf.term, tdf.df, qp.qtf, qp.is_prefix,
+         row_number() OVER (
+           PARTITION BY qp.query_id, qp.stem, qp.is_prefix
+           ORDER BY tdf.df DESC, tdf.term ASC
+         ) AS rn
+  FROM qp JOIN tdf
+    ON (qp.is_prefix AND tdf.term LIKE qp.stem || '%')
+    OR (NOT qp.is_prefix AND tdf.term = qp.stem)
+),
+qt AS (
+  SELECT query_id, term, any_value(df) AS df, sum(qtf) AS qtf
+  FROM expanded{cap_where}
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(qt.qtf * {idf} * {tfn}) AS score
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dstats ON dstats.doc_id = tf.doc_id
+  CROSS JOIN cs
+  GROUP BY 1, 2
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
