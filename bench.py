@@ -239,6 +239,26 @@ def main() -> int:
     except Exception as e:
         extras["tombstone_bench_error"] = str(e)[:200]
 
+    # (c) round-5 boolean surfaces on the same index: the 100-query batch
+    #     in conjunctive mode (coverage mask on top of the same fold) and
+    #     a 20-stem trailing-wildcard batch (vocabulary expansion, cap 16)
+    try:
+        from sparkbm25.index_query import index_prefix_search
+
+        index_search(ix, queries[:2], k=10, mode="and").count()  # warm
+        t0 = time.time()
+        index_search(ix, queries, k=10, mode="and").count()
+        extras["query_and100_s"] = round(time.time() - t0, 3)
+        stems = sorted({qtext.split()[0][:3] for _, qtext in queries})[:20]
+        pq = [(i, s + "*") for i, s in enumerate(stems)]
+        index_prefix_search(ix, pq[:2], k=10, max_expansions=16).count()
+        t0 = time.time()
+        index_prefix_search(ix, pq, k=10, max_expansions=16).count()
+        extras["query_prefix_s"] = round(time.time() - t0, 3)
+        extras["prefix_n_queries"] = len(pq)
+    except Exception as e:
+        extras["boolean_bench_error"] = str(e)[:200]
+
     # --- score-all over driver documents table -----------------------------
     from __spark_entry__ import q_bm25_topk
 

@@ -80,19 +80,31 @@ def _query_weights(ix: Index, queries: list[tuple[int, str]]):
     rows = []
     for qid in list(occ):
         present = [
-            (t, idf_fn(stats[t][0], ix.n_docs))
+            (t, idf_fn(stats[t][0], ix.n_docs), stats[t][1])
             for t, _ in occ[qid]
             if t in stats  # absent term contributes nothing (oracle skips)
         ]
-        occ[qid] = present
         if not present:
             del occ[qid]
             continue
-        ubs = [w * stats[t][1] for t, w in present]
-        total_ub = sum(ubs)
-        for qpos, ((t, w), ub) in enumerate(zip(present, ubs)):
-            rows.append((qid, t, w, ub, total_ub - ub, qpos))
+        occ[qid] = [(t, w) for t, w, _ in present]
+        rows.extend(_weight_rows(qid, present))
     return rows, occ
+
+
+def _weight_rows(
+    qid: int, present: list[tuple[str, float, float]]
+) -> list[tuple]:
+    """(query_id, term, w, ub_term, rest, qpos) rows from one query's
+    resolved occurrences [(term, idf, max_tf_norm), ...] — the single
+    definition of the kernel/WAND weight-row contract, shared by
+    _query_weights and index_prefix_search."""
+    ubs = [w * m for _, w, m in present]
+    total_ub = sum(ubs)
+    return [
+        (qid, t, w, ub, total_ub - ub, qpos)
+        for qpos, ((t, w, _), ub) in enumerate(zip(present, ubs))
+    ]
 
 
 def _matched_blocks(
@@ -1235,7 +1247,10 @@ def index_prefix_search(
     (term_stats: |vocab| rows); the search itself delegates to
     index_search's kernels via the resolved occurrence list, so every
     strategy/route/filter/override there serves prefix queries too."""
-    parsed = {qid: parse_prefix_query(q) for qid, q in queries}
+    parsed: dict[int, list[tuple[str, bool]]] = {}
+    for qid, q in queries:
+        # a duplicated query_id merges its occurrences, like index_search
+        parsed.setdefault(qid, []).extend(parse_prefix_query(q))
     exact = sorted(
         {t for p in parsed.values() for t, ip in p if not ip}
     )
@@ -1256,10 +1271,7 @@ def index_prefix_search(
         if not present:
             continue
         occ[qid] = [(t, w) for t, w, _ in present]
-        ubs = [w * m for _, w, m in present]
-        total_ub = sum(ubs)
-        for qpos, ((t, w, _), ub) in enumerate(zip(present, ubs)):
-            rows.append((qid, t, w, ub, total_ub - ub, qpos))
+        rows.extend(_weight_rows(qid, present))
     return index_search(
         ix, queries, k=k, _resolved=(rows, occ), **kwargs
     )

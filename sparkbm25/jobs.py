@@ -766,6 +766,9 @@ class Index:
         rows)."""
         if not stems:
             return {}
+        # dedupe: a repeated stem must not double-append its matches
+        # (callers pass occurrence lists; the dict result is per-stem)
+        stems = sorted(set(stems))
         if not self._stats_preloaded:
             self.term_stats_lookup([])  # trigger the preload attempt
         out: dict[str, list[tuple[str, int, float]]] = {s: [] for s in stems}
@@ -782,8 +785,14 @@ class Index:
             # at most stems × max_expansions rows, never the raw match set
             from pyspark.sql import Window
 
-            stem_df = self.spark.createDataFrame(
-                [(s,) for s in stems], "stem string"
+            # VALUES LocalRelation, not createDataFrame(local rows): the
+            # latter costs a multi-task parallelize job per query on this
+            # latency-sensitive path; stems are tokenizer output
+            # ([a-z0-9]+), so inlining them is injection-safe
+            stem_df = self.spark.sql(
+                "SELECT * FROM (VALUES {}) AS t(stem)".format(
+                    ", ".join(f"('{s}')" for s in stems)
+                )
             )
             j = (
                 self.term_stats()

@@ -104,6 +104,7 @@ class OracleIndex:
     def search_prefix(
         self, query_text: str, k: int = 10,
         max_expansions: int | None = None,
+        k1: float | None = None, b: float | None = None,
     ) -> list[tuple[int, float]]:
         """Trailing-wildcard top-k: each '*'-marked token expands to every
         vocabulary term starting with its stem (capped to the
@@ -113,6 +114,9 @@ class OracleIndex:
         query position."""
         from .analysis import parse_prefix_query
 
+        kw = {} if k1 is None else {"k1": k1}
+        if b is not None:
+            kw["b"] = b
         acc: dict[int, float] = {}
         for stem, is_pref in parse_prefix_query(query_text):
             if is_pref:
@@ -127,7 +131,7 @@ class OracleIndex:
                 w = idf(self.df(t), self.n_docs)
                 for doc_id, tf in self.postings[t].items():
                     acc[doc_id] = acc.get(doc_id, 0.0) + w * tf_norm(
-                        tf, self.doc_len[doc_id], self.avgdl
+                        tf, self.doc_len[doc_id], self.avgdl, **kw
                     )
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
@@ -150,10 +154,12 @@ class OracleIndex:
     def search_prefix_all(
         self, queries: list[tuple[int, str]], k: int = 10,
         max_expansions: int | None = None,
+        k1: float | None = None, b: float | None = None,
     ) -> list[tuple[int, int, int, float]]:
         out = []
         for qid, qtext in queries:
-            ranked = self.search_prefix(qtext, k, max_expansions)
+            ranked = self.search_prefix(qtext, k, max_expansions,
+                                        k1=k1, b=b)
             for rank, (doc_id, score) in enumerate(ranked, start=1):
                 out.append((qid, rank, doc_id, score))
         return out

@@ -173,6 +173,43 @@ def test_prefix_and_mode_refused(spark, built):
         index_prefix_search(ix, [(0, "merge jo*")], mode="and")
 
 
+def test_prefix_duplicate_qid_merges_like_index_search(spark, built):
+    """A duplicated query_id merges its occurrences (index_search's
+    behavior via occ.setdefault), instead of silently keeping only the
+    last text."""
+    from sparkbm25.index_query import index_search
+
+    ix = Index(spark, built)
+    got = index_prefix_search(
+        ix, [(0, "w0100"), (0, "w0200")], k=K
+    ).collect()
+    want = index_search(ix, [(0, "w0100 w0200")], k=K).collect()
+    _assert_rank_identical(
+        got, [(r.query_id, r.rank, r.doc_id, r.score) for r in want]
+    )
+
+
+def test_prefix_with_k1_b_override(spark, built, oracle):
+    """index_prefix_search forwards query-time k1/b to the kernels; the
+    oracle composes them over the same expansion."""
+    queries = [(0, "w01*"), (1, "w0100 w03*")]
+    want = oracle.search_prefix_all(queries, k=K, max_expansions=6,
+                                    k1=0.9, b=0.4)
+    got = index_prefix_search(
+        Index(spark, built), queries, k=K, max_expansions=6,
+        k1=0.9, b=0.4,
+    ).collect()
+    _assert_rank_identical(got, want)
+
+
+def test_prefix_expand_duplicate_stems_single_count(spark, built):
+    """Repeated stems in the input must not double-append matches."""
+    ix = Index(spark, built)
+    once = ix.prefix_expand(["w01"], max_expansions=4)["w01"]
+    twice = ix.prefix_expand(["w01", "w01"], max_expansions=4)["w01"]
+    assert once == twice
+
+
 def test_prefix_expand_spark_path_agrees(spark, built):
     """The big-vocabulary expansion path (windowed plan, no driver-side
     vocabulary) returns exactly what the preloaded-cache path returns."""

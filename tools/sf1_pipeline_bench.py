@@ -1,0 +1,149 @@
+"""sf1-scale PIPELINE bench: minhash dedup, curate, and IVF ANN at ~5.5M
+docs — the r04 BENCH_SF1 probe covered build/query only; this confirms (or
+refutes) the near-linear claims for the pipeline operators at 10x the
+driver-bench scale. The two watch items from the r04 verdict: the minhash
+banded self-join's candidate fan-out and curate's label-propagation
+closure rounds.
+
+Method: each op runs on the SAME synthetic generator family at two scales
+(50k convs ~ 550k turns, and 500k convs ~ 5.5M turns), one warm-up at the
+small scale to amortize python-worker spawn. linearity_x = t_big /
+(10 * t_small): 1.0 = perfectly linear, < 1 = fixed-overhead amortization,
+> 1 = superlinear (a scale bug, like the r04 WAND np.isin find).
+
+ANN embeddings are generated deterministically in-plan (64-dim, seeded
+F.rand per component) at 200k / 2M vectors.
+
+Usage: python tools/sf1_pipeline_bench.py [--out BENCH_SF1_PIPELINE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SMALL_CONVS = 50_000
+BIG_CONVS = 500_000
+SMALL_VECS = 200_000
+BIG_VECS = 2_000_000
+DIM = 64
+
+
+def corpus_path(spark, n_convs: int) -> str:
+    path = f"/tmp/sparkbm25_scale/transcripts_{n_convs}.parquet"
+    if not os.path.exists(path):
+        from sparkbm25.fixtures import make_transcripts_df
+
+        make_transcripts_df(spark, n_convs).write.mode("overwrite").parquet(
+            path
+        )
+    return path
+
+
+def make_embeddings(spark, n: int):
+    """(vec_id, embedding float[64]) — deterministic: seeded F.rand per
+    component over a fixed-partitioning range (JVM-side, no Python)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(0, n, 1, 64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.rand(seed=1000 + j) * 2 - 1).cast("float")
+              for j in range(DIM)]
+        ).alias("embedding"),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, "BENCH_SF1_PIPELINE.json")
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from sparkbm25.corpus import add_doc_id
+    from sparkbm25.pipeline.curate import curate
+    from sparkbm25.pipeline.dedup import minhash_lsh_pairs
+    from sparkbm25.pipeline.similarity import ann_index_search, build_ann_index
+    from sparkbm25.session import ensure_shipped, get_spark
+
+    spark = get_spark("sf1-pipeline", cores=32, shuffle_partitions=64)
+    ensure_shipped(spark)
+    out: dict = {"scales": {}}
+
+    for tag, n_convs, n_vecs in (
+        ("small", SMALL_CONVS, SMALL_VECS),
+        ("big", BIG_CONVS, BIG_VECS),
+    ):
+        docs = add_doc_id(
+            spark.read.parquet(corpus_path(spark, n_convs)), "conv_seq"
+        ).select("doc_id", "text")
+        n_docs = docs.count()  # warm the scan; not timed
+        rec: dict = {"n_docs": n_docs, "n_vecs": n_vecs}
+
+        if tag == "small":  # one warm-up to spawn python workers
+            minhash_lsh_pairs(docs.limit(20_000), 0.5).count()
+
+        t0 = time.time()
+        rec["minhash_pairs"] = minhash_lsh_pairs(docs, 0.5).count()
+        rec["minhash_s"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        rec["curate_kept"] = curate(docs).filter("kept = 1").count()
+        rec["curate_s"] = round(time.time() - t0, 2)
+
+        emb = make_embeddings(spark, n_vecs)
+        ann_dir = f"/tmp/sparkbm25_scale/ivf_{n_vecs}"
+        shutil.rmtree(ann_dir, ignore_errors=True)
+        t0 = time.time()
+        man = build_ann_index(emb, ann_dir)
+        rec["ann_build_s"] = round(time.time() - t0, 2)
+        rec["ann_n_centroids"] = int(man["n_centroids"])
+        qvecs = {
+            r.vec_id: list(r.embedding)
+            for r in emb.filter(F.col("vec_id") < 16).collect()
+        }
+        ann_index_search(spark, ann_dir, qvecs, k=10).count()  # warm
+        t0 = time.time()
+        ann_index_search(spark, ann_dir, qvecs, k=10).count()
+        rec["ann_search16_s"] = round(time.time() - t0, 2)
+
+        out["scales"][tag] = rec
+        print(f"  {tag}: {json.dumps(rec)}", flush=True)
+
+    s, b = out["scales"]["small"], out["scales"]["big"]
+    ratio = b["n_docs"] / s["n_docs"]
+    vratio = b["n_vecs"] / s["n_vecs"]
+    out["linearity_x"] = {
+        "minhash": round(b["minhash_s"] / (ratio * s["minhash_s"]), 3),
+        "curate": round(b["curate_s"] / (ratio * s["curate_s"]), 3),
+        "ann_build": round(b["ann_build_s"] / (vratio * s["ann_build_s"]), 3),
+        # IVF search probes n_probe/n_centroids of the data; with the
+        # sqrt-rule centroid count the probed fraction shrinks ~1/sqrt(n),
+        # so sub-linear here is the DESIGN, not amortization
+        "ann_search16": round(
+            b["ann_search16_s"] / (vratio * s["ann_search16_s"]), 3
+        ),
+    }
+    out["note"] = (
+        "linearity_x = t_10x / (10 * t_1x); <= ~1 confirms the near-linear "
+        "claim at 10x scale, > 1 is superlinear (scale bug)"
+    )
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
