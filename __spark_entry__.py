@@ -171,6 +171,35 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("score", F.round("score", 6))
 
 
+NEAR_SLOP = 2
+# proximity phrases: pairs/triples of co-occurring testdata words where
+# intervening tokens are common, so slop>0 matches strictly more than
+# exact adjacency; plus a single-term and an absent-term edge case
+DOC_NEAR_PHRASES: list[tuple[int, str]] = [
+    (0, "sort join"),
+    (1, "merge table"),
+    (2, "data batch window"),
+    (3, "stream zzabsentzz"),   # absent term -> no rows
+    (4, "group"),               # single term: slop-independent
+    (5, "join join"),           # repeated term with gaps
+]
+
+
+def q_phrase_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (sloppy) phrase search over POSITIONAL postings: ordered
+    chains with up to NEAR_SLOP intervening tokens per consecutive term
+    pair (Lucene SloppyPhraseQuery analog with a per-gap bound), ranked
+    by BM25 over the chain-start frequency. Oracle: the same start-filter
+    SQL with every gap combination unrolled into an OR."""
+    from sparkbm25.index_query import index_phrase_search
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    out = index_phrase_search(Index(spark, ix_dir), DOC_NEAR_PHRASES, k=K,
+                              slop=NEAR_SLOP)
+    return out.withColumn("score", F.round("score", 6))
+
+
 def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25F field-weighted ranking (VERDICT r04 next-round #7): title =
     first TITLE_TOKENS tokens at weight 2, body at weight 1, folded into
@@ -196,6 +225,50 @@ def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ix_dir = _entry_index(spark, sf_dir)
     out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K, mode="and")
+    return out.withColumn("score", F.round("score", 6))
+
+
+MSM = 2  # minimum-should-match threshold for the driver query
+
+
+def q_bm25_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-should-match retrieval (Lucene BooleanQuery
+    minimumNumberShouldMatch analog): only docs matching >= MSM distinct
+    query tokens rank; scores stay the full OR sums. Single-token q6 and
+    q3 (one corpus-present token) are unsatisfiable at MSM=2 — no rows,
+    same as the oracle's HAVING threshold."""
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K,
+                       min_match=MSM)
+    return out.withColumn("score", F.round("score", 6))
+
+
+# MUST_NOT token sets per query: a head term (0), a term excluded here but
+# scored by another query (7 excludes 'group', scored in query 5 — the
+# both-roles kernel path), a corpus-absent exclusion no-op (5), and an
+# exclusion on a query whose positive terms partly miss the corpus (3)
+NOT_EXCLUDE: dict[int, str] = {
+    0: "table",
+    3: "row",
+    5: "zzabsentzz",
+    7: "group batch",
+}
+
+
+def q_bm25_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean MUST_NOT retrieval: docs containing any excluded token are
+    dropped from that query's ranking (surviving scores bitwise
+    unchanged — exclusion narrows candidates, idf/avgdl stay global).
+    Exclusion blocks ride the same fetch; presence-only in the kernel."""
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K,
+                       exclude=NOT_EXCLUDE)
     return out.withColumn("score", F.round("score", 6))
 
 
@@ -481,8 +554,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_tuned": q_bm25_topk_tuned,
         "phrase_topk": q_phrase_topk,
+        "phrase_near_topk": q_phrase_near_topk,
         "bm25f_topk": q_bm25f_topk,
         "bm25_and_topk": q_bm25_and_topk,
+        "bm25_msm_topk": q_bm25_msm_topk,
+        "bm25_not_topk": q_bm25_not_topk,
         "bm25_prefix_topk": q_bm25_prefix_topk,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
@@ -527,8 +603,17 @@ def oracle_sql() -> dict[str, str]:
             DOC_QUERIES, k=K, k1=TUNED_K1, b=TUNED_B
         ),
         "phrase_topk": sqlgen.phrase_topk_sql(DOC_PHRASES, k=K),
+        "phrase_near_topk": sqlgen.phrase_topk_sql(
+            DOC_NEAR_PHRASES, k=K, slop=NEAR_SLOP
+        ),
         "bm25f_topk": _bm25f_topk_sql(DOC_QUERIES, k=K),
         "bm25_and_topk": sqlgen.bm25_topk_sql(DOC_QUERIES, k=K, mode="and"),
+        "bm25_msm_topk": sqlgen.bm25_topk_sql(
+            DOC_QUERIES, k=K, min_match=MSM
+        ),
+        "bm25_not_topk": sqlgen.bm25_topk_sql(
+            DOC_QUERIES, k=K, exclude=NOT_EXCLUDE
+        ),
         "bm25_prefix_topk": sqlgen.prefix_topk_sql(
             DOC_PREFIX_QUERIES, k=K, max_expansions=PREFIX_MAX_EXP
         ),

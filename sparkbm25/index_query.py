@@ -262,7 +262,8 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                      sub_shift: int | None = None, cogroup: bool = False,
                      has_qual: bool = False,
                      tombstones: "tuple | None" = None,
-                     and_need: dict[int, int] | None = None):
+                     and_need: dict[int, int] | None = None,
+                     exclude: dict[int, list[str]] | None = None):
     """Per-shard exact scoring kernel: decode each query term's blocks ONCE,
     densify each term into one contribution column over the group's doc
     universe, and score every query as a few whole-vector adds.
@@ -300,14 +301,24 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
       no-driver-array path for large delete sets; they override the
       closure pair, index_search routes one source at a time).
 
-    ``and_need`` activates CONJUNCTIVE (mode='and') semantics for the
-    listed queries: {query_id: required distinct-term count}. Because a
-    doc's postings for every term live in its one doc-range group, the
-    full-coverage test is group-local and exact: count per-doc distinct
-    matched query terms, keep docs where the count equals the
-    requirement. Scoring is the UNCHANGED fold restricted to those docs
-    (a covered doc's score is the full BM25 sum either way), so AND
-    scores are bit-identical to the OR scores of the same docs."""
+    ``and_need`` activates COVERAGE semantics for the listed queries:
+    {query_id: required distinct matched-term count}. Because a doc's
+    postings for every term live in its one doc-range group, the
+    coverage test is group-local and exact: count per-doc distinct
+    matched query terms, keep docs where the count is >= the
+    requirement. mode='and' sets the requirement to the query's full
+    distinct-token count (coverage can never exceed it, so >= is then
+    equality); minimum_should_match sets a lower threshold. Scoring is
+    the UNCHANGED fold restricted to those docs (a covered doc's score
+    is the full BM25 sum either way), so coverage-filtered scores are
+    bit-identical to the OR scores of the same docs.
+
+    ``exclude`` activates MUST-NOT semantics: {query_id: [terms]} whose
+    matching docs are dropped from that query's result AFTER scoring
+    (Lucene BooleanQuery MUST_NOT). Excluded terms' blocks arrive with
+    the group (the caller widens the block fetch) but contribute no
+    scoring column; group-locality makes the exclusion test exact for
+    the same reason as coverage."""
 
     def _run(vs: int, pdf: pd.DataFrame,
              qual: np.ndarray | None,
@@ -392,7 +403,13 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
         # the same qpos sequence — skipping a term's zero elements drops
         # only exact `x + 0.0` no-ops (a doc appears once per term, so
         # plain assignment/scatter — no accumulation within a term).
-        uids_g = np.unique(np.concatenate([ids for ids, _ in raw.values()]))
+        # the doc universe spans SCORING terms only: an exclusion-only
+        # term's docs can never rank (no positive contribution), so they
+        # would only inflate the dense columns' width
+        score_ids = [ids for t, (ids, _) in raw.items() if t in w_of]
+        if not score_ids:
+            return empty
+        uids_g = np.unique(np.concatenate(score_ids))
         U = len(uids_g)
         heavy_at = max(1, U // 8)
         dense: dict[str, np.ndarray] = {}
@@ -401,8 +418,10 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
         # coverage count (dense columns lose them to O(U) scans)
         pres: dict[str, np.ndarray] = {}
         for t, (ids, tfn) in raw.items():
+            if t not in w_of:
+                continue  # exclusion-only term: positions extracted below
             pos = np.searchsorted(uids_g, ids)
-            contrib = w_of.get(t, 0.0) * tfn
+            contrib = w_of[t] * tfn
             if and_need:
                 pres[t] = pos
             if len(ids) >= heavy_at:
@@ -411,6 +430,23 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                 dense[t] = col
             else:
                 sparse[t] = (pos, contrib)
+        # per excluded term: UNIVERSE POSITIONS of its docs (intersection
+        # with uids_g — an excluded doc outside every scoring term's
+        # postings is already absent from any candidate set). A term can
+        # be scored in one query and excluded in another, so this reads
+        # raw, not dense/sparse.
+        ex_pos_of: dict[str, np.ndarray] = {}
+        if exclude:
+            for t in {t for ts in exclude.values() for t in ts}:
+                got = raw.get(t)
+                if got is None:
+                    continue
+                ids = got[0]
+                pos = np.searchsorted(uids_g, ids)
+                pos_c = np.minimum(pos, U - 1)
+                valid = (pos < U) & (uids_g[pos_c] == ids)
+                if valid.any():
+                    ex_pos_of[t] = np.unique(pos[valid])
         raw.clear()
 
         rows_q, rows_d, rows_s = [], [], []
@@ -423,13 +459,26 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
             if need is not None:
                 tset = set(present)
                 if len(tset) < need:
-                    continue  # a required term absent from this doc range
+                    continue  # too few terms in this doc range to cover
                 cover = np.zeros(U, dtype=np.int32)
                 for t in tset:
                     cover[pres[t]] += 1
-                and_pos = np.flatnonzero(cover == need)
+                # >= serves both semantics: mode='and' sets need to the
+                # full distinct-token count (cover can't exceed it), msm
+                # sets a lower threshold
+                and_pos = np.flatnonzero(cover >= need)
                 if not len(and_pos):
                     continue
+            ex_pos = None
+            if exclude and qid in exclude:
+                parts_ex = [
+                    ex_pos_of[t] for t in exclude[qid] if t in ex_pos_of
+                ]
+                if parts_ex:
+                    ex_pos = (
+                        parts_ex[0] if len(parts_ex) == 1
+                        else np.unique(np.concatenate(parts_ex))
+                    )
             light_mass = sum(
                 len(sparse[t][0]) for t in present if t in sparse
             )
@@ -453,11 +502,13 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                         else:
                             scores[pos] += contrib
                 if and_pos is not None:
-                    # covered docs carry every term's strictly-positive
+                    # covered docs carry >= 1 strictly-positive
                     # contribution, so their scores are already nonzero
                     nz = and_pos
                 else:
                     nz = np.flatnonzero(scores)  # contributions > 0
+                if ex_pos is not None and len(nz):
+                    nz = nz[~_in_sorted(nz, ex_pos)]
                 if not len(nz):
                     continue
                 sc = scores[nz]
@@ -480,13 +531,16 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                 for t in present:  # qpos order
                     pos, contrib = sparse[t]
                     sc[np.searchsorted(cand, pos)] += contrib
-                if and_pos is not None:
-                    # intersection ⊆ union: project the covered docs out
-                    # of the candidate-set scores (same folded values)
-                    sc = sc[np.searchsorted(cand, and_pos)]
-                    ids_nz = uids_g[and_pos]
-                else:
-                    ids_nz = uids_g[cand]
+                # covered/surviving ⊆ union: project the kept docs out
+                # of the candidate-set scores (same folded values)
+                sel = and_pos if and_pos is not None else cand
+                if ex_pos is not None and len(sel):
+                    sel = sel[~_in_sorted(sel, ex_pos)]
+                if not len(sel):
+                    continue
+                if sel is not cand:
+                    sc = sc[np.searchsorted(cand, sel)]
+                ids_nz = uids_g[sel]
             if len(sc) > k:
                 # exact top-k under the TOTAL order (score desc, doc_id
                 # asc): kth score via partition, keep the tie plateau,
@@ -625,7 +679,8 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
                    k: int, tomb: "tuple | None",
                    strategy: str = "sharded",
                    derived: bool = False,
-                   and_need: dict[int, int] | None = None) -> DataFrame:
+                   and_need: dict[int, int] | None = None,
+                   exclude: dict[int, list[str]] | None = None) -> DataFrame:
     """Assemble the direct route's plan: a tiny work-item DataFrame (one
     row per shard; LocalRelation -> parallelize, NO exchange) feeding the
     pyarrow-reading kernel (dense sharded scoring, or block-max WAND for
@@ -636,7 +691,12 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
     from .xxhash64 import spark_pmod_bucket
 
     spark = ix.spark
-    terms = sorted({t for _, t, *_ in weights})
+    # MUST-NOT terms ride in the same block fetch (presence-only: the
+    # kernel gives them no scoring column)
+    terms = sorted(
+        {t for _, t, *_ in weights}
+        | ({t for ts in exclude.values() for t in ts} if exclude else set())
+    )
     buckets = sorted(
         {spark_pmod_bucket(t, ix.num_term_buckets) for t in terms}
     )
@@ -656,7 +716,7 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
     else:
         kernel = _sharded_topk_fn(
             occ, eff_k1, eff_b, ix.avgdl, k, None, tombstones=tomb,
-            and_need=and_need,
+            and_need=and_need, exclude=exclude,
         )
     fm = ix.shard_file_map(buckets)
     rows = [
@@ -966,7 +1026,8 @@ PHRASE_MATCH_SCHEMA = "query_id int, doc_id long, ptf int, dl int"
 
 
 def _phrase_match_fn(q_phrases: dict[int, list[str]],
-                     tombstones: "tuple | None" = None):
+                     tombstones: "tuple | None" = None,
+                     slop: int = 0):
     """Per-shard phrase-occurrence kernel over POSITIONAL postings.
 
     For each query phrase t0..t(n-1): candidate docs are the AND of the
@@ -980,6 +1041,17 @@ def _phrase_match_fn(q_phrases: dict[int, list[str]],
     membership probes over flat int64 arrays — no per-doc Python loop.
     Emits (query_id, doc_id, phrase_tf, doc_len) rows for phrase_tf > 0;
     BM25 weighting over phrase_tf happens plan-side (index_phrase_search).
+
+    ``slop`` > 0 relaxes adjacency to PROXIMITY: each consecutive term
+    pair may be separated by up to ``slop`` intervening tokens (position
+    gap in [1, slop+1]); ptf counts the distinct FIRST-term positions
+    beginning at least one valid chain. Computed by backward dynamic
+    programming over the same flat keys — live(t_last) = its occurrence
+    keys; live(t_j) = keys(t_j) reachable from live(t_j+1) via any gap d,
+    i.e. an OR of slop+1 sorted membership probes per level ((n-1) *
+    (slop+1) probes total, still no per-doc loop). A chain never crosses
+    a doc boundary (pos + slop + 1 << 2^32). slop=0 keeps the original
+    forward walk bit-for-bit.
 
     Tombstones mask per (id, group-seq) at decode, exactly like the
     scoring kernels."""
@@ -1087,11 +1159,27 @@ def _phrase_match_fn(q_phrases: dict[int, list[str]],
                 if dl_of is None:
                     dl_of = np.zeros(len(inter), dtype=np.int64)
                 dl_of[didx] = dls_t[sel]
-            starts = keys[terms[0]]
-            for j, t in enumerate(terms[1:], start=1):
-                if not len(starts):
-                    break
-                starts = starts[_in_sorted(starts + np.int64(j), keys[t])]
+            if slop == 0:
+                starts = keys[terms[0]]
+                for j, t in enumerate(terms[1:], start=1):
+                    if not len(starts):
+                        break
+                    starts = starts[
+                        _in_sorted(starts + np.int64(j), keys[t])
+                    ]
+            else:
+                # backward DP: live = keys of t_j that can reach a live
+                # key of t_{j+1} via a gap of 1..slop+1
+                live = keys[terms[-1]]
+                for t in terms[-2::-1]:
+                    if not len(live):
+                        break
+                    cand = keys[t]
+                    ok = np.zeros(len(cand), dtype=bool)
+                    for d in range(1, slop + 2):
+                        ok |= _in_sorted(cand + np.int64(d), live)
+                    live = cand[ok]
+                starts = live
             if not len(starts):
                 continue
             ptf = np.bincount(
@@ -1123,6 +1211,7 @@ def index_phrase_search(
     k: int = 10,
     k1: float | None = None,
     b: float | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """Exact top-k PHRASE search: docs containing the exact token sequence,
     ranked by BM25 over the PHRASE frequency — score = idf(df_phrase) *
@@ -1130,6 +1219,14 @@ def index_phrase_search(
     (the phrase treated as one composite term; idf computed driver-side
     from the matched counts with the same libm as the oracle, tf_norm pure
     Catalyst arithmetic). Requires BuildParams(store_positions=True).
+
+    ``slop`` relaxes adjacency to ordered PROXIMITY (Lucene
+    SloppyPhraseQuery analog with a per-gap bound, which keeps the
+    semantics SQL-expressible): consecutive phrase terms may be separated
+    by up to ``slop`` intervening tokens, and phrase_tf counts distinct
+    first-term positions beginning a valid chain (see _phrase_match_fn).
+    slop=0 (default) is exact adjacency, bit-identical to the original
+    path.
 
     Plan: posting blocks of the phrase terms (term_bucket-pruned scan) →
     ONE shard-grouped position-intersection kernel → tiny (query, doc,
@@ -1157,6 +1254,8 @@ def index_phrase_search(
         raise ValueError(f"k1 must be >= 0, got {eff_k1}")
     if not (0.0 <= eff_b <= 1.0):
         raise ValueError(f"b must be in [0, 1], got {eff_b}")
+    if not isinstance(slop, int) or slop < 0:
+        raise ValueError(f"slop must be an int >= 0, got {slop!r}")
     n_del = ix.n_deleted()
     if n_del > TOMBSTONE_BROADCAST_MAX:
         raise ValueError(
@@ -1187,7 +1286,7 @@ def index_phrase_search(
                 *([ix.gseq_col().alias("gseq")] if n_del else []))
     )
     matched = blocks.groupBy("shard_id").applyInPandas(
-        _phrase_match_fn(q_phrases, tombstones=tomb),
+        _phrase_match_fn(q_phrases, tombstones=tomb, slop=slop),
         schema=PHRASE_MATCH_SCHEMA,
     )
     # materialize the (small) match stream once: the df-per-query count and
@@ -1314,6 +1413,8 @@ def index_search(
     b: float | None = None,
     direct: bool | None = None,
     mode: str = "or",
+    min_match: int | None = None,
+    exclude: dict[int, str] | None = None,
     _resolved: tuple | None = None,
 ) -> DataFrame:
     """Exact top-k BM25 from the index.
@@ -1377,6 +1478,29 @@ def index_search(
     bitwise identical); the doc-range sharding makes the coverage test
     group-local (see _sharded_topk_fn). Served by the 'sharded'
     strategy, both routes; composes with where=/k1/b/tombstones.
+
+    `min_match` (mode='or', 'sharded' strategy) is Lucene's
+    minimum-should-match: rank only docs matching >= that many DISTINCT
+    query tokens. A token absent from the corpus can never match, so a
+    query whose corpus-present distinct tokens number fewer than
+    min_match is unsatisfiable and returns no rows. min_match=1 is
+    plain OR; min_match >= the distinct-token count behaves like
+    mode='and'. Scores are the unchanged full BM25 sums of the
+    surviving docs; the coverage test is group-local and exact, same
+    as mode='and' (see _sharded_topk_fn). Composes with where=/k1/b/
+    tombstones/exclude, both routes.
+
+    `exclude` is Lucene's MUST_NOT: {query_id: "tokens ..."} — docs
+    containing ANY of that query's excluded tokens are dropped from its
+    result (scored docs only lose rows; idf/avgdl stay global, and
+    remaining scores are bitwise unchanged). An excluded token absent
+    from the corpus excludes nothing; a user-typed token that is both
+    scored and excluded in the SAME query raises (always-empty by
+    construction) — except under prefix expansion, where excluding one
+    of a wildcard's own expansions ("w07*" minus "w0777") is legitimate
+    and simply drops that token's docs. 'sharded' strategy, both
+    routes; composes with mode/min_match/where=/k1/b/tombstones and
+    with prefix search (exclusion tokens are exact, never expanded).
 
     `_resolved` (internal) bypasses _query_weights with pre-expanded
     (weights, occ) — the prefix-search entry point resolves wildcard
@@ -1457,6 +1581,72 @@ def index_search(
             else:
                 del occ[qid]
         weights = [r for r in weights if r[0] in occ]
+    if min_match is not None:
+        if mode == "and":
+            raise ValueError(
+                "min_match composes with mode='or' only (mode='and' is "
+                "already full coverage)"
+            )
+        if _resolved is not None:
+            raise ValueError(
+                "min_match does not compose with prefix expansion "
+                "(coverage over expanded synonym sets is undefined)"
+            )
+        if strategy != "sharded":
+            raise ValueError(
+                "min_match is served by the 'sharded' strategy only"
+            )
+        if not isinstance(min_match, int) or min_match < 1:
+            raise ValueError(
+                f"min_match must be an int >= 1, got {min_match!r}"
+            )
+        if min_match > 1:  # 1 is plain OR
+            and_need = {}
+            for qid in list(occ):
+                if len({t for t, _ in occ[qid]}) >= min_match:
+                    and_need[qid] = min_match
+                else:
+                    # fewer corpus-present distinct tokens than required:
+                    # unsatisfiable, drop driver-side (mirrors the SQL
+                    # oracle, where no doc can reach the HAVING threshold)
+                    del occ[qid]
+            weights = [r for r in weights if r[0] in occ]
+    excl_map: dict[int, list[str]] | None = None
+    if exclude:
+        if strategy != "sharded":
+            raise ValueError(
+                "exclude is served by the 'sharded' strategy only"
+            )
+        ex_tokens = {qid: tokenize_py(txt) for qid, txt in exclude.items()}
+        # user-typed exact tokens that are both scored and excluded make
+        # the query always-empty — an error worth raising. In _resolved
+        # (prefix) mode occ holds vocabulary EXPANSIONS, and "w07* minus
+        # w0777" is a legitimate query: exclusion simply drops every doc
+        # containing the token (its scoring occurrence only ever lands on
+        # docs that are dropped), so no check there.
+        if _resolved is None:
+            for qid, toks in ex_tokens.items():
+                if qid in occ:
+                    ov = {t for t, _ in occ[qid]} & set(toks)
+                    if ov:
+                        raise ValueError(
+                            f"query {qid} both scores and excludes "
+                            f"{sorted(ov)} — always empty by construction"
+                        )
+        all_ex = sorted({t for toks in ex_tokens.values() for t in toks})
+        if all_ex:
+            # vocabulary membership only: a corpus-absent excluded token
+            # excludes nothing (no postings to match)
+            stats_ex = ix.term_stats_lookup(all_ex)
+            excl_map = {}
+            for qid, toks in ex_tokens.items():
+                if qid not in occ:
+                    continue
+                present_ex = sorted({t for t in toks if t in stats_ex})
+                if present_ex:
+                    excl_map[qid] = present_ex
+            if not excl_map:
+                excl_map = None
     if not weights:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"
@@ -1529,6 +1719,7 @@ def index_search(
             return _direct_search(
                 ix, weights, occ, eff_k1, eff_b, k, tomb,
                 strategy=strategy, derived=derived, and_need=and_need,
+                exclude=excl_map,
             )
         # auto-split only the dense sharded kernel: WAND's block pruning
         # already bounds its per-group work, and finer groups just multiply
@@ -1554,7 +1745,11 @@ def index_search(
             if strategy == "blockmax"
             else []
         )
-        terms = sorted({t for _, t, *_ in weights})
+        terms = sorted(
+            {t for _, t, *_ in weights}
+            | ({t for ts in excl_map.values() for t in ts}
+               if excl_map else set())
+        )
         buckets = sorted({spark_pmod_bucket(t, ix.num_term_buckets) for t in terms})
         blocks = (
             ix.postings()
@@ -1641,7 +1836,7 @@ def index_search(
                 else _sharded_topk_fn(
                     occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
                     cogroup=True, has_qual=has_qual, tombstones=tomb,
-                    and_need=and_need,
+                    and_need=and_need, exclude=excl_map,
                 )
             )
             shard_tops = (
@@ -1658,7 +1853,7 @@ def index_search(
             if strategy == "blockmax"
             else _sharded_topk_fn(
                 occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
-                tombstones=tomb, and_need=and_need,
+                tombstones=tomb, and_need=and_need, exclude=excl_map,
             )
         )
         shard_tops = blocks.groupBy(group_key).applyInPandas(

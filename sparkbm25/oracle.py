@@ -66,7 +66,9 @@ class OracleIndex:
                allowed: set | None = None,
                k1: float | None = None,
                b: float | None = None,
-               mode: str = "or") -> list[tuple[int, float]]:
+               mode: str = "or",
+               min_match: int | None = None,
+               exclude: str | None = None) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc, doc_id asc tie-break.
 
         Accumulates per query-term occurrence (duplicate query terms count
@@ -97,6 +99,22 @@ class OracleIndex:
             acc = {
                 d: s for d, s in acc.items()
                 if all(d in self.postings.get(t, {}) for t in toks)
+            }
+        if min_match is not None and min_match > 1:
+            # minimum-should-match: >= min_match DISTINCT query tokens
+            # must match (a corpus-absent token can never match)
+            toks = set(tokenize_py(query_text))
+            acc = {
+                d: s for d, s in acc.items()
+                if sum(d in self.postings.get(t, {}) for t in toks)
+                >= min_match
+            }
+        if exclude is not None:
+            # MUST_NOT: drop docs containing ANY excluded token
+            ex = set(tokenize_py(exclude))
+            acc = {
+                d: s for d, s in acc.items()
+                if not any(d in self.postings.get(t, {}) for t in ex)
             }
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
@@ -141,12 +159,15 @@ class OracleIndex:
         allowed: set | None = None,
         k1: float | None = None, b: float | None = None,
         mode: str = "or",
+        min_match: int | None = None,
+        exclude: dict[int, str] | None = None,
     ) -> list[tuple[int, int, int, float]]:
         """[(query_id, rank(1-based), doc_id, score)] over a query set."""
         out = []
         for qid, qtext in queries:
             ranked = self.search(qtext, k, allowed=allowed, k1=k1, b=b,
-                                 mode=mode)
+                                 mode=mode, min_match=min_match,
+                                 exclude=(exclude or {}).get(qid))
             for rank, (doc_id, score) in enumerate(ranked, start=1):
                 out.append((qid, rank, doc_id, score))
         return out

@@ -30,6 +30,8 @@ def bm25_topk_sql(
     k1: float | None = None,
     b: float | None = None,
     mode: str = "or",
+    min_match: int | None = None,
+    exclude: dict[int, str] | None = None,
 ) -> str:
     """Full BM25 top-k in one DuckDB query (rank over raw score, score
     rounded only in the projection — the Spark side does the same).
@@ -50,7 +52,18 @@ def bm25_topk_sql(
     ``mode='and'`` keeps only docs matching EVERY distinct query token
     (conjunctive retrieval): the per-doc matched-distinct-term count
     must equal the query's distinct-token count — a token absent from
-    the corpus therefore empties that query, exactly like the engine."""
+    the corpus therefore empties that query, exactly like the engine.
+
+    ``min_match`` (minimum-should-match) keeps docs matching >= that
+    many distinct query tokens; a query with fewer corpus-present
+    distinct tokens than the threshold returns no rows (no doc can
+    reach it), exactly like the engine's driver-side drop.
+
+    ``exclude`` ({query_id: "tokens ..."}) drops docs containing ANY of
+    that query's excluded tokens (MUST_NOT), via an anti-join on a
+    second per-query token list — scores of the surviving docs are
+    untouched."""
+    from .analysis import tokenize_py
     toks = DUCKDB_TOKENS.format(col=text_col)
     idf = idf_sql("tdf.df", "cs.n")
     kw = {}
@@ -72,6 +85,12 @@ def bm25_topk_sql(
         cand_filter = ""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if mode == "and" and min_match is not None:
+        raise ValueError("min_match composes with mode='or' only")
+    need_cte = ""
+    nmatched_col = ""
+    and_join = ""
+    ranked_preds = []
     if mode == "and":
         # qt has one row per distinct (query, token): its count per query
         # is the conjunction's requirement
@@ -84,10 +103,32 @@ def bm25_topk_sql(
             "\n  JOIN qneed ON qneed.query_id = scores.query_id "
             "AND scores.nmatched = qneed.need"
         )
+    elif min_match is not None and min_match > 1:
+        nmatched_col = ",\n         count(DISTINCT tf.term) AS nmatched"
+        ranked_preds.append(f"scores.nmatched >= {int(min_match)}")
+    ex_rows = sorted(
+        {
+            (qid, t)
+            for qid, txt in (exclude or {}).items()
+            for t in tokenize_py(txt)
+        }
+    )
+    if ex_rows:
+        # terms are tokenizer output ([a-z0-9]+): inline-safe
+        vals = ", ".join(f"({qid}, '{t}')" for qid, t in ex_rows)
+        xt_cte = f"\nxt AS (SELECT * FROM (VALUES {vals}) AS x(query_id, term)),"
+        tf_term_src = "SELECT term FROM qt UNION SELECT term FROM xt"
+        ranked_preds.append(
+            "NOT EXISTS (SELECT 1 FROM tf x JOIN xt "
+            "ON xt.term = x.term AND xt.query_id = scores.query_id "
+            "WHERE x.doc_id = scores.doc_id)"
+        )
     else:
-        need_cte = ""
-        nmatched_col = ""
-        and_join = ""
+        xt_cte = ""
+        tf_term_src = "SELECT term FROM qt"
+    ranked_where = (
+        "\n  WHERE " + "\n    AND ".join(ranked_preds) if ranked_preds else ""
+    )
     return f"""
 WITH q AS (SELECT * FROM {_values_clause(queries)}),
 qt AS (
@@ -101,10 +142,10 @@ cs AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dstats),
 tf AS (
   SELECT doc_id, t.term, count(*) AS tf
   FROM toks, unnest(ts) AS t(term)
-  WHERE t.term IN (SELECT term FROM qt)
+  WHERE t.term IN ({tf_term_src})
   GROUP BY 1, 2
 ),
-tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),{cand_cte}{need_cte}
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),{cand_cte}{need_cte}{xt_cte}
 scores AS (
   SELECT qt.query_id, tf.doc_id,
          sum(qt.qtf * {idf} * {tfn}) AS score{nmatched_col}
@@ -119,7 +160,7 @@ ranked AS (
   SELECT scores.query_id, doc_id, score,
          row_number() OVER (PARTITION BY scores.query_id
                             ORDER BY score DESC, doc_id ASC) AS rank
-  FROM scores{and_join}
+  FROM scores{and_join}{ranked_where}
 )
 SELECT query_id, rank, doc_id, round(score, {round_dp}) AS score
 FROM ranked WHERE rank <= {k}
@@ -133,30 +174,66 @@ def phrase_topk_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_dp: int = 6,
+    slop: int = 0,
 ) -> str:
     """DuckDB oracle for PHRASE top-k: per doc, count exact token-sequence
     occurrences positionally (``list_filter`` over candidate start
     offsets), then BM25-weight the phrase as one composite term —
     score = idf(df_phrase) * tf_norm(phrase_tf, dl) — matching
     index_phrase_search. Phrases tokenizing to nothing contribute no rows
-    (same as the engine)."""
+    (same as the engine).
+
+    ``slop`` > 0 is ordered proximity (index_phrase_search(slop=)):
+    consecutive terms separated by a gap in [1, slop+1]; ptf counts the
+    distinct first-term positions beginning >= 1 valid chain. Expressed
+    by unrolling every gap combination into an OR inside the start
+    filter — exact, and bounded by (slop+1)^(n-1) <= 256 arms per phrase
+    (refuses beyond that; the engine itself has no such bound)."""
+    from itertools import product
+
     from .analysis import tokenize_py
     from .bm25 import idf_sql, tf_norm_sql
 
+    if not isinstance(slop, int) or slop < 0:
+        raise ValueError(f"slop must be an int >= 0, got {slop!r}")
     toks = DUCKDB_TOKENS.format(col=text_col)
     arms = []
     for qid, text in phrases:
-        terms = tokenize_py(text)
+        terms = [t.replace("'", "''") for t in tokenize_py(text)]
         if not terms:
             continue
         n = len(terms)
-        conds = " AND ".join(
-            "ts[i+{}] = '{}'".format(j, t.replace("'", "''"))
-            for j, t in enumerate(terms)
-        )
+        if slop == 0:
+            conds = " AND ".join(
+                f"ts[i+{j}] = '{t}'" for j, t in enumerate(terms)
+            )
+            rng = f"range(1, greatest(len(ts) - {n - 1}, 0) + 1)"
+        else:
+            n_combos = (slop + 1) ** (n - 1)
+            if n_combos > 256:
+                raise ValueError(
+                    f"slop={slop} over a {n}-term phrase unrolls to "
+                    f"{n_combos} gap combinations (> 256): the SQL oracle "
+                    "refuses; shorten the phrase or lower slop"
+                )
+            head = f"ts[i] = '{terms[0]}'"
+            if n == 1:
+                conds = head
+            else:
+                combo_arms = []
+                for gaps in product(range(1, slop + 2), repeat=n - 1):
+                    off, parts = 0, []
+                    for g, t in zip(gaps, terms[1:]):
+                        off += g
+                        parts.append(f"ts[i+{off}] = '{t}'")
+                    combo_arms.append("(" + " AND ".join(parts) + ")")
+                conds = head + " AND (" + " OR ".join(combo_arms) + ")"
+            # out-of-range list indexing yields NULL -> lambda not TRUE,
+            # so the full start range is safe
+            rng = "range(1, len(ts) + 1)"
         arms.append(
             f"SELECT {qid} AS query_id, doc_id, len(ts) AS dl,\n"
-            f"  len(list_filter(range(1, greatest(len(ts) - {n - 1}, 0) + 1),"
+            f"  len(list_filter({rng},"
             f" i -> {conds})) AS ptf\nFROM toks"
         )
     if not arms:
