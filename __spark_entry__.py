@@ -200,6 +200,19 @@ def q_phrase_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("score", F.round("score", 6))
 
 
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search (ES terms-aggregation analog): per query, count ALL
+    docs matching >= 1 query token, grouped by the stored lang attribute.
+    Counting happens inside the doc-range cogrouped kernel (partials of at
+    most |values| rows per group) — one shuffle, no broadcast. Oracle:
+    distinct (query, doc) matches joined to the attribute, GROUP BY."""
+    from sparkbm25.facets import index_facets
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    return index_facets(Index(spark, ix_dir), DOC_QUERIES, by="lang")
+
+
 def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25F field-weighted ranking (VERDICT r04 next-round #7): title =
     first TITLE_TOKENS tokens at weight 2, body at weight 1, folded into
@@ -555,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_tuned": q_bm25_topk_tuned,
         "phrase_topk": q_phrase_topk,
         "phrase_near_topk": q_phrase_near_topk,
+        "search_facets": q_search_facets,
         "bm25f_topk": q_bm25f_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_msm_topk": q_bm25_msm_topk,
@@ -606,6 +620,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_near_topk": sqlgen.phrase_topk_sql(
             DOC_NEAR_PHRASES, k=K, slop=NEAR_SLOP
         ),
+        "search_facets": sqlgen.facets_sql(DOC_QUERIES, by="lang"),
         "bm25f_topk": _bm25f_topk_sql(DOC_QUERIES, k=K),
         "bm25_and_topk": sqlgen.bm25_topk_sql(DOC_QUERIES, k=K, mode="and"),
         "bm25_msm_topk": sqlgen.bm25_topk_sql(

@@ -281,13 +281,17 @@ def main() -> int:
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 timings[f"pipeline_{name}"] = round(time.time() - t0, 3)
-            # bm25f is new in r5: recorded in extras, NOT the headline
+            # surfaces new in r5: recorded in extras, NOT the headline
             # total (keeps `value` comparable with earlier rounds)
-            fn = entry_mod.queries().get("bm25f_topk")
-            if fn is not None:
-                t0 = time.time()
-                fn(spark, sf_dir).count()
-                extras["pipeline_bm25f_topk_s"] = round(time.time() - t0, 3)
+            for xname in ("bm25f_topk", "search_facets", "bm25_msm_topk",
+                          "bm25_not_topk", "phrase_near_topk"):
+                fn = entry_mod.queries().get(xname)
+                if fn is not None:
+                    t0 = time.time()
+                    fn(spark, sf_dir).count()
+                    extras[f"pipeline_{xname}_s"] = round(
+                        time.time() - t0, 3
+                    )
         except Exception as e:  # pipeline bench must not sink the headline
             extras["pipeline_error"] = str(e)[:200]
         # integrative curation op: recorded in extras, NOT in the headline

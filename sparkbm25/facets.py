@@ -1,0 +1,263 @@
+"""Faceted search: per-query document counts grouped by a stored
+attribute, over ALL docs matching >= 1 query token (disjunctive match —
+the candidate set of OR retrieval, not just the top-k page).
+
+The Elasticsearch terms-aggregation analog (the reference service itself
+exposes no aggregations — this widens SURVEY §2.5 T1 to the facet panel
+every search UI over transcripts needs). Reference provenance for the
+candidate-set semantics: the same match set OR scoring ranks,
+benchmarking/search/search_indices.py:30-39.
+
+Scale shape: posting blocks group by the doc-range shard key and COGROUP
+with the attribute side (doc_id -> value from live doc_stats, co-
+partitioned on the same key) — counting happens inside the kernel, so a
+group emits at most |distinct values| rows per query regardless of how
+many docs matched. One shuffle, partial-aggregate-sized output, no
+broadcast, no collect; composes with where=/where_expr (the side is
+pre-filtered, docs without a side row can't be counted) and with
+per-group tombstones (dead copies are masked at decode, exactly like the
+scoring kernels)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .analysis import tokenize_py
+from .codecs import dead_mask, segment_delta_restore, vbyte_decode
+from .jobs import TOMBSTONE_BROADCAST_MAX, Index
+
+FACET_SCHEMA = "query_id int, value string, n_docs long"
+
+
+def _facet_count_fn(q_tokens: dict[int, list[str]],
+                    tombstones: "tuple | None" = None):
+    """Cogrouped per-shard facet kernel.
+
+    Left: posting blocks (term, n_docs, docs_vbyte[, gseq]) of one
+    doc-range group. Right: this group's side rows — kind=0 attribute
+    rows (doc_id, value) for docs eligible to be counted (live + passing
+    any where= filter), kind=1 distributed tombstones (doc_id, seq)
+    overriding the closure pair past TOMBSTONE_BROADCAST_MAX.
+
+    Per query: matched ids = union of its present terms' (live) posting
+    ids; counts = value_counts over the side values of the matched ids
+    that HAVE a side row. Emits (query_id, value, n_docs) partials —
+    final sums happen plan-side (groupBy over the tiny partials)."""
+
+    def fn(key: tuple, blocks_pdf: pd.DataFrame,
+           side_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int32"),
+                "value": pd.Series(dtype="object"),
+                "n_docs": pd.Series(dtype="int64"),
+            }
+        )
+        if blocks_pdf.empty or side_pdf.empty:
+            return empty
+        kind = side_pdf["kind"].to_numpy()
+        attr_rows = kind == 0
+        if not attr_rows.any():
+            return empty
+        sids = side_pdf["doc_id"].to_numpy(dtype=np.int64)[attr_rows]
+        vals = side_pdf["value"].to_numpy()[attr_rows]
+        o = np.argsort(sids, kind="stable")
+        sids, vals = sids[o], vals[o]
+        tomb = tombstones
+        tm = kind == 1
+        if tm.any():
+            t_ids = side_pdf["doc_id"].to_numpy(dtype=np.int64)[tm]
+            t_seqs = side_pdf["seq"].to_numpy(dtype=np.int64)[tm]
+            to = np.argsort(t_ids)
+            tomb = (t_ids[to], t_seqs[to])
+
+        n_arr = blocks_pdf["n_docs"].to_numpy().astype(np.int64)
+        total = int(n_arr.sum())
+        if total == 0:
+            return empty
+        seg_starts = np.cumsum(n_arr) - n_arr
+        gaps = vbyte_decode(b"".join(blocks_pdf["docs_vbyte"]), total)
+        all_ids = segment_delta_restore(gaps, seg_starts, n_arr)
+        if tomb is not None and len(tomb[0]):
+            gseqs = np.repeat(
+                blocks_pdf["gseq"].to_numpy(np.int64), n_arr
+            )
+            alive = ~dead_mask(all_ids, gseqs, tomb[0], tomb[1])
+        else:
+            alive = None
+        # per-term row spans (a term may span several block rows)
+        terms_arr = blocks_pdf["term"].to_numpy()
+        spans: dict[str, list[np.ndarray]] = {}
+        for i in range(len(blocks_pdf)):
+            lo = int(seg_starts[i])
+            hi = lo + int(n_arr[i])
+            ids_i = all_ids[lo:hi]
+            if alive is not None:
+                ids_i = ids_i[alive[lo:hi]]
+            if len(ids_i):
+                spans.setdefault(terms_arr[i], []).append(ids_i)
+
+        rows_q, rows_v, rows_n = [], [], []
+        for qid, toks in q_tokens.items():
+            parts = [a for t in set(toks) for a in spans.get(t, ())]
+            if not parts:
+                continue
+            matched = (
+                parts[0] if len(parts) == 1 else np.unique(
+                    np.concatenate(parts)
+                )
+            )
+            pos = np.searchsorted(sids, matched)
+            pos_c = np.minimum(pos, len(sids) - 1)
+            valid = (pos < len(sids)) & (sids[pos_c] == matched)
+            if not valid.any():
+                continue
+            vc = pd.Series(vals[pos[valid]]).value_counts(dropna=False)
+            rows_q.append(np.full(len(vc), qid, dtype=np.int32))
+            rows_v.append(vc.index.to_numpy(dtype=object))
+            rows_n.append(vc.to_numpy(dtype=np.int64))
+        if not rows_q:
+            return empty
+        v_out = np.concatenate(rows_v)
+        # pandas value_counts surfaces NULL attrs as NaN; emit real None
+        # so Spark's string column carries NULL, matching SQL GROUP BY
+        v_out = np.array(
+            [None if (v is None or v != v) else v for v in v_out],
+            dtype=object,
+        )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(rows_q),
+                "value": v_out,
+                "n_docs": np.concatenate(rows_n),
+            }
+        )
+
+    return fn
+
+
+def index_facets(
+    ix: Index,
+    queries: list[tuple[int, str]],
+    by: str,
+    k_facets: int | None = None,
+    where: dict | None = None,
+    where_expr=None,
+) -> DataFrame:
+    """Per-query facet counts: (query_id, value, n_docs) where n_docs is
+    the number of live docs matching >= 1 of the query's tokens whose
+    stored attribute ``by`` equals ``value`` (NULL attrs count as the
+    NULL facet). ``k_facets`` keeps each query's top-N values
+    (deterministic: n_docs DESC, value ASC — the ES terms-agg order);
+    ``where``/``where_expr`` restrict countable docs exactly like
+    index_search's filtered retrieval.
+
+    The attribute must be stored at build time
+    (BuildParams(attr_cols=(by, ...))). A query with no corpus-present
+    token yields no rows."""
+    spark = ix.spark
+    if ix.shard_shift is None:
+        raise ValueError("facets need the doc-range shard layout")
+    from .xxhash64 import spark_pmod_bucket
+
+    q_tokens: dict[int, list[str]] = {}
+    for qid, text in queries:
+        toks = tokenize_py(text)
+        if toks:
+            # duplicate query_ids merge their token lists (index_search
+            # contract); duplicates within a query are harmless (set())
+            q_tokens.setdefault(qid, []).extend(toks)
+    empty = spark.createDataFrame([], FACET_SCHEMA)
+    if not q_tokens:
+        return empty
+
+    ds = ix.live_doc_stats()
+    if by not in ds.columns:
+        raise ValueError(
+            f"attribute {by!r} not stored in this index's doc_stats "
+            f"(build with BuildParams(attr_cols=...)); stored columns: "
+            f"{sorted(ds.columns)}"
+        )
+    missing = sorted(set(where or {}) - set(ds.columns))
+    if missing:
+        raise ValueError(
+            f"attributes {missing} not stored in this index's doc_stats; "
+            f"stored columns: {sorted(ds.columns)}"
+        )
+    side_src = ds
+    for c, v in (where or {}).items():
+        side_src = side_src.filter(
+            F.col(c).isin(*list(v))
+            if isinstance(v, (list, tuple, set))
+            else F.col(c) == v
+        )
+    if where_expr is not None:
+        side_src = side_src.filter(where_expr)
+
+    n_del = ix.n_deleted()
+    use_cotomb = n_del > TOMBSTONE_BROADCAST_MAX
+    tomb = (
+        ix.tombstones_pair() if (n_del and not use_cotomb) else None
+    )
+    terms = sorted({t for ts in q_tokens.values() for t in ts})
+    buckets = sorted(
+        {spark_pmod_bucket(t, ix.num_term_buckets) for t in terms}
+    )
+    need_gseq = n_del > 0
+    blocks = (
+        ix.postings()
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select(
+            "term", "shard_id", "n_docs", "docs_vbyte",
+            *([ix.gseq_col().alias("gseq")] if need_gseq else []),
+        )
+    )
+    sides = [
+        side_src.select(
+            "doc_id",
+            F.shiftright("doc_id", ix.shard_shift).alias("shard_id"),
+            F.col(by).cast("string").alias("value"),
+            F.lit(0).alias("kind"),
+            F.lit(0).cast("long").alias("seq"),
+        )
+    ]
+    if use_cotomb:
+        sides.append(
+            ix.tombstones_df().select(
+                "doc_id",
+                F.shiftright("doc_id", ix.shard_shift).alias("shard_id"),
+                F.lit(None).cast("string").alias("value"),
+                F.lit(1).alias("kind"),
+                F.col("del_seq").alias("seq"),
+            )
+        )
+    side = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+    partials = (
+        blocks.groupBy("shard_id")
+        .cogroup(side.groupBy("shard_id"))
+        .applyInPandas(
+            _facet_count_fn(q_tokens, tombstones=tomb),
+            schema=FACET_SCHEMA,
+        )
+    )
+    out = partials.groupBy("query_id", "value").agg(
+        F.sum("n_docs").alias("n_docs")
+    )
+    if k_facets is not None:
+        if not isinstance(k_facets, int) or k_facets < 1:
+            raise ValueError(
+                f"k_facets must be an int >= 1, got {k_facets!r}"
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("n_docs"), F.asc_nulls_last("value")
+        )
+        out = (
+            out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k_facets)
+            .drop("rn")
+        )
+    return out

@@ -388,3 +388,48 @@ tf AS (
 SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
 FROM tf GROUP BY term HAVING count(*) >= {min_df}
 """
+
+
+def facets_sql(
+    queries: list[tuple[int, str]],
+    by: str,
+    k_facets: int | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    filter_where: str | None = None,
+) -> str:
+    """DuckDB oracle for index_facets: per query, count docs sharing >= 1
+    distinct token with the query, grouped by the ``by`` attribute (cast
+    to VARCHAR like the engine side). ``k_facets`` keeps each query's
+    top-N values via the same deterministic order (n_docs DESC, value
+    ASC); ``filter_where`` restricts countable docs (the where= analog)."""
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    qv = _values_clause(queries)
+    fw = f"\n  WHERE {filter_where}" if filter_where else ""
+    limit = ""
+    if k_facets is not None:
+        limit = f"\nQUALIFY row_number() OVER (PARTITION BY query_id ORDER BY n_docs DESC, value ASC) <= {int(k_facets)}"
+    return f"""
+WITH q AS (SELECT * FROM {qv}),
+qt AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({DUCKDB_TOKENS.format(col='query_text')}) AS t(term)
+),
+toks AS (SELECT {id_col} AS doc_id, {by} AS attr, {toks} AS ts FROM {table}{fw}),
+dterms AS (
+  SELECT DISTINCT doc_id, t.term FROM toks, unnest(ts) AS t(term)
+  WHERE t.term IN (SELECT term FROM qt)
+),
+matches AS (
+  SELECT DISTINCT qt.query_id, dterms.doc_id
+  FROM dterms JOIN qt ON qt.term = dterms.term
+),
+counts AS (
+  SELECT m.query_id, CAST(d.attr AS VARCHAR) AS value,
+         count(*) AS n_docs
+  FROM matches m JOIN toks d ON d.doc_id = m.doc_id
+  GROUP BY 1, 2
+)
+SELECT query_id, value, n_docs FROM counts{limit}
+"""

@@ -29,16 +29,18 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SMALL_CONVS = 50_000
-BIG_CONVS = 500_000
-SMALL_VECS = 200_000
-BIG_VECS = 2_000_000
+SMALL_CONVS = int(os.environ.get("SF1P_SMALL_CONVS", 5_000))
+BIG_CONVS = int(os.environ.get("SF1P_BIG_CONVS", 50_000))
+SMALL_VECS = int(os.environ.get("SF1P_SMALL_VECS", 20_000))
+BIG_VECS = int(os.environ.get("SF1P_BIG_VECS", 200_000))
 DIM = 64
 
 
 def corpus_path(spark, n_convs: int) -> str:
     path = f"/tmp/sparkbm25_scale/transcripts_{n_convs}.parquet"
-    if not os.path.exists(path):
+    # _SUCCESS check: a dir left by a crashed writer has no footers and
+    # Spark's read fails with UNABLE_TO_INFER_SCHEMA — rewrite it
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from sparkbm25.fixtures import make_transcripts_df
 
         make_transcripts_df(spark, n_convs).write.mode("overwrite").parquet(
