@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .analysis import tokenize_py
 from .codecs import dead_mask, segment_delta_restore, vbyte_decode
-from .jobs import TOMBSTONE_BROADCAST_MAX, Index
+from .jobs import Index
 
 FACET_SCHEMA = "query_id int, value string, n_docs long"
 
@@ -161,6 +161,11 @@ def index_facets(
     spark = ix.spark
     if ix.shard_shift is None:
         raise ValueError("facets need the doc-range shard layout")
+    # late imports: TOMBSTONE_BROADCAST_MAX must be read at call time
+    # (tests lower it to force the distributed path), and the where=
+    # contract is the one filtered search uses — shared helper
+    from .index_query import filtered_live_stats
+    from .jobs import TOMBSTONE_BROADCAST_MAX
     from .xxhash64 import spark_pmod_bucket
 
     q_tokens: dict[int, list[str]] = {}
@@ -174,28 +179,13 @@ def index_facets(
     if not q_tokens:
         return empty
 
-    ds = ix.live_doc_stats()
-    if by not in ds.columns:
+    if by not in ix.live_doc_stats().columns:
         raise ValueError(
             f"attribute {by!r} not stored in this index's doc_stats "
             f"(build with BuildParams(attr_cols=...)); stored columns: "
-            f"{sorted(ds.columns)}"
+            f"{sorted(ix.live_doc_stats().columns)}"
         )
-    missing = sorted(set(where or {}) - set(ds.columns))
-    if missing:
-        raise ValueError(
-            f"attributes {missing} not stored in this index's doc_stats; "
-            f"stored columns: {sorted(ds.columns)}"
-        )
-    side_src = ds
-    for c, v in (where or {}).items():
-        side_src = side_src.filter(
-            F.col(c).isin(*list(v))
-            if isinstance(v, (list, tuple, set))
-            else F.col(c) == v
-        )
-    if where_expr is not None:
-        side_src = side_src.filter(where_expr)
+    side_src = filtered_live_stats(ix, where, where_expr)
 
     n_del = ix.n_deleted()
     use_cotomb = n_del > TOMBSTONE_BROADCAST_MAX

@@ -691,12 +691,10 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
     from .xxhash64 import spark_pmod_bucket
 
     spark = ix.spark
-    # MUST-NOT terms ride in the same block fetch (presence-only: the
-    # kernel gives them no scoring column)
-    terms = sorted(
-        {t for _, t, *_ in weights}
-        | ({t for ts in exclude.values() for t in ts} if exclude else set())
-    )
+    # the widened fetch list (scoring ∪ MUST-NOT terms) is computed ONCE
+    # in index_search (_fetch_terms) and shared with the exchange route,
+    # so the routes' bit-exactness can't drift on fetch scope
+    terms = _fetch_terms(weights, exclude)
     buckets = sorted(
         {spark_pmod_bucket(t, ix.num_term_buckets) for t in terms}
     )
@@ -1376,6 +1374,44 @@ def index_prefix_search(
     )
 
 
+def _fetch_terms(weights, exclude: dict[int, list[str]] | None) -> list[str]:
+    """The block-fetch term list: scoring terms ∪ MUST-NOT terms
+    (exclusion blocks ride the same fetch presence-only). One definition
+    shared by the direct and exchange routes — their bit-exactness
+    guarantee includes fetch scope."""
+    return sorted(
+        {t for _, t, *_ in weights}
+        | ({t for ts in exclude.values() for t in ts} if exclude else set())
+    )
+
+
+def filtered_live_stats(ix: Index, where: dict | None = None,
+                        where_expr=None) -> DataFrame:
+    """LIVE doc_stats restricted by the shared where=/where_expr filter
+    contract (filtered search AND facets route through here, so the
+    qualifying-doc semantics cannot diverge). Live rows only: a
+    re-ingested doc has a dead old doc_stats row whose stale attributes
+    must not qualify it."""
+    ds = ix.live_doc_stats()
+    missing = sorted(set(where or {}) - set(ds.columns))
+    if missing:
+        raise ValueError(
+            f"attributes {missing} not stored in this index's "
+            f"doc_stats (build with BuildParams(attr_cols=...)); "
+            f"stored columns: {sorted(ds.columns)}"
+        )
+    out = ds
+    for c, v in (where or {}).items():
+        out = out.filter(
+            F.col(c).isin(*list(v))
+            if isinstance(v, (list, tuple, set))
+            else F.col(c) == v
+        )
+    if where_expr is not None:
+        out = out.filter(where_expr)
+    return out
+
+
 def _auto_subsplit(ix: Index, parallelism: int, n_queries: int) -> int:
     """Search-time kernel sub-split factor (power of two).
 
@@ -1745,11 +1781,7 @@ def index_search(
             if strategy == "blockmax"
             else []
         )
-        terms = sorted(
-            {t for _, t, *_ in weights}
-            | ({t for ts in excl_map.values() for t in ts}
-               if excl_map else set())
-        )
+        terms = _fetch_terms(weights, excl_map)
         buckets = sorted({spark_pmod_bucket(t, ix.num_term_buckets) for t in terms})
         blocks = (
             ix.postings()
@@ -1790,25 +1822,7 @@ def index_search(
             key_shift = sub_shift if sub_shift is not None else ix.shard_shift
             sides = []
             if has_qual:
-                # LIVE rows only: a re-ingested doc has a dead old
-                # doc_stats row whose stale attributes must not qualify it
-                ds = ix.live_doc_stats()
-                missing = sorted(set(where or {}) - set(ds.columns))
-                if missing:
-                    raise ValueError(
-                        f"attributes {missing} not stored in this index's "
-                        f"doc_stats (build with BuildParams(attr_cols=...)); "
-                        f"stored columns: {sorted(ds.columns)}"
-                    )
-                qual = ds
-                for c, v in (where or {}).items():
-                    qual = qual.filter(
-                        F.col(c).isin(*list(v))
-                        if isinstance(v, (list, tuple, set))
-                        else F.col(c) == v
-                    )
-                if where_expr is not None:
-                    qual = qual.filter(where_expr)
+                qual = filtered_live_stats(ix, where, where_expr)
                 # co-partition qualifying ids on the SAME doc-range key as
                 # the blocks: a doc's group key is unique (no replication)
                 sides.append(qual.select(

@@ -45,6 +45,8 @@ def curate(
     langs: tuple[str, ...] = ("en",),
     n_bands: int = MH_BANDS,
     text_col: str = "text",
+    max_bucket: int | None = None,
+    min_band_collisions: int = 1,
 ) -> DataFrame:
     """(doc_id, exact_canonical, neardup_canonical, quality, lang_pred,
     kept) — one row per input doc; kept = 1 iff the doc survives ALL
@@ -60,11 +62,21 @@ def curate(
       rounded column is the one both engines hash-match, so the threshold
       compare is deterministic cross-engine);
     - lang_pred in langs.
+
+    ``max_bucket`` / ``min_band_collisions`` pass through to
+    minhash_lsh_pairs — the scale levers against the popular-shingle
+    mega-bucket candidate blowup (see its docstring for the quantified
+    miss bounds); defaults keep the exact classic-LSH behavior the
+    driver gate verifies.
     """
     base = df.select("doc_id")
     ex = exact_dedup(df, text_col).select("doc_id", "is_dup")
     clusters = connected_components(
-        minhash_lsh_pairs(df, jaccard_threshold, text_col, n_bands=n_bands)
+        minhash_lsh_pairs(
+            df, jaccard_threshold, text_col, n_bands=n_bands,
+            max_bucket=max_bucket,
+            min_band_collisions=min_band_collisions,
+        )
     )
     q = quality_score(df, text_col).select("doc_id", "quality")
     lang = lang_id(df, text_col).select("doc_id", "lang_pred")

@@ -398,6 +398,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     max_bucket: int | None = None,
     n_bands: int = MH_BANDS,
+    min_band_collisions: int = 1,
 ) -> DataFrame:
     """Near-dup pairs with exact Jaccard >= threshold, found via banded
     minhash LSH and verified exactly.
@@ -413,12 +414,40 @@ def minhash_lsh_pairs(
     minimum true-pair J is 0.8 at a 0.5 threshold) can halve signature
     cost with no practical recall change.
 
+    min_band_collisions (default 1 = classic LSH): require a candidate
+    pair to collide in >= m DISTINCT bands before exact verification —
+    collision counting (public-literature C2LSH-style). This is THE
+    scale lever against the popular-shingle mega-bucket pathology: one
+    globally common shingle whose hash happens to be tiny under some
+    band's functions owns that band's minimum for every doc containing
+    it, so the band degenerates into one bucket of size O(corpus) and
+    candidates grow quadratically while being almost entirely false
+    (measured at 550k transcript turns: 81.3M distinct candidates for
+    100 true pairs; >= 2 bands keeps 1.11M — a 73x verification cut).
+    A TRUE pair at J collides per band with p = J^2, so requiring m=2
+    raises the miss bound from (1-p)^b to (1-p)^b + b*p*(1-p)^(b-1):
+    2.3e-7 at exactly J=0.5 with b=64 — and 1e-26 at J=0.8. The count
+    is over the same shuffle the classic path's DISTINCT uses, so m=1
+    and m>1 cost the same up to the verify join.
+
     max_bucket (default None = exact): when set, band buckets larger than
     the cap are SKIPPED — an APPROXIMATION for adversarial boilerplate at
     extreme scale that can drop entire mega-clusters of near-identical
     docs (a 10^6-doc duplicate cluster otherwise implies ~10^12 candidate
     pairs). Production pipelines that set a cap should handle mega-clusters
-    separately via exact_dedup on the normalized text first."""
+    separately via exact_dedup on the normalized text first. Composes
+    with min_band_collisions (cap prunes the join's input, collision
+    count prunes its output)."""
+    if not isinstance(min_band_collisions, int) or min_band_collisions < 1:
+        raise ValueError(
+            "min_band_collisions must be an int >= 1, got "
+            f"{min_band_collisions!r}"
+        )
+    if min_band_collisions > n_bands:
+        raise ValueError(
+            f"min_band_collisions={min_band_collisions} can never be met "
+            f"with n_bands={n_bands}"
+        )
     bands = minhash_bands(df, text_col, n_bands)
     if max_bucket is not None:
         from pyspark.sql import Window
@@ -430,18 +459,25 @@ def minhash_lsh_pairs(
     # materialize once so the self-join doesn't recompute signatures twice
     bands = bands.localCheckpoint(eager=True)
     a, b_ = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    raw_pairs = a.join(
+        b_,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
+    if min_band_collisions > 1:
+        # a pair collides at most once per band (one row per (doc, band)),
+        # so the row count per (doc_a, doc_b) IS its distinct-band count
+        cand = (
+            raw_pairs.groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("_nb"))
+            .filter(F.col("_nb") >= min_band_collisions)
+            .drop("_nb")
+        )
+    else:
+        cand = raw_pairs.distinct()
     # exact verification on the candidate pairs only; shingles recomputed
     # ONLY for docs that appear in some candidate pair (semi-join pushes the
     # doc_id filter below the shingle expression — at near-dup densities
@@ -652,6 +688,7 @@ def _check_dedup_manifest(index_dir: str) -> dict:
 def dedup_index_query(
     spark, index_dir: str, new_docs: DataFrame,
     threshold: float, text_col: str = "text",
+    min_band_collisions: int = 1,
 ) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b, Jaccard >= threshold) TOUCHING the new
     batch: new-vs-indexed and new-vs-new, without recomputing corpus
@@ -661,9 +698,19 @@ def dedup_index_query(
     Jaccard only through ~2^-31-probability hash collisions, which is what
     makes cross-batch verification possible from the compact stored arrays.
     Assumes batch doc_ids are disjoint from indexed ones (the streaming
-    ingest audit enforces that invariant upstream)."""
+    ingest audit enforces that invariant upstream).
+
+    ``min_band_collisions``: same collision-counting scale lever as
+    minhash_lsh_pairs (see its docstring for the miss bounds); counted
+    as DISTINCT colliding bands, because a new-vs-new pair matches the
+    self-union join twice per band while new-vs-stored matches once."""
     import os
 
+    if not isinstance(min_band_collisions, int) or min_band_collisions < 1:
+        raise ValueError(
+            "min_band_collisions must be an int >= 1, got "
+            f"{min_band_collisions!r}"
+        )
     _check_dedup_manifest(index_dir)
     # hash the batch's shingles ONCE: banding and verification both feed
     # from this checkpointed pass
@@ -677,7 +724,7 @@ def dedup_index_query(
         "doc_id", "band_id", "key"
     )
     all_bands = stored.unionByName(nb)
-    cand = (
+    raw_pairs = (
         nb.alias("a")
         .join(
             all_bands.alias("b"),
@@ -688,10 +735,19 @@ def dedup_index_query(
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.col("a.band_id").alias("band_id"),
         )
-        .distinct()
-        .localCheckpoint(eager=True)
     )
+    if min_band_collisions > 1:
+        cand = (
+            raw_pairs.groupBy("doc_a", "doc_b")
+            .agg(F.countDistinct("band_id").alias("_nb"))
+            .filter(F.col("_nb") >= min_band_collisions)
+            .drop("_nb")
+        )
+    else:
+        cand = raw_pairs.drop("band_id").distinct()
+    cand = cand.localCheckpoint(eager=True)
     stored_xs = spark.read.parquet(os.path.join(index_dir, "shingles"))
     xs_all = stored_xs.unionByName(new_xs)
     common = F.size(F.array_intersect("xs_a", "xs_b"))

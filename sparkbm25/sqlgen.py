@@ -87,6 +87,13 @@ def bm25_topk_sql(
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if mode == "and" and min_match is not None:
         raise ValueError("min_match composes with mode='or' only")
+    if min_match is not None and (
+        not isinstance(min_match, int) or min_match < 1
+    ):
+        # same validation as index_search: the oracle must refuse what
+        # the engine refuses, or the parity harness compares mismatched
+        # semantics instead of flagging the bad parameter
+        raise ValueError(f"min_match must be an int >= 1, got {min_match!r}")
     need_cte = ""
     nmatched_col = ""
     and_join = ""

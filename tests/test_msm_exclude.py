@@ -122,6 +122,12 @@ def test_msm_rejects_bad_compositions(spark, built):
         index_search(ix, q, min_match=0)
     with pytest.raises(ValueError, match="prefix expansion"):
         index_prefix_search(ix, [(0, "w01*")], min_match=2)
+    # the SQL-oracle generator refuses the same inputs the engine does
+    from sparkbm25.sqlgen import bm25_topk_sql
+
+    for bad in (0, -1, 2.5):
+        with pytest.raises(ValueError, match=">= 1"):
+            bm25_topk_sql(q, min_match=bad)
 
 
 # --- MUST_NOT exclusion -----------------------------------------------------
@@ -241,6 +247,36 @@ def test_exclude_with_tombstones(spark, corpus, tmp_path, oracle):
             if "w0004" not in text.split()}
     want = oracle.search_all(queries, k=K, allowed=alive, exclude=excl)
     got = index_search(ix, queries, k=K, exclude=excl).collect()
+    _assert_rank_identical(got, want)
+
+
+def test_msm_exclude_distributed_tombstones(spark, corpus, tmp_path,
+                                            oracle, monkeypatch):
+    """min_match and exclude under the DISTRIBUTED tombstone path
+    (n_deleted > TOMBSTONE_BROADCAST_MAX, forced to 1): tombstones
+    cogroup as kind=1 side rows and must interact correctly with the
+    coverage count and the exclusion positions."""
+    import sparkbm25.jobs as J
+    from sparkbm25.jobs import delete_docs
+
+    d = str(tmp_path / "ixdtx")
+    build_index(corpus, d, PARAMS, source_fingerprint="mxdt")
+    all_ids = [r.doc_id for r in corpus.collect()]
+    victims = all_ids[:10]
+    delete_docs(spark, d, victims)
+    monkeypatch.setattr(J, "TOMBSTONE_BROADCAST_MAX", 1)
+    ix = Index(spark, d)
+    alive = set(all_ids) - set(victims)
+    queries = make_queries(15)
+    want = oracle.search_all(queries, k=K, allowed=alive, min_match=2)
+    got = index_search(ix, queries, k=K, min_match=2,
+                       direct=False).collect()
+    _assert_rank_identical(got, want)
+    excl = {qid: "w0006" for qid, text in queries
+            if "w0006" not in text.split()}
+    want = oracle.search_all(queries, k=K, allowed=alive, exclude=excl)
+    got = index_search(ix, queries, k=K, exclude=excl,
+                       direct=False).collect()
     _assert_rank_identical(got, want)
 
 

@@ -67,6 +67,67 @@ def test_minhash_lsh_b32_equals_exact_jaccard(docs):
     assert len(exact) > 0
 
 
+def test_minhash_min_band_collisions_pair_identity(docs):
+    """Collision counting (min_band_collisions=2) finds EXACTLY the same
+    verified pairs as classic LSH on the fixture corpus: true pairs sit
+    at J >= 0.9, where the miss bound for m=2, b=64 is ~1e-40 — the 73x
+    candidate cut measured at 550k turns is free here."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    mbc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(
+            docs, 0.5, min_band_collisions=2
+        ).collect()
+    }
+    assert mbc == exact
+    assert len(exact) > 0
+
+
+def test_minhash_mega_bucket_planted(spark):
+    """The popular-shingle pathology, planted: many low-J docs sharing one
+    common shingle (they crowd a band bucket but are NOT near-dups) plus
+    two true near-dup pairs. min_band_collisions=2 must return exactly
+    the true pairs — dropping the crowd changes nothing."""
+    common = "the quick brown fox jumps"
+    rows = [(i, f"{common} unique{i}a unique{i}b unique{i}c unique{i}d")
+            for i in range(60)]
+    # true near-dups: long shared tails (J >> 0.5)
+    tail = " ".join(f"w{j}" for j in range(30))
+    rows += [(100, f"{tail} alpha"), (101, f"{tail} beta"),
+             (102, f"x0 {tail}"), (103, f"x1 {tail}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r.doc_a, r.doc_b) for r in D.jaccard_pairs(df, 0.5).collect()}
+    assert {(100, 101), (102, 103)} <= exact
+    for m in (1, 2):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in D.minhash_lsh_pairs(
+                df, 0.5, min_band_collisions=m
+            ).collect()
+        }
+        assert got == exact, m
+
+
+def test_minhash_min_band_collisions_validation(docs):
+    with pytest.raises(ValueError, match=">= 1"):
+        D.minhash_lsh_pairs(docs, 0.5, min_band_collisions=0)
+    with pytest.raises(ValueError, match="can never be met"):
+        D.minhash_lsh_pairs(docs, 0.5, n_bands=32, min_band_collisions=33)
+
+
+def test_curate_min_band_collisions_identity(spark, docs):
+    """curate(min_band_collisions=2) keeps the identical decision table on
+    the fixture corpus (the pass-through is the production scale shape)."""
+    from sparkbm25.pipeline.curate import curate
+
+    base = {tuple(r) for r in curate(docs).collect()}
+    mbc = {tuple(r) for r in curate(docs, min_band_collisions=2).collect()}
+    assert mbc == base
+
+
 def test_minhash_signature_shape(docs):
     r = D.minhash_signature(docs).first()
     assert len(r.sig) == D.MH_ROWS * D.MH_BANDS
@@ -366,6 +427,16 @@ def test_dedup_index_incremental_query(docs, tmp_path, spark):
             .collect()}
     assert len(want) > 0  # fixture has near-dups straddling the split
     assert got == want
+
+    # collision-counted variant finds the same pairs (distinct-band count
+    # handles the self-union's double-match of new-vs-new pairs)
+    got2 = {(r.doc_a, r.doc_b): r.jaccard
+            for r in D.dedup_index_query(
+                spark, d, new, 0.5, min_band_collisions=2
+            ).collect()}
+    assert got2 == want
+    with pytest.raises(ValueError, match=">= 1"):
+        D.dedup_index_query(spark, d, new, 0.5, min_band_collisions=0)
 
 
 def test_dedup_index_append_then_query(docs, tmp_path, spark):
