@@ -213,6 +213,27 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_facets(Index(spark, ix_dir), DOC_QUERIES, by="lang")
 
 
+SNIPPET_WINDOW = 3
+
+
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-UI result lines: the indexed top-k plus a snippet column —
+    the token window around each hit's FIRST query-term match (pure
+    Catalyst array ops over the shared tokenizer; results broadcast onto
+    the source scan). Oracle: the same window/array_to_string composition
+    over the bm25_topk SQL."""
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index
+    from sparkbm25.snippets import attach_snippets
+
+    ix_dir = _entry_index(spark, sf_dir)
+    top = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K)
+    out = attach_snippets(
+        top, _docs(spark, sf_dir), DOC_QUERIES, window=SNIPPET_WINDOW
+    )
+    return out.withColumn("score", F.round("score", 6))
+
+
 def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25F field-weighted ranking (VERDICT r04 next-round #7): title =
     first TITLE_TOKENS tokens at weight 2, body at weight 1, folded into
@@ -569,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "phrase_near_topk": q_phrase_near_topk,
         "search_facets": q_search_facets,
+        "search_snippets": q_search_snippets,
         "bm25f_topk": q_bm25f_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_msm_topk": q_bm25_msm_topk,
@@ -621,6 +643,9 @@ def oracle_sql() -> dict[str, str]:
             DOC_NEAR_PHRASES, k=K, slop=NEAR_SLOP
         ),
         "search_facets": sqlgen.facets_sql(DOC_QUERIES, by="lang"),
+        "search_snippets": sqlgen.snippets_sql(
+            DOC_QUERIES, k=K, window=SNIPPET_WINDOW
+        ),
         "bm25f_topk": _bm25f_topk_sql(DOC_QUERIES, k=K),
         "bm25_and_topk": sqlgen.bm25_topk_sql(DOC_QUERIES, k=K, mode="and"),
         "bm25_msm_topk": sqlgen.bm25_topk_sql(

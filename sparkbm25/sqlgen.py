@@ -440,3 +440,48 @@ counts AS (
 )
 SELECT query_id, value, n_docs FROM counts{limit}
 """
+
+
+def snippets_sql(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    window: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> str:
+    """DuckDB oracle for snippet-attached search: the bm25_topk_sql result
+    plus a ``snippet`` column — tokens[max(pos-window,1) .. pos+window]
+    joined by spaces, pos = the minimum 1-based index of any of the
+    query's distinct tokens in the doc (NULL snippet when none occurs).
+    Matches snippets.attach_snippets composed over index_search."""
+    base = bm25_topk_sql(queries, k=k, table=table, id_col=id_col,
+                         text_col=text_col, round_dp=round_dp)
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    qv = _values_clause(queries)
+    w = int(window)
+    return f"""
+WITH topk AS ({base}),
+q2 AS (SELECT * FROM {qv}),
+qt2 AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q2, unnest({DUCKDB_TOKENS.format(col='query_text')}) AS t(term)
+),
+toks2 AS (SELECT {id_col} AS doc_id, {toks} AS ts FROM {table}),
+snip AS (
+  SELECT tk.query_id, tk.rank, tk.doc_id, tk.score,
+         min(CASE WHEN list_position(toks2.ts, qt2.term) > 0
+                  THEN list_position(toks2.ts, qt2.term) END) AS pos,
+         any_value(toks2.ts) AS ts
+  FROM topk tk
+  JOIN toks2 ON toks2.doc_id = tk.doc_id
+  JOIN qt2 ON qt2.query_id = tk.query_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT query_id, rank, doc_id, score,
+       CASE WHEN pos IS NOT NULL THEN
+         array_to_string(ts[greatest(pos - {w}, 1) : pos + {w}], ' ')
+       END AS snippet
+FROM snip
+"""

@@ -128,7 +128,9 @@ def main() -> int:
     from sparkbm25.session import get_spark
 
     corpus_path = f"/tmp/sparkbm25_scale/transcripts_{args.convs}.parquet"
-    if not os.path.exists(corpus_path):
+    # _SUCCESS check: a crashed writer's dir has no footers and the read
+    # fails with UNABLE_TO_INFER_SCHEMA — rewrite it
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         spark = get_spark("scale-gen", cores=16)
         make_transcripts_df(spark, args.convs).write.mode("overwrite").parquet(
             corpus_path
