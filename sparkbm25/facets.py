@@ -179,13 +179,14 @@ def index_facets(
     if not q_tokens:
         return empty
 
-    if by not in ix.live_doc_stats().columns:
+    ds = ix.live_doc_stats()
+    if by not in ds.columns:
         raise ValueError(
             f"attribute {by!r} not stored in this index's doc_stats "
             f"(build with BuildParams(attr_cols=...)); stored columns: "
-            f"{sorted(ix.live_doc_stats().columns)}"
+            f"{sorted(ds.columns)}"
         )
-    side_src = filtered_live_stats(ix, where, where_expr)
+    side_src = filtered_live_stats(ix, where, where_expr, ds=ds)
 
     n_del = ix.n_deleted()
     use_cotomb = n_del > TOMBSTONE_BROADCAST_MAX

@@ -1386,13 +1386,16 @@ def _fetch_terms(weights, exclude: dict[int, list[str]] | None) -> list[str]:
 
 
 def filtered_live_stats(ix: Index, where: dict | None = None,
-                        where_expr=None) -> DataFrame:
+                        where_expr=None, ds: DataFrame | None = None
+                        ) -> DataFrame:
     """LIVE doc_stats restricted by the shared where=/where_expr filter
     contract (filtered search AND facets route through here, so the
     qualifying-doc semantics cannot diverge). Live rows only: a
     re-ingested doc has a dead old doc_stats row whose stale attributes
-    must not qualify it."""
-    ds = ix.live_doc_stats()
+    must not qualify it. ``ds`` lets a caller that already built the
+    live view reuse it instead of re-deriving the tombstone join."""
+    if ds is None:
+        ds = ix.live_doc_stats()
     missing = sorted(set(where or {}) - set(ds.columns))
     if missing:
         raise ValueError(

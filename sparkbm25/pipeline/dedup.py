@@ -711,7 +711,12 @@ def dedup_index_query(
             "min_band_collisions must be an int >= 1, got "
             f"{min_band_collisions!r}"
         )
-    _check_dedup_manifest(index_dir)
+    manifest = _check_dedup_manifest(index_dir)
+    if min_band_collisions > int(manifest["bands"]):
+        raise ValueError(
+            f"min_band_collisions={min_band_collisions} can never be met "
+            f"with the artifact's n_bands={manifest['bands']}"
+        )
     # hash the batch's shingles ONCE: banding and verification both feed
     # from this checkpointed pass
     new_xs = (

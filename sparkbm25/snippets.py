@@ -45,11 +45,14 @@ def attach_snippets(
     kept on each side of the first match."""
     if not isinstance(window, int) or window < 0:
         raise ValueError(f"window must be an int >= 0, got {window!r}")
-    qtoks = [
-        (qid, sorted(set(tokenize_py(text)))) for qid, text in queries
-    ]
+    # duplicate query_ids merge their token sets — the same contract as
+    # index_search (and the oracle's DISTINCT), so a dup-qid query list
+    # cannot fan result rows out through the join
+    merged: dict[int, set[str]] = {}
+    for qid, text in queries:
+        merged.setdefault(qid, set()).update(tokenize_py(text))
     qdf = results.sparkSession.createDataFrame(
-        [(q, t) for q, t in qtoks if t],
+        [(q, sorted(t)) for q, t in merged.items() if t],
         "query_id int, qtoks array<string>",
     )
     dtoks = tokens_col(text_col)
@@ -72,11 +75,11 @@ def attach_snippets(
     src = source.select(
         F.col(id_col).alias("doc_id"), dtoks.alias("dtoks")
     )
-    return (
-        results.join(F.broadcast(qdf), "query_id", "left")
-        .join(src, "doc_id")
-        .select(
-            *[c for c in results.columns],
-            snippet.alias("snippet"),
-        )
+    # explicit broadcast of the (top-k-sized) result rows: the kernel
+    # output's size estimate is unknown to Catalyst, which would
+    # otherwise plan a sort-merge join shuffling the whole source scan
+    left = results.join(F.broadcast(qdf), "query_id", "left")
+    return src.join(F.broadcast(left), "doc_id").select(
+        *[c for c in results.columns],
+        snippet.alias("snippet"),
     )

@@ -450,14 +450,23 @@ def snippets_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_dp: int = 6,
+    filter_where: str | None = None,
+    k1: float | None = None,
+    b: float | None = None,
 ) -> str:
     """DuckDB oracle for snippet-attached search: the bm25_topk_sql result
     plus a ``snippet`` column — tokens[max(pos-window,1) .. pos+window]
     joined by spaces, pos = the minimum 1-based index of any of the
     query's distinct tokens in the doc (NULL snippet when none occurs).
-    Matches snippets.attach_snippets composed over index_search."""
+    Matches snippets.attach_snippets composed over index_search;
+    ``filter_where``/``k1``/``b`` forward to the base ranking SQL so the
+    oracle covers the same filtered/tuned compositions the engine does."""
+    if not isinstance(window, int) or window < 0:
+        # engine/oracle refusal parity (attach_snippets validates the same)
+        raise ValueError(f"window must be an int >= 0, got {window!r}")
     base = bm25_topk_sql(queries, k=k, table=table, id_col=id_col,
-                         text_col=text_col, round_dp=round_dp)
+                         text_col=text_col, round_dp=round_dp,
+                         filter_where=filter_where, k1=k1, b=b)
     toks = DUCKDB_TOKENS.format(col=text_col)
     qv = _values_clause(queries)
     w = int(window)

@@ -437,6 +437,10 @@ def test_dedup_index_incremental_query(docs, tmp_path, spark):
     assert got2 == want
     with pytest.raises(ValueError, match=">= 1"):
         D.dedup_index_query(spark, d, new, 0.5, min_band_collisions=0)
+    # unsatisfiable vs the artifact's pinned band count: loud, not empty
+    with pytest.raises(ValueError, match="can never be met"):
+        D.dedup_index_query(spark, d, new, 0.5,
+                            min_band_collisions=D.MH_BANDS + 1)
 
 
 def test_dedup_index_append_then_query(docs, tmp_path, spark):

@@ -79,9 +79,39 @@ def test_snippets_window_edges(spark, docs):
 
 
 def test_snippets_validation(spark, docs):
+    from sparkbm25.sqlgen import snippets_sql
+
     res = _fake_results(spark, [(0, "x")], [(1, "t")])
     with pytest.raises(ValueError, match="window"):
         attach_snippets(res, docs, [(0, "x")], window=-1)
+    # oracle-side refusal parity
+    for bad in (-1, 2.5):
+        with pytest.raises(ValueError, match="window"):
+            snippets_sql([(0, "x")], window=bad)
+
+
+def test_snippets_duplicate_qid_merges(spark, docs):
+    """Duplicate query_ids merge their token sets (the index_search / SQL
+    DISTINCT contract) — result rows must NOT fan out through the join."""
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    dup = [(0, "gamma"), (0, "zeta")]
+    res = _fake_results(spark, [(0, "gamma zeta")], rows)
+    merged = attach_snippets(res, docs, [(0, "gamma zeta")],
+                             window=2).collect()
+    got = attach_snippets(res, docs, dup, window=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, merged))
+    assert len(got) == len(rows)
+
+
+def test_snippets_plan_broadcasts_results(spark, docs):
+    """The result side must broadcast onto the source scan — a sort-merge
+    join here would shuffle the whole tokenized corpus per batch."""
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    res = _fake_results(spark, [(0, "gamma")], rows)
+    plan = attach_snippets(res, docs, [(0, "gamma")])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_snippets_sql_oracle_parity(spark, docs):

@@ -1,18 +1,22 @@
-"""sf1-scale PIPELINE bench: minhash dedup, curate, and IVF ANN at ~5.5M
-docs — the r04 BENCH_SF1 probe covered build/query only; this confirms (or
-refutes) the near-linear claims for the pipeline operators at 10x the
-driver-bench scale. The two watch items from the r04 verdict: the minhash
-banded self-join's candidate fan-out and curate's label-propagation
-closure rounds.
+"""Pipeline LINEARITY bench: minhash dedup (exact and collision-counted),
+curate, and IVF ANN at two scales >= 10x apart — the r04 BENCH_SF1 probe
+covered build/query only; this confirms (or refutes) the near-linear
+claims for the pipeline operators. It caught both r04 watch items for
+real: the banded self-join's candidate fan-out WAS superlinear
+(mega-bucket pathology; fixed by min_band_collisions, see BASELINE.md
+"Pipeline linearity at 10x") and curate inherits whatever minhash does.
 
-Method: each op runs on the SAME synthetic generator family at two scales
-(50k convs ~ 550k turns, and 500k convs ~ 5.5M turns), one warm-up at the
-small scale to amortize python-worker spawn. linearity_x = t_big /
-(10 * t_small): 1.0 = perfectly linear, < 1 = fixed-overhead amortization,
-> 1 = superlinear (a scale bug, like the r04 WAND np.isin find).
+Method: each op runs on the SAME synthetic generator family at two
+scales (defaults: 5k convs ~ 55k turns and 50k convs ~ 550k turns —
+cut 10x from the first recorded run because the exact path costs hours
+beyond that; SF1P_SMALL_CONVS / SF1P_BIG_CONVS / SF1P_SMALL_VECS /
+SF1P_BIG_VECS restore any scale, and every record carries its own
+n_docs/n_vecs). One warm-up at the small scale amortizes python-worker
+spawn. linearity_x = t_big / (measured_ratio * t_small): 1.0 = linear,
+< 1 = fixed-overhead amortization, > 1 = superlinear (a scale bug).
 
 ANN embeddings are generated deterministically in-plan (64-dim, seeded
-F.rand per component) at 200k / 2M vectors.
+F.rand per component).
 
 Usage: python tools/sf1_pipeline_bench.py [--out BENCH_SF1_PIPELINE.json]
 """
