@@ -213,6 +213,21 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_facets(Index(spark, ix_dir), DOC_QUERIES, by="lang")
 
 
+EXPLAIN_K = 5
+
+
+def q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-`explain` analog: per-term BM25 score breakdown for each
+    top-EXPLAIN_K hit — (term, qtf, tf, doc_len, df, idf, tf_norm,
+    contrib) rows whose contribs sum to the hit's score. One Arrow tf
+    pass; ranks from the identical canonical-fold scoring. Oracle: the
+    same contribution projection joined to the ranked CTE."""
+    from sparkbm25.query import explain_scores
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return explain_scores(docs, DOC_QUERIES, k=EXPLAIN_K)
+
+
 SNIPPET_WINDOW = 3
 
 
@@ -591,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_near_topk": q_phrase_near_topk,
         "search_facets": q_search_facets,
         "search_snippets": q_search_snippets,
+        "score_explain": q_score_explain,
         "bm25f_topk": q_bm25f_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_msm_topk": q_bm25_msm_topk,
@@ -646,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
         "search_snippets": sqlgen.snippets_sql(
             DOC_QUERIES, k=K, window=SNIPPET_WINDOW
         ),
+        "score_explain": sqlgen.explain_sql(DOC_QUERIES, k=EXPLAIN_K),
         "bm25f_topk": _bm25f_topk_sql(DOC_QUERIES, k=K),
         "bm25_and_topk": sqlgen.bm25_topk_sql(DOC_QUERIES, k=K, mode="and"),
         "bm25_msm_topk": sqlgen.bm25_topk_sql(

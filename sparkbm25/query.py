@@ -190,3 +190,78 @@ def score_all_topk(
 ) -> DataFrame:
     """Top-k per query: (query_id, rank, doc_id, score)."""
     return topk_window(score_all(corpus, queries), k)
+
+
+def explain_scores(
+    corpus: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """Per-term BM25 score breakdown for each top-k hit — the Lucene
+    `explain` analog: one row per (query, hit, matched distinct term)
+    carrying every input of that term's contribution.
+
+    Columns: (query_id, rank, doc_id, term, qtf, tf, doc_len, df, idf,
+    tf_norm, contrib) where contrib = qtf * idf * tf_norm and the doc's
+    score is the sum of its contribs. idf/tf_norm/contrib are rounded to
+    6dp (the cross-engine rounding contract every scored driver query
+    uses: engine idf comes from CPython libm, the SQL oracle's from
+    DuckDB ln — <= 1 ulp apart, absorbed by the shared rounding).
+
+    Same plan family as score_all: one Arrow tf pass over the corpus,
+    tiny broadcast joins for query terms / idf, ranks from the identical
+    canonical-fold scoring, then the (small) top-k rows broadcast back
+    onto the per-term contribution stream — no corpus shuffle."""
+    spark = corpus.sparkSession
+    if n_docs is None or avgdl is None:
+        n_docs, avgdl = corpus_stats(doc_stats(corpus))
+    qocc = query_occurrences_df(spark, queries)
+    qt = qocc.groupBy("query_id", "term").agg(
+        F.count("*").cast("long").alias("qtf")
+    )
+    distinct_terms = qocc.select("term").distinct()
+    matched = doc_term_freqs(corpus).join(
+        F.broadcast(distinct_terms), "term"
+    )
+    matched.cache()
+    try:
+        df_rows = (
+            matched.groupBy("term").agg(F.count("*").alias("df")).collect()
+        )
+        idf_df = spark.createDataFrame(
+            [(r.term, int(r.df), idf_py(r.df, n_docs)) for r in df_rows],
+            "term string, df long, idf double",
+        )
+        occ_contrib = (
+            matched.join(F.broadcast(idf_df.select("term", "idf")), "term")
+            .join(F.broadcast(qocc), "term")
+            .withColumn("contrib", F.col("idf") * tf_norm_col(avgdl))
+        )
+        scored = occ_contrib.groupBy("query_id", "doc_id").agg(
+            canonical_score_sum().alias("score")
+        )
+        top = topk_window(scored, k).select("query_id", "rank", "doc_id")
+        tfn = tf_norm_col(avgdl)
+        rows = (
+            matched.join(F.broadcast(idf_df), "term")
+            .join(F.broadcast(qt), "term")
+            .join(F.broadcast(top), ["query_id", "doc_id"])
+            .select(
+                "query_id", "rank", "doc_id", "term",
+                "qtf",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("doc_len").cast("long").alias("doc_len"),
+                "df",
+                F.round("idf", 6).alias("idf"),
+                F.round(tfn, 6).alias("tf_norm"),
+                F.round(
+                    F.col("qtf").cast("double") * F.col("idf") * tfn, 6
+                ).alias("contrib"),
+            )
+        )
+        rows = rows.localCheckpoint(eager=True)
+    finally:
+        matched.unpersist()
+    return rows

@@ -494,3 +494,70 @@ SELECT query_id, rank, doc_id, score,
        END AS snippet
 FROM snip
 """
+
+
+def explain_sql(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> str:
+    """DuckDB oracle for query.explain_scores: one row per (query, top-k
+    hit, matched distinct term) with the contribution inputs — qtf, tf,
+    doc_len, df, idf, tf_norm, contrib = qtf*idf*tf_norm — rounded like
+    the engine (idf/tf_norm/contrib at ``round_dp``). Ranks come from the
+    same summed-score window as bm25_topk_sql."""
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    idf = idf_sql("tdf.df", "cs.n")
+    tfn = tf_norm_sql("tf.tf", "dstats.dl", "cs.avgdl")
+    return f"""
+WITH q AS (SELECT * FROM {_values_clause(queries)}),
+qt AS (
+  SELECT query_id, t.term, count(*) AS qtf
+  FROM q, unnest({DUCKDB_TOKENS.format(col='query_text')}) AS t(term)
+  GROUP BY 1, 2
+),
+toks AS (SELECT {id_col} AS doc_id, {toks} AS ts FROM {table}),
+dstats AS (SELECT doc_id, len(ts) AS dl FROM toks),
+cs AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dstats),
+tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM toks, unnest(ts) AS t(term)
+  WHERE t.term IN (SELECT term FROM qt)
+  GROUP BY 1, 2
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(qt.qtf * {idf} * {tfn}) AS score
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN tdf ON tdf.term = tf.term
+  JOIN dstats ON dstats.doc_id = tf.doc_id
+  CROSS JOIN cs
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.doc_id, qt.term,
+       CAST(qt.qtf AS BIGINT) AS qtf,
+       CAST(tf.tf AS BIGINT) AS tf,
+       CAST(dstats.dl AS BIGINT) AS doc_len,
+       CAST(tdf.df AS BIGINT) AS df,
+       round({idf}, {round_dp}) AS idf,
+       round({tfn}, {round_dp}) AS tf_norm,
+       round(qt.qtf * {idf} * {tfn}, {round_dp}) AS contrib
+FROM ranked r
+JOIN qt ON qt.query_id = r.query_id
+JOIN tf ON tf.doc_id = r.doc_id AND tf.term = qt.term
+JOIN tdf ON tdf.term = tf.term
+JOIN dstats ON dstats.doc_id = r.doc_id
+CROSS JOIN cs
+WHERE r.rank <= {k}
+"""
