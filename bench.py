@@ -284,7 +284,7 @@ def main() -> int:
             # surfaces new in r5: recorded in extras, NOT the headline
             # total (keeps `value` comparable with earlier rounds)
             for xname in ("bm25f_topk", "search_facets", "search_snippets",
-                          "bm25_msm_topk", "bm25_not_topk",
+                          "score_explain", "bm25_msm_topk", "bm25_not_topk",
                           "phrase_near_topk"):
                 fn = entry_mod.queries().get(xname)
                 if fn is not None:
