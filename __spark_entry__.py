@@ -213,6 +213,35 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_facets(Index(spark, ix_dir), DOC_QUERIES, by="lang")
 
 
+FUZZY_DIST, FUZZY_MAX_EXP = 1, 8
+# typo'd queries over the documents vocabulary: single-edit typos of
+# common testdata words (the engine must recover them via edit-distance
+# expansion), one clean token, and one token with no 1-edit neighbor
+DOC_FUZZY_QUERIES: list[tuple[int, str]] = [
+    (0, "sord table"),       # substitution typo + clean token
+    (1, "merge joim"),       # clean + substitution typo
+    (2, "windoq"),           # single typo'd token
+    (3, "batc group"),       # deletion typo + clean token
+    (4, "zzzzzzzz"),         # no 1-edit neighbor -> no rows
+]
+
+
+def q_bm25_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy retrieval (Lucene FuzzyQuery analog): every token expands to
+    vocabulary terms within FUZZY_DIST Levenshtein edits, capped to the
+    FUZZY_MAX_EXP highest-df expansions (df DESC, term ASC), each
+    scoring as one occurrence with its own idf. Oracle: the same
+    levenshtein-join expansion + cap window."""
+    from sparkbm25.index_query import index_fuzzy_search
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    out = index_fuzzy_search(Index(spark, ix_dir), DOC_FUZZY_QUERIES, k=K,
+                             max_dist=FUZZY_DIST,
+                             max_expansions=FUZZY_MAX_EXP)
+    return out.withColumn("score", F.round("score", 6))
+
+
 EXPLAIN_K = 5
 
 
@@ -607,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": q_search_facets,
         "search_snippets": q_search_snippets,
         "score_explain": q_score_explain,
+        "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
         "bm25f_topk": q_bm25f_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_msm_topk": q_bm25_msm_topk,
@@ -663,6 +693,10 @@ def oracle_sql() -> dict[str, str]:
             DOC_QUERIES, k=K, window=SNIPPET_WINDOW
         ),
         "score_explain": sqlgen.explain_sql(DOC_QUERIES, k=EXPLAIN_K),
+        "bm25_fuzzy_topk": sqlgen.fuzzy_topk_sql(
+            DOC_FUZZY_QUERIES, k=K, max_dist=FUZZY_DIST,
+            max_expansions=FUZZY_MAX_EXP,
+        ),
         "bm25f_topk": _bm25f_topk_sql(DOC_QUERIES, k=K),
         "bm25_and_topk": sqlgen.bm25_topk_sql(DOC_QUERIES, k=K, mode="and"),
         "bm25_msm_topk": sqlgen.bm25_topk_sql(

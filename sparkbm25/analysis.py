@@ -114,3 +114,25 @@ def tokenize_pandas_udf():
         return tokenize_series(texts)
 
     return _tok
+
+
+def levenshtein_py(a: str, b: str) -> int:
+    """Classic unit-cost edit distance — the same function Spark's
+    F.levenshtein and DuckDB's levenshtein() compute, so the driver-side
+    vocabulary cache path of fuzzy expansion agrees with both plan-side
+    and oracle-side matching."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(min(
+                prev[j] + 1,          # deletion
+                cur[j - 1] + 1,       # insertion
+                prev[j - 1] + (ca != cb),  # substitution
+            ))
+        prev = cur
+    return prev[-1]

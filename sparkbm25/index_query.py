@@ -1415,6 +1415,55 @@ def filtered_live_stats(ix: Index, where: dict | None = None,
     return out
 
 
+def index_fuzzy_search(
+    ix: Index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_dist: int = 1,
+    max_expansions: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 with FUZZY matching (Lucene FuzzyQuery analog): every
+    query token expands to the vocabulary terms within ``max_dist``
+    unit-cost edits of it (Levenshtein; the token itself at distance 0),
+    and each expansion scores as one occurrence at the token's query
+    position with ITS OWN idf, folded in term-asc order — identical
+    disjunctive multi-term semantics to index_prefix_search, and the
+    SQL-expressible one (sqlgen.fuzzy_topk_sql). Unlike Lucene there is
+    no similarity boost: expansions weigh by idf alone (closer terms are
+    usually rarer, so idf already de-weights wild expansions).
+
+    ``max_expansions`` caps each token's expansion to its N highest-df
+    terms (df DESC, term ASC — deterministic, replicated by the oracle);
+    max_dist=0 degenerates to plain index_search. Resolution happens
+    against the vocabulary artifact (Index.fuzzy_expand: preloaded-cache
+    fast path, or a windowed plan with the cap applied IN the plan);
+    the search itself delegates to index_search's kernels, so every
+    strategy/route/filter/override there serves fuzzy queries too."""
+    parsed: dict[int, list[str]] = {}
+    for qid, q in queries:
+        # a duplicated query_id merges its occurrences, like index_search
+        parsed.setdefault(qid, []).extend(tokenize_py(q))
+    stems = sorted({t for ts in parsed.values() for t in ts})
+    exp = (
+        ix.fuzzy_expand(stems, max_dist, max_expansions) if stems else {}
+    )
+    occ: dict[int, list[tuple[str, float]]] = {}
+    rows: list[tuple] = []
+    for qid, toks in parsed.items():
+        present: list[tuple[str, float, float]] = []
+        for t in toks:
+            for term, df, mtn in exp.get(t, ()):
+                present.append((term, idf_fn(df, ix.n_docs), mtn))
+        if not present:
+            continue
+        occ[qid] = [(t, w) for t, w, _ in present]
+        rows.extend(_weight_rows(qid, present))
+    return index_search(
+        ix, queries, k=k, _resolved=(rows, occ), **kwargs
+    )
+
+
 def _auto_subsplit(ix: Index, parallelism: int, n_queries: int) -> int:
     """Search-time kernel sub-split factor (power of two).
 

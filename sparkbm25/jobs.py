@@ -764,6 +764,50 @@ class Index:
         Spark jobs; otherwise one term_stats scan serves all stems
         (term_stats is the metadata artifact: |vocab| rows, not corpus
         rows)."""
+        return self._vocab_expand(
+            stems,
+            py_match=lambda t, s: t.startswith(s),
+            plan_cond=lambda: F.col("term").startswith(F.col("stem")),
+            max_expansions=max_expansions,
+        )
+
+    def fuzzy_expand(
+        self, stems: list[str], max_dist: int = 1,
+        max_expansions: int | None = None,
+    ) -> dict[str, list[tuple[str, int, float]]]:
+        """Vocabulary expansion for FUZZY query tokens: stem ->
+        [(term, df, max_tf_norm), ...] over every indexed term within
+        ``max_dist`` unit-cost edits (Levenshtein) of the stem — the
+        stem itself included at distance 0 when indexed. Same cap
+        contract and preloaded-cache / windowed-plan split as
+        prefix_expand; the plan path prunes with the length-difference
+        lower bound before F.levenshtein."""
+        if not isinstance(max_dist, int) or max_dist < 0:
+            raise ValueError(
+                f"max_dist must be an int >= 0, got {max_dist!r}"
+            )
+        from .analysis import levenshtein_py
+
+        return self._vocab_expand(
+            stems,
+            py_match=lambda t, s: (
+                abs(len(t) - len(s)) <= max_dist
+                and levenshtein_py(t, s) <= max_dist
+            ),
+            plan_cond=lambda: (
+                (F.abs(F.length("term") - F.length("stem")) <= max_dist)
+                & (F.levenshtein(F.col("term"), F.col("stem")) <= max_dist)
+            ),
+            max_expansions=max_expansions,
+        )
+
+    def _vocab_expand(
+        self, stems: list[str], py_match, plan_cond,
+        max_expansions: int | None,
+    ) -> dict[str, list[tuple[str, int, float]]]:
+        """Shared vocabulary-expansion body (prefix_expand /
+        fuzzy_expand): the match predicate is the only difference, so
+        cap order and the cache/plan routing cannot diverge."""
         if not stems:
             return {}
         # dedupe: a repeated stem must not double-append its matches
@@ -777,7 +821,7 @@ class Index:
                 if v is None:
                     continue
                 for s in stems:
-                    if t.startswith(s):
+                    if py_match(t, s):
                         out[s].append((t, v[0], v[1]))
         else:
             # big-vocabulary path: apply the per-stem cap IN the plan (a
@@ -797,10 +841,7 @@ class Index:
             j = (
                 self.term_stats()
                 .select("term", "df", "max_tf_norm")
-                .join(
-                    F.broadcast(stem_df),
-                    F.col("term").startswith(F.col("stem")),
-                )
+                .join(F.broadcast(stem_df), plan_cond())
             )
             if max_expansions is not None:
                 w = Window.partitionBy("stem").orderBy(

@@ -154,6 +154,42 @@ class OracleIndex:
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def search_fuzzy(
+        self, query_text: str, k: int = 10,
+        max_dist: int = 1,
+        max_expansions: int | None = None,
+        k1: float | None = None, b: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Fuzzy top-k: each token expands to every vocabulary term within
+        ``max_dist`` Levenshtein edits (capped to the ``max_expansions``
+        highest-df terms, df desc / term asc), each expansion folding as
+        one occurrence with its own idf in term-asc order at the token's
+        query position — index_fuzzy_search's semantics."""
+        from .analysis import levenshtein_py, tokenize_py
+
+        kw = {} if k1 is None else {"k1": k1}
+        if b is not None:
+            kw["b"] = b
+        acc: dict[int, float] = {}
+        for stem in tokenize_py(query_text):
+            terms = [
+                t for t in self.postings
+                if abs(len(t) - len(stem)) <= max_dist
+                and levenshtein_py(t, stem) <= max_dist
+            ]
+            if max_expansions is not None and len(terms) > max_expansions:
+                terms.sort(key=lambda t: (-len(self.postings[t]), t))
+                del terms[max_expansions:]
+            terms.sort()
+            for t in terms:
+                w = idf(self.df(t), self.n_docs)
+                for doc_id, tf in self.postings[t].items():
+                    acc[doc_id] = acc.get(doc_id, 0.0) + w * tf_norm(
+                        tf, self.doc_len[doc_id], self.avgdl, **kw
+                    )
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def search_all(
         self, queries: list[tuple[int, str]], k: int = 10,
         allowed: set | None = None,

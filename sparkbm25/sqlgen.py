@@ -561,3 +561,96 @@ JOIN dstats ON dstats.doc_id = r.doc_id
 CROSS JOIN cs
 WHERE r.rank <= {k}
 """
+
+
+def fuzzy_topk_sql(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_dist: int = 1,
+    max_expansions: int | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> str:
+    """DuckDB oracle for fuzzy top-k (index_fuzzy_search): every query
+    token joins the corpus vocabulary on levenshtein(term, token) <=
+    max_dist (length-difference prune first), each matched term scores
+    as an ordinary query term with its own idf, and ``max_expansions``
+    replicates the engine's deterministic per-token cap (df DESC, term
+    ASC) via a window over the expansion join."""
+    from .analysis import tokenize_py
+
+    if not isinstance(max_dist, int) or max_dist < 0:
+        raise ValueError(f"max_dist must be an int >= 0, got {max_dist!r}")
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    rows = []
+    for qid, text in queries:
+        counts: dict[str, int] = {}
+        for stem in tokenize_py(text):
+            counts[stem] = counts.get(stem, 0) + 1
+        for stem, qtf in counts.items():
+            rows.append(f"({qid}, '{stem}', {qtf})")
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS INT) AS query_id, CAST(NULL AS INT) AS "
+            "rank, CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) "
+            "AS score WHERE FALSE"
+        )
+    qp_values = ", ".join(rows)
+    idf = idf_sql("qt.df", "cs.n")
+    tfn = tf_norm_sql("tf.tf", "dstats.dl", "cs.avgdl")
+    cap_where = (
+        "" if max_expansions is None else f"\n  WHERE rn <= {max_expansions}"
+    )
+    match = (
+        f"abs(length(t.term) - length(qp.stem)) <= {max_dist} "
+        f"AND levenshtein(t.term, qp.stem) <= {max_dist}"
+    )
+    match_tdf = match.replace("t.term", "tdf.term")
+    return f"""
+WITH qp AS (
+  SELECT * FROM (VALUES {qp_values})
+  AS v(query_id, stem, qtf)
+),
+toks AS (SELECT {id_col} AS doc_id, {toks} AS ts FROM {table}),
+dstats AS (SELECT doc_id, len(ts) AS dl FROM toks),
+cs AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dstats),
+tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM toks, unnest(ts) AS t(term)
+  WHERE EXISTS (SELECT 1 FROM qp WHERE {match})
+  GROUP BY 1, 2
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+expanded AS (
+  SELECT qp.query_id, tdf.term, tdf.df, qp.qtf,
+         row_number() OVER (
+           PARTITION BY qp.query_id, qp.stem
+           ORDER BY tdf.df DESC, tdf.term ASC
+         ) AS rn
+  FROM qp JOIN tdf ON {match_tdf}
+),
+qt AS (
+  SELECT query_id, term, any_value(df) AS df, sum(qtf) AS qtf
+  FROM expanded{cap_where}
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(qt.qtf * {idf} * {tfn}) AS score
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dstats ON dstats.doc_id = tf.doc_id
+  CROSS JOIN cs
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, {round_dp}) AS score
+FROM ranked WHERE rank <= {k}
+"""
