@@ -93,12 +93,15 @@ def bm25f_score_topk(
     )
 
     dstats = _weighted_doc_stats(corpus, title_tokens, w_title, w_body)
+    # sum dlw as DOUBLE: with integer-valued weights every dlw is an
+    # integer and float64 addition of integers stays exact below 2^53
+    # (bit-identical to the oracle's sum regardless of order); a long
+    # cast here would silently TRUNCATE non-integer weights' dlw
     row = dstats.agg(
         F.count("*").alias("n"),
-        F.sum(F.col("dlw").cast("long")).alias("s"),
+        F.sum(F.col("dlw")).alias("s"),
     ).first()
     n_docs = int(row.n)
-    # exact integer sum / count: bit-identical to the oracle's sum(dl)/n
     avgdl_w = float(row.s) / n_docs
 
     wtf = wtf.cache()

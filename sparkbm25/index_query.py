@@ -1659,9 +1659,15 @@ def index_search(
         # membership included: a token absent from the whole corpus makes
         # the conjunction unsatisfiable, so the query drops here instead
         # of shipping to kernels that can never match it)
-        and_need = {}
+        # dup-qid merge contract: copies of a qid merge their token sets
+        # (occ is already merged), so the coverage requirement is the
+        # UNION of the copies' distinct tokens — comparing per-copy sets
+        # against the merged occ would silently empty dup-qid queries
+        need_toks: dict[int, set[str]] = {}
         for qid, qtext in queries:
-            toks = set(tokenize_py(qtext))
+            need_toks.setdefault(qid, set()).update(tokenize_py(qtext))
+        and_need = {}
+        for qid, toks in need_toks.items():
             if not toks or qid not in occ:
                 continue
             if len({t for t, _ in occ[qid]}) == len(toks):

@@ -79,6 +79,20 @@ class OracleIndex:
         (idf and avgdl do not depend on them). ``mode='and'`` keeps only
         docs containing EVERY distinct query token (a token absent from
         the corpus empties the result) — scores are unchanged full sums."""
+        # mirror the engine's validation: a typo'd mode must raise here
+        # too, or a parity test would compare OR vs OR and mask a gap
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        if min_match is not None:
+            if mode == "and":
+                raise ValueError(
+                    "min_match composes with mode='or' only (mode='and' "
+                    "is already full coverage)"
+                )
+            if not isinstance(min_match, int) or min_match < 1:
+                raise ValueError(
+                    f"min_match must be an int >= 1, got {min_match!r}"
+                )
         kw = {} if k1 is None else {"k1": k1}
         if b is not None:
             kw["b"] = b

@@ -107,14 +107,20 @@ def append_batch(
             ).write.mode("overwrite").parquet(ddir)
         )
         r_tmp = os.path.join(index_dir, f"_runs_spill_{g}")
-        blocks = build_postings(corpus_batch, params, stats, spill_dir=r_tmp)
-        # match the INDEX's existing layout: shard-dir files appended into
-        # a layout-1 tree would give heterogeneous partition depths, which
-        # Spark's partition discovery rejects; compaction upgrades
-        write_group_blocks(
-            blocks, gdir, layout=int(m["build"].get("posting_layout", 1))
-        )
-        shutil.rmtree(r_tmp, ignore_errors=True)
+        try:
+            blocks = build_postings(
+                corpus_batch, params, stats, spill_dir=r_tmp
+            )
+            # match the INDEX's existing layout: shard-dir files appended
+            # into a layout-1 tree would give heterogeneous partition
+            # depths, which Spark's partition discovery rejects;
+            # compaction upgrades
+            write_group_blocks(
+                blocks, gdir, layout=int(m["build"].get("posting_layout", 1))
+            )
+        finally:
+            # failed epochs must not leak spill dirs under index_dir
+            shutil.rmtree(r_tmp, ignore_errors=True)
         m["completed_groups"][g] = {
             "wall_s": round(time.time() - t0, 3),
             "postings_path": gdir,
