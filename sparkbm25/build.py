@@ -108,6 +108,15 @@ class BuildParams:
     # proximity queries at ~1 extra byte per token occurrence
     store_positions: bool = False
     tokenizer: str = "ascii_alnum_lower"
+    # materialize stage-1 SPIMI runs to staging parquet before the merge
+    # exchange. OFF by default: the merge partitions by HASH on
+    # (shard_id, term_bucket) — no sampling, so stage 1 runs exactly once
+    # and pipelines straight into the shuffle (measured at sf0.1: the r05
+    # spill cost −32% build throughput and 2× peak RSS vs this path).
+    # Turn ON for very long builds on shared storage where a durable
+    # stage boundary (resume the merge without re-tokenizing) is worth a
+    # full extra write+read of the runs.
+    spill_runs: bool = False
 
     def validate(self) -> None:
         if self.block_size < 8:
@@ -553,12 +562,22 @@ def build_postings(
     The macro-aggregation — analog of the reference's whole-dataset index
     fold (faiss_gpu_index_cagra_builder.py:227-279).
 
-    ``spill_dir``: materialize the stage-1 runs there before the range
-    partition. repartitionByRange SAMPLES its child to compute bounds,
-    which without the spill re-runs the tokenize+run kernel a second
-    time — measured 1.65x whole-build wall at 2.2M turns. Spilled runs
-    on (shared) storage are the classic disk-based SPIMI shape; the
-    caller owns deleting the dir once the block write commits."""
+    ``spill_dir``: when ``params.spill_runs`` (or a caller forces it by
+    passing a dir with the flag on), materialize the stage-1 runs there
+    before the merge exchange — the classic disk-based SPIMI shape for
+    very long builds on shared storage (a durable stage boundary: the
+    merge can resume without re-tokenizing). The DEFAULT path skips it:
+    the merge exchange is a plain HASH repartition on (shard_id,
+    term_bucket) — no child sampling, so stage 1 executes exactly once
+    and pipelines into the shuffle. (History: layout v2 first used
+    repartitionByRange(shard_id, term), whose sampling re-ran stage 1 —
+    1.65x build wall; the r05 spill fixed the double-compute but cost
+    −32% throughput and 2x peak RSS at sf0.1. Hash on exactly the two
+    write-partition columns needs neither: equal (shard_id, term) keys
+    share a (shard_id, term_bucket) hash key, so every run group still
+    merges whole, and a write task owns whole (bucket, shard) combos, so
+    the partitionBy("term_bucket", "shard_id") write stays
+    shard-CLUSTERED — layout 2 — with no extra shuffle.)"""
     n_parts = params.num_shards * params.salt_factor
     salted = corpus.select("doc_id", "text").repartition(
         n_parts, F.pmod(F.xxhash64("doc_id"), F.lit(n_parts))
@@ -567,23 +586,19 @@ def build_postings(
         _make_runs_gen(stats.shard_shift, params.store_positions),
         schema=RUN_SCHEMA,
     )
-    if spill_dir is not None:
+    if spill_dir is not None and params.spill_runs:
         runs.write.mode("overwrite").parquet(spill_dir)
         # explicit schema: an empty group's spill dir has no footers
         runs = corpus.sparkSession.read.schema(RUN_SCHEMA).parquet(spill_dir)
     merged_parts = max(params.num_shards, n_parts // 2)
-    # RANGE partitioning on (shard_id, term) — not the hash on (term,
-    # shard_id) of layouts < 2 — keeps each merge partition a contiguous
-    # shard slice, so the group write's partitionBy("term_bucket",
-    # "shard_id") produces shard-CLUSTERED files (layout 2) with NO extra
-    # shuffle: a write task touches ~1 shard x its buckets. Equal
-    # (shard_id, term) keys always land in one partition (range assignment
-    # is by key comparison), so every (term, shard) run group still merges
-    # whole; the gen's group-change detection is order-scheme agnostic.
-    # Balance: block rows are uniform (<= block_size postings each), so the
-    # sampled row-count ranges track bytes.
+    # Balance: num_shards*num_term_buckets hash keys over merged_parts
+    # (<= num_shards*salt_factor/2) partitions — >= 2*buckets keys per
+    # partition in expectation, and one key's bytes are bounded by
+    # shard_span*avgdl/num_term_buckets, so no partition can exceed a
+    # small multiple of the mean regardless of term skew.
+    bucket = F.pmod(F.xxhash64("term"), F.lit(params.num_term_buckets))
     blocks = (
-        runs.repartitionByRange(merged_parts, "shard_id", "term")
+        runs.repartition(merged_parts, F.col("shard_id"), bucket)
         .sortWithinPartitions("shard_id", "term")
         .mapInPandas(_make_merge_gen(params, stats.avgdl), schema=BLOCK_SCHEMA)
     )

@@ -621,8 +621,12 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             if tomb is not None else F.lit(0).alias("gseq"),
         )
         merged_parts = max(params.num_shards, 8)
+        # hash on the two write-partition columns (same scheme as
+        # build_postings): no child sampling — the blocks scan runs once —
+        # and the write stays shard-clustered (layout 2)
+        bucket = F.pmod(F.xxhash64("term"), F.lit(params.num_term_buckets))
         new_blocks = (
-            runs.repartitionByRange(merged_parts, "shard_id", "term")
+            runs.repartition(merged_parts, F.col("shard_id"), bucket)
             .sortWithinPartitions("shard_id", "term")
             .mapInPandas(
                 _make_merge_gen(params, new_avgdl, tombstones=tomb),
