@@ -302,7 +302,8 @@ def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkbm25.jobs import Index
 
     ix_dir = _entry_index(spark, sf_dir)
-    out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K, mode="and")
+    out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K, mode="and",
+                       strategy="blockmax")
     return out.withColumn("score", F.round("score", 6))
 
 
@@ -320,7 +321,7 @@ def q_bm25_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ix_dir = _entry_index(spark, sf_dir)
     out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K,
-                       min_match=MSM)
+                       min_match=MSM, strategy="blockmax")
     return out.withColumn("score", F.round("score", 6))
 
 
@@ -346,7 +347,7 @@ def q_bm25_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ix_dir = _entry_index(spark, sf_dir)
     out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K,
-                       exclude=NOT_EXCLUDE)
+                       exclude=NOT_EXCLUDE, strategy="blockmax")
     return out.withColumn("score", F.round("score", 6))
 
 

@@ -153,6 +153,18 @@ def main() -> int:
             lat.append(time.time() - t0)
     extras["query_p50_lowlat_s"] = round(statistics.median(lat), 3)
 
+    # direct-route searches also tolerate the sp shrink (kernel
+    # parallelism comes from the work-item df, so sp only sizes the
+    # skinny top-k merge — session.low_latency docstring, r06)
+    lat = []
+    with low_latency(spark, shuffle_partitions=4):
+        index_search(ix, queries[:1], k=10).count()
+        for qid, qtext in queries[:20]:
+            t0 = time.time()
+            index_search(ix, [(qid, qtext)], k=10).count()
+            lat.append(time.time() - t0)
+    extras["query_p50_lowlat_sp4_s"] = round(statistics.median(lat), 3)
+
     # --- block-max pruned strategy (the WAND path), subset ------------------
     t0 = time.time()
     index_search(ix, queries[:20], k=10, strategy="blockmax").count()
@@ -249,6 +261,28 @@ def main() -> int:
         t0 = time.time()
         index_search(ix, queries, k=10, mode="and").count()
         extras["query_and100_s"] = round(time.time() - t0, 3)
+        # r06: the same conjunctive batch on the PRUNED path (candidate-
+        # driven retrieval in the WAND kernel) vs the dense kernel above —
+        # the ratio pins "boolean surfaces served pruned" as a win, not
+        # just an availability claim
+        index_search(ix, queries[:2], k=10, mode="and",
+                     strategy="blockmax").count()
+        t0 = time.time()
+        index_search(ix, queries, k=10, mode="and",
+                     strategy="blockmax").count()
+        extras["query_and100_blockmax_s"] = round(time.time() - t0, 3)
+        extras["and_blockmax_ratio"] = round(
+            extras["query_and100_blockmax_s"] / extras["query_and100_s"], 3
+        )
+        index_search(ix, queries[:2], k=10, min_match=2,
+                     strategy="blockmax").count()
+        t0 = time.time()
+        index_search(ix, queries, k=10, min_match=2,
+                     strategy="blockmax").count()
+        extras["query_msm100_blockmax_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        index_search(ix, queries, k=10, min_match=2).count()
+        extras["query_msm100_s"] = round(time.time() - t0, 3)
         stems = sorted({qtext.split()[0][:3] for _, qtext in queries})[:20]
         pq = [(i, s + "*") for i, s in enumerate(stems)]
         index_prefix_search(ix, pq[:2], k=10, max_expansions=16).count()

@@ -710,6 +710,7 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
         kernel = _wand_topk_fn(
             occ, eff_k1, eff_b, ix.avgdl, k, None,
             derived_bounds=derived, tombstones=tomb,
+            and_need=and_need, exclude=exclude,
         )
     else:
         kernel = _sharded_topk_fn(
@@ -746,7 +747,9 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
                   sub_shift: int | None = None,
                   derived_bounds: bool = False,
                   cogroup: bool = False, has_qual: bool = False,
-                  tombstones: "tuple | None" = None):
+                  tombstones: "tuple | None" = None,
+                  and_need: dict[int, int] | None = None,
+                  exclude: dict[int, list[str]] | None = None):
     """Shard-local block-max WAND kernel: the module doc's 3-phase pruned
     traversal executed INSIDE the shard task on block metadata, so pruned
     search keeps the sharded path's one-shuffle plan (the DataFrame 3-phase
@@ -791,9 +794,33 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
       in descending lower-bound order and their LIVE QUALIFYING posting
       counts accumulate until k is proven (decodes cache, so phase 2
       reuses them). θ stays sound; pruning degrades gracefully with
-      mask selectivity instead of being refused."""
+      mask selectivity instead of being refused.
+
+    Round-6 unification — the boolean surfaces run pruned too:
+    - ``exclude`` ({query_id: [terms]}, Lucene MUST_NOT): each excluded
+      term's blocks decode into a per-query sorted id set applied at
+      ACCUMULATION time — excluded docs never enter P/CU, so τ stays
+      sound (an excluded doc holding the kth partial would over-prune a
+      true candidate), and the θ bootstrap switches to the decode-based
+      variant counting only non-excluded docs. Survivor scores are the
+      bitwise-unchanged OR sums (exclusion only ever drops whole docs).
+    - ``and_need`` ({query_id: required distinct-token coverage} —
+      mode='and' and minimum_should_match): these queries skip the θ/τ
+      machinery for CANDIDATE-DRIVEN conjunctive retrieval, the textbook
+      stronger pruning for mandatory terms. With d shard-present distinct
+      terms and requirement n, any covering doc must match one of the
+      d-n+1 rarest terms (missing all of them leaves at most n-1
+      matches), so those terms' postings form the candidate list; every
+      other term decodes only blocks whose [first_doc, last_doc] range
+      intersects it. Coverage is counted per candidate (group-local and
+      exact — a doc's postings live in its one doc-range group), scores
+      are the canonical-fold OR sums of covering docs restricted to
+      decoded-∩-candidates (survivors ⊆ candidates, so nothing is
+      lost) — bit-identical to the sharded kernel's post-fold filter."""
     EPS = 1e-9
     wanted = {t for tw in q_occ.values() for t, _ in tw}
+    if exclude:
+        wanted |= {t for ts in exclude.values() for t in ts}
 
     def _run(vs: int, pdf: pd.DataFrame,
              qual: "np.ndarray | None",
@@ -868,6 +895,30 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
                 td["dec"][j] = (ids, tfn)
             return td["dec"][j]
 
+        def _fold_select(tri_d: list, tri_p: list, tri_v: list):
+            """Canonical query-order summation per doc (lexsort by
+            (doc, qpos) then a STRICTLY SEQUENTIAL per-doc fold —
+            bit-identical to the oracle's per-occurrence accumulation;
+            np.add.reduceat is pairwise even for 4 elements) followed by
+            the top-k selection under (score desc, doc_id asc)."""
+            d_all = np.concatenate(tri_d)
+            p_all = np.concatenate(tri_p)
+            v_all = np.concatenate(tri_v)
+            order = np.lexsort((p_all, d_all))
+            d_s, v_s = d_all[order], v_all[order]
+            bounds = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+            counts = np.diff(np.r_[bounds, len(d_s)])
+            cs = np.zeros(len(bounds))
+            for r in range(int(counts.max())):  # <= #query occurrences
+                sel = counts > r
+                cs[sel] += v_s[bounds[sel] + r]
+            cd = d_s[bounds]
+            kk = min(k, len(cd))
+            kth = -np.partition(-cs, kk - 1)[kk - 1]
+            sel = np.flatnonzero(cs >= kth)
+            keep2 = sel[np.lexsort((cd[sel], -cs[sel]))][:k]
+            return cd[keep2], cs[keep2]
+
         rows_q, rows_d, rows_s = [], [], []
         for qid, tw_full in q_occ.items():
             # occurrences present in this shard, with their query positions
@@ -878,21 +929,111 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
             ]
             if not tw:
                 continue
+            # per-query MUST-NOT id set: excluded terms' blocks decode
+            # (cached, globally masked) into one sorted array applied at
+            # accumulation time below
+            ex_ids = None
+            if exclude and qid in exclude:
+                arrs = [
+                    dec(tdata[t], j)[0]
+                    for t in exclude[qid] if t in tdata
+                    for j in range(len(tdata[t]["n"]))
+                ]
+                arrs = [a for a in arrs if len(a)]
+                if arrs:
+                    ex_ids = np.unique(np.concatenate(arrs))
+                    if not len(ex_ids):
+                        ex_ids = None
+
+            if and_need is not None and qid in and_need:
+                # ---- candidate-driven conjunctive retrieval ----------
+                need = and_need[qid]
+                dterms = list(dict.fromkeys(t for _, t, _ in tw))
+                if len(dterms) < need:
+                    continue  # this doc range cannot cover the query
+                by_df = sorted(
+                    dterms, key=lambda t: int(tdata[t]["n"].sum())
+                )
+                gen_arrs = [
+                    dec(tdata[t], j)[0]
+                    for t in by_df[: len(dterms) - need + 1]
+                    for j in range(len(tdata[t]["n"]))
+                ]
+                gen_arrs = [a for a in gen_arrs if len(a)]
+                if not gen_arrs:
+                    continue
+                cand = np.unique(np.concatenate(gen_arrs))
+                if ex_ids is not None:
+                    cand = cand[~_in_sorted(cand, ex_ids)]
+                if not len(cand):
+                    continue
+                cov = np.zeros(len(cand), dtype=np.int32)
+                term_hits: dict[str, tuple] = {}
+                for t in dterms:
+                    td = tdata[t]
+                    # range-skip: only blocks overlapping the candidate
+                    # list can contribute (same searchsorted test as the
+                    # θ path's phase 3)
+                    lo = np.searchsorted(cand, td["first"], side="left")
+                    hi = np.searchsorted(cand, td["last"], side="right")
+                    idxs, vals = [], []
+                    for j in np.flatnonzero(hi > lo):
+                        ids, tfn = dec(td, int(j))
+                        if not len(ids):
+                            continue
+                        pos = np.searchsorted(cand, ids)
+                        pos_c = np.minimum(pos, len(cand) - 1)
+                        m = cand[pos_c] == ids
+                        if m.any():
+                            idxs.append(pos_c[m])
+                            vals.append(tfn[m])
+                    if idxs:
+                        pi = np.concatenate(idxs)
+                        cov[np.unique(pi)] += 1  # distinct-term coverage
+                        term_hits[t] = (pi, np.concatenate(vals))
+                covered = cov >= need
+                if not covered.any():
+                    continue
+                tri_d, tri_p, tri_v = [], [], []
+                for qpos, t, w in tw:
+                    th = term_hits.get(t)
+                    if th is None:
+                        continue
+                    pi, pv = th
+                    m = covered[pi]
+                    if m.any():
+                        tri_d.append(cand[pi[m]])
+                        tri_p.append(
+                            np.full(int(m.sum()), qpos, dtype=np.int32)
+                        )
+                        tri_v.append(w * pv[m])
+                if not tri_d:
+                    continue
+                cd2, cs2 = _fold_select(tri_d, tri_p, tri_v)
+                rows_q.append(np.full(len(cd2), qid, dtype=np.int32))
+                rows_d.append(cd2)
+                rows_s.append(cs2)
+                continue
+
             ub = {qpos: w * float(tdata[t]["maxt"].max()) for qpos, t, w in tw}
             S = sum(ub.values())
             # phase 1: θ bootstrap — "k docs provably score >= θ". From
             # metadata minima alone when unmasked; under tombstone/filter
-            # masks, from cached decodes in descending lower-bound order
-            # (only LIVE QUALIFYING docs may count toward the claim).
+            # masks (or a MUST-NOT set), from cached decodes in descending
+            # lower-bound order (only LIVE QUALIFYING NON-EXCLUDED docs
+            # may count toward the claim).
             theta = 0.0
             for qpos, t, w in tw:
                 td = tdata[t]
                 L = w * td["mint"]
-                if masked:
+                if masked or ex_ids is not None:
                     order = np.argsort(-L, kind="stable")
                     cnt = 0
                     for j in order:
-                        cnt += len(dec(td, int(j))[0])
+                        ids_j = dec(td, int(j))[0]
+                        if ex_ids is not None and len(ids_j):
+                            ids_j = ids_j[~_in_sorted(ids_j, ex_ids)]
+                        cnt += len(ids_j)
                         if cnt >= k:
                             theta = max(theta, float(L[j]))
                             break
@@ -922,6 +1063,9 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
                 surv = ub_b >= theta_eps
                 for j in np.flatnonzero(surv):
                     ids, tfn = dec(td, int(j))
+                    if ex_ids is not None and len(ids):
+                        mx = ~_in_sorted(ids, ex_ids)
+                        ids, tfn = ids[mx], tfn[mx]
                     parts.append((qpos, ids, w * tfn, ub[qpos]))
                 pr = np.flatnonzero(~surv)
                 if len(pr):
@@ -974,30 +1118,12 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
                     tri_d.append(ids[keep])
                     tri_p.append(np.full(int(keep.sum()), qpos, dtype=np.int32))
                     tri_v.append(w * tfn[keep])
-            # canonical query-order summation per doc: lexsort by
-            # (doc, qpos) then a STRICTLY SEQUENTIAL per-doc fold —
-            # bit-identical to the oracle's per-occurrence accumulation.
-            # (np.add.reduceat is pairwise even for 4 elements: (a+b)+(c+d)
-            # differs from ((a+b)+c)+d by an ulp — measured.)
-            d_all = np.concatenate(tri_d)
-            p_all = np.concatenate(tri_p)
-            v_all = np.concatenate(tri_v)
-            order = np.lexsort((p_all, d_all))
-            d_s, v_s = d_all[order], v_all[order]
-            bounds = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
-            counts = np.diff(np.r_[bounds, len(d_s)])
-            cs = np.zeros(len(bounds))
-            for r in range(int(counts.max())):  # <= #query occurrences
-                sel = counts > r
-                cs[sel] += v_s[bounds[sel] + r]
-            cd = d_s[bounds]
-            kk = min(k, len(cd))
-            kth = -np.partition(-cs, kk - 1)[kk - 1]
-            sel = np.flatnonzero(cs >= kth)
-            keep2 = sel[np.lexsort((cd[sel], -cs[sel]))][:k]
-            rows_q.append(np.full(len(keep2), qid, dtype=np.int32))
-            rows_d.append(cd[keep2])
-            rows_s.append(cs[keep2])
+            if not tri_d:
+                continue
+            cd2, cs2 = _fold_select(tri_d, tri_p, tri_v)
+            rows_q.append(np.full(len(cd2), qid, dtype=np.int32))
+            rows_d.append(cd2)
+            rows_s.append(cs2)
         if not rows_q:
             return empty
         return pd.DataFrame(
@@ -1566,6 +1692,8 @@ def index_search(
     bitwise identical); the doc-range sharding makes the coverage test
     group-local (see _sharded_topk_fn). Served by the 'sharded'
     strategy, both routes; composes with where=/k1/b/tombstones.
+    On 'blockmax' these queries run CANDIDATE-DRIVEN conjunctive
+    retrieval (see _wand_topk_fn) — the pruned production path.
 
     `min_match` (mode='or', 'sharded' strategy) is Lucene's
     minimum-should-match: rank only docs matching >= that many DISTINCT
@@ -1576,7 +1704,7 @@ def index_search(
     mode='and'. Scores are the unchanged full BM25 sums of the
     surviving docs; the coverage test is group-local and exact, same
     as mode='and' (see _sharded_topk_fn). Composes with where=/k1/b/
-    tombstones/exclude, both routes.
+    tombstones/exclude, both routes, 'sharded' and 'blockmax'.
 
     `exclude` is Lucene's MUST_NOT: {query_id: "tokens ..."} — docs
     containing ANY of that query's excluded tokens are dropped from its
@@ -1586,8 +1714,10 @@ def index_search(
     scored and excluded in the SAME query raises (always-empty by
     construction) — except under prefix expansion, where excluding one
     of a wildcard's own expansions ("w07*" minus "w0777") is legitimate
-    and simply drops that token's docs. 'sharded' strategy, both
-    routes; composes with mode/min_match/where=/k1/b/tombstones and
+    and simply drops that token's docs. 'sharded' and 'blockmax'
+    strategies (the WAND kernel filters excluded docs at accumulation
+    time so its τ bound stays sound), both routes; composes with
+    mode/min_match/where=/k1/b/tombstones and
     with prefix search (exclusion tokens are exact, never expanded).
 
     `_resolved` (internal) bypasses _query_weights with pre-expanded
@@ -1651,9 +1781,10 @@ def index_search(
         weights, occ = _query_weights(ix, queries)
     and_need: dict[int, int] | None = None
     if mode == "and":
-        if strategy != "sharded":
+        if strategy not in ("sharded", "blockmax"):
             raise ValueError(
-                "mode='and' is served by the 'sharded' strategy only"
+                "mode='and' is served by the 'sharded' and 'blockmax' "
+                "strategies only"
             )
         # required count = the query's distinct TOKENS (vocabulary
         # membership included: a token absent from the whole corpus makes
@@ -1686,9 +1817,10 @@ def index_search(
                 "min_match does not compose with prefix expansion "
                 "(coverage over expanded synonym sets is undefined)"
             )
-        if strategy != "sharded":
+        if strategy not in ("sharded", "blockmax"):
             raise ValueError(
-                "min_match is served by the 'sharded' strategy only"
+                "min_match is served by the 'sharded' and 'blockmax' "
+                "strategies only"
             )
         if not isinstance(min_match, int) or min_match < 1:
             raise ValueError(
@@ -1707,9 +1839,10 @@ def index_search(
             weights = [r for r in weights if r[0] in occ]
     excl_map: dict[int, list[str]] | None = None
     if exclude:
-        if strategy != "sharded":
+        if strategy not in ("sharded", "blockmax"):
             raise ValueError(
-                "exclude is served by the 'sharded' strategy only"
+                "exclude is served by the 'sharded' and 'blockmax' "
+                "strategies only"
             )
         ex_tokens = {qid: tokenize_py(txt) for qid, txt in exclude.items()}
         # user-typed exact tokens that are both scored and excluded make
@@ -1903,6 +2036,7 @@ def index_search(
                     occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
                     derived_bounds=derived, cogroup=True,
                     has_qual=has_qual, tombstones=tomb,
+                    and_need=and_need, exclude=excl_map,
                 )
                 if strategy == "blockmax"
                 else _sharded_topk_fn(
@@ -1921,7 +2055,8 @@ def index_search(
             return topk_window(shard_tops, k)
         kern = (
             _wand_topk_fn(occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
-                          derived_bounds=derived, tombstones=tomb)
+                          derived_bounds=derived, tombstones=tomb,
+                          and_need=and_need, exclude=excl_map)
             if strategy == "blockmax"
             else _sharded_topk_fn(
                 occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,

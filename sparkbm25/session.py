@@ -66,10 +66,22 @@ class low_latency:
             hits = index_search(ix, [(0, "query text")]).collect()
 
     ``shuffle_partitions`` shaves a further ~30 ms on SMALL indexes by
-    shrinking the two tiny exchanges, but it also caps the scoring
-    stage's parallelism — at a 5.5M-turn index sp=4 made p50 0.87 s vs
-    0.52 s plain (measured, BENCH_SF1). Default None leaves it alone;
-    set it only when the kernel stage is known to be light."""
+    shrinking the two tiny exchanges, but on the EXCHANGE route it also
+    caps the scoring stage's parallelism — at a 5.5M-turn index sp=4
+    made p50 0.87 s vs 0.52 s plain (measured, BENCH_SF1). Default None
+    leaves it alone; set it only when the kernel stage is known to be
+    light — which includes EVERY direct-route search: there the kernel
+    parallelism comes from the per-shard work-item DataFrame, not
+    shuffle partitions, and sp only sizes the skinny top-k merge, so
+    shrinking it is always safe and worth ~7% (r06 same-session sf0.1
+    local[32]: default 0.714 s, AQE-off 0.684, AQE-off+sp4 0.637).
+
+    Absolute-floor note (r06): a TRIVIAL 32-task mapInPandas + window +
+    count measures 0.686 s on the bench host vs 0.136 s for a JVM-only
+    action — single-query p50 on any route is dominated by the
+    per-stage Python-runner round trip, not engine work (the r05
+    "low_latency slower than default" reading was host noise; it does
+    not reproduce same-session)."""
 
     def __init__(self, spark: SparkSession,
                  shuffle_partitions: int | None = None):

@@ -118,9 +118,32 @@ def test_and_mode_refused_off_sharded(spark, built):
     ix = Index(spark, built)
     with pytest.raises(ValueError, match="sharded"):
         index_search(ix, [(0, "merge join")], mode="and",
-                     strategy="blockmax")
+                     strategy="exhaustive")
     with pytest.raises(ValueError, match="mode"):
         index_search(ix, [(0, "merge join")], mode="nor")
+
+
+def test_and_mode_blockmax_rank_identical(spark, built, oracle):
+    """Round 6: mode='and' on the pruned strategy (candidate-driven
+    conjunctive retrieval) — bit-identical to sharded on both routes,
+    including under a k1/b override (derived bounds)."""
+    ix = Index(spark, built)
+    queries = make_queries(30)
+    for kw in ({}, {"k1": 0.8, "b": 0.25}):
+        ref = sorted(
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in index_search(ix, queries, k=K, mode="and",
+                                  strategy="sharded", **kw).collect()
+        )
+        assert ref
+        for route_kw in ({"direct": True}, {"direct": False, "subsplit": 1}):
+            got = sorted(
+                (r.query_id, r.rank, r.doc_id, r.score)
+                for r in index_search(ix, queries, k=K, mode="and",
+                                      strategy="blockmax",
+                                      **route_kw, **kw).collect()
+            )
+            assert got == ref, (kw, route_kw)
 
 
 def test_parse_prefix_query():

@@ -117,7 +117,7 @@ def test_msm_rejects_bad_compositions(spark, built):
     with pytest.raises(ValueError, match="mode='or' only"):
         index_search(ix, q, min_match=2, mode="and")
     with pytest.raises(ValueError, match="sharded"):
-        index_search(ix, q, min_match=2, strategy="blockmax")
+        index_search(ix, q, min_match=2, strategy="exhaustive")
     with pytest.raises(ValueError, match=">= 1"):
         index_search(ix, q, min_match=0)
     with pytest.raises(ValueError, match="prefix expansion"):
@@ -322,8 +322,65 @@ def test_exclude_own_expansion_of_prefix(spark, built, oracle):
     _assert_rank_identical(got, want)
 
 
-def test_exclude_rejects_blockmax(spark, built):
+def test_exclude_rejects_exhaustive(spark, built):
     ix = Index(spark, built)
     with pytest.raises(ValueError, match="sharded"):
         index_search(ix, [(0, "w0100")], exclude={0: "w0001"},
-                     strategy="blockmax")
+                     strategy="exhaustive")
+
+
+# --- round 6: the pruned (blockmax) strategy serves the boolean surfaces ----
+
+def test_msm_exclude_blockmax_rank_identical(spark, built, oracle):
+    """min_match / exclude / their composition on strategy='blockmax'
+    (direct AND exchange routes) must be bit-identical to 'sharded' —
+    same kernels' canonical fold, pruned candidate generation."""
+    ix = Index(spark, built)
+    queries = make_queries(30)
+    ex = {qid: queries[(i + 5) % len(queries)][1].split()[0]
+          for i, (qid, _) in enumerate(queries[:10])}
+    for kw in (
+        {"min_match": 2},
+        {"exclude": ex},
+        {"min_match": 2, "exclude": ex},
+        {"mode": "and", "exclude": ex},
+        {"min_match": 2, "k1": 0.9, "b": 0.3},
+    ):
+        ref = sorted(
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in index_search(ix, queries, k=K,
+                                  strategy="sharded", **kw).collect()
+        )
+        for route_kw in ({"direct": True}, {"direct": False, "subsplit": 1}):
+            got = sorted(
+                (r.query_id, r.rank, r.doc_id, r.score)
+                for r in index_search(ix, queries, k=K,
+                                      strategy="blockmax",
+                                      **route_kw, **kw).collect()
+            )
+            assert got == ref, (kw, route_kw)
+
+
+def test_exclude_blockmax_with_where_filter(spark, corpus, tmp_path):
+    """exclude + where= on blockmax rides the cogrouped exchange route
+    and must agree with sharded exactly."""
+    d = str(tmp_path / "ixbwf")
+    params = BuildParams(num_shards=6, salt_factor=2, num_term_buckets=8,
+                         lineage_groups=3, doc_id_scheme="conv_seq",
+                         attr_cols=("role",))
+    from sparkbm25.fixtures import make_transcripts_pdf
+    pdf = make_transcripts_pdf(60)
+    df = add_doc_id(spark.createDataFrame(pdf), scheme="conv_seq")
+    build_index(df.select("doc_id", "text", "role"), d, params,
+                source_fingerprint="bwf")
+    ix = Index(spark, d)
+    queries = make_queries(12)
+    ex = {queries[0][0]: queries[4][1].split()[0]}
+    kw = dict(k=K, where={"role": "user"}, exclude=ex, min_match=2)
+    ref = sorted((r.query_id, r.rank, r.doc_id, r.score)
+                 for r in index_search(ix, queries, strategy="sharded",
+                                       **kw).collect())
+    got = sorted((r.query_id, r.rank, r.doc_id, r.score)
+                 for r in index_search(ix, queries, strategy="blockmax",
+                                       **kw).collect())
+    assert got == ref and ref
