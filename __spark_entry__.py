@@ -284,11 +284,17 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted tf / weighted dl before one saturation pass (Robertson &
     Zaragoza 2009 §3.3 simple BM25F). Integer weights keep every weighted
     sum exact in f64, so engine and oracle agree bit-for-bit pre-rounding.
-    Oracle: identical composition over list-sliced fields."""
-    from sparkbm25.bm25f import bm25f_score_topk
+    Oracle: identical composition over list-sliced fields.
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    out = bm25f_score_topk(docs, DOC_QUERIES, k=K)
+    Round 6: served FROM THE INDEX — per-field tf derives from the
+    positional stream (index_query.index_bm25f_search), so field-boosted
+    ranking no longer re-reads the corpus at query time; the corpus-scan
+    path (bm25f.bm25f_score_topk) remains the engine-side cross-check."""
+    from sparkbm25.index_query import index_bm25f_search
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    out = index_bm25f_search(Index(spark, ix_dir), DOC_QUERIES, k=K)
     return out.withColumn("score", F.round("score", 6))
 
 

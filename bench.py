@@ -216,6 +216,24 @@ def main() -> int:
         t0 = time.time()
         index_phrase_search(pix, phrases, k=10).count()
         extras["query_phrase20_s"] = round(time.time() - t0, 3)
+
+        # r06 indexed BM25F (per-field tf from the positional stream) vs
+        # the corpus-scan shape on the same corpus — the "off the
+        # score_all shape" evidence for field-boosted ranking
+        from sparkbm25.bm25f import bm25f_score_topk
+        from sparkbm25.index_query import index_bm25f_search
+
+        index_bm25f_search(pix, queries[:2], k=10).count()  # warm
+        t0 = time.time()
+        index_bm25f_search(pix, queries[:20], k=10).count()
+        extras["query_bm25f20_indexed_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        bm25f_score_topk(corpus, queries[:20], k=10).count()
+        extras["query_bm25f20_scan_s"] = round(time.time() - t0, 3)
+        extras["bm25f_indexed_vs_scan_ratio"] = round(
+            extras["query_bm25f20_indexed_s"]
+            / extras["query_bm25f20_scan_s"], 3
+        )
     except Exception as e:
         extras["positions_error"] = str(e)[:200]
 

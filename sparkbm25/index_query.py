@@ -263,7 +263,8 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                      has_qual: bool = False,
                      tombstones: "tuple | None" = None,
                      and_need: dict[int, int] | None = None,
-                     exclude: dict[int, list[str]] | None = None):
+                     exclude: dict[int, list[str]] | None = None,
+                     fieldw: tuple | None = None):
     """Per-shard exact scoring kernel: decode each query term's blocks ONCE,
     densify each term into one contribution column over the group's doc
     universe, and score every query as a few whole-vector adds.
@@ -349,8 +350,32 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
         seg_starts[1:] = np.cumsum(n_arr)[:-1]
         gaps = vbyte_decode(b"".join(pdf["docs_vbyte"]), total)
         all_ids = segment_delta_restore(gaps, seg_starts, n_arr)
-        tfs = vbyte_decode(b"".join(pdf["tfs_vbyte"]), total).astype(np.float64)
+        tfs_i = vbyte_decode(b"".join(pdf["tfs_vbyte"]), total)
         dls = vbyte_decode(b"".join(pdf["dls_vbyte"]), total).astype(np.float64)
+        if fieldw is not None:
+            # positional-split BM25F (index_bm25f_search): per-posting
+            # title tf derives from the POSITIONS stream (tf1 = tokens at
+            # position < split), so field-weighted scoring serves from any
+            # positional index with split AND weights as query-time
+            # parameters. avgdl here is ALREADY the weighted avgdl~.
+            # With integer-valued weights every weighted sum is exact in
+            # f64, bit-equal to the corpus-scan path (bm25f module doc).
+            split, w_t, w_b = fieldw
+            tok_counts = tfs_i.astype(np.int64)
+            n_tok = int(tok_counts.sum())
+            pos_gaps = vbyte_decode(b"".join(pdf["pos_vbyte"]), n_tok)
+            tok_starts = np.cumsum(tok_counts) - tok_counts
+            pos_all = segment_delta_restore(pos_gaps, tok_starts, tok_counts)
+            tf1 = np.add.reduceat(
+                (pos_all < split).astype(np.int64), tok_starts
+            )
+            tfs = w_t * tf1 + w_b * (tok_counts - tf1)
+            dls = (
+                w_t * np.minimum(dls, float(split))
+                + w_b * np.maximum(dls - split, 0.0)
+            )
+        else:
+            tfs = tfs_i.astype(np.float64)
         tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
         m = None
         if sub_shift is not None:
@@ -680,7 +705,9 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
                    strategy: str = "sharded",
                    derived: bool = False,
                    and_need: dict[int, int] | None = None,
-                   exclude: dict[int, list[str]] | None = None) -> DataFrame:
+                   exclude: dict[int, list[str]] | None = None,
+                   fieldw: tuple | None = None,
+                   eff_avgdl: float | None = None) -> DataFrame:
     """Assemble the direct route's plan: a tiny work-item DataFrame (one
     row per shard; LocalRelation -> parallelize, NO exchange) feeding the
     pyarrow-reading kernel (dense sharded scoring, or block-max WAND for
@@ -698,7 +725,10 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
     buckets = sorted(
         {spark_pmod_bucket(t, ix.num_term_buckets) for t in terms}
     )
+    avgdl = ix.avgdl if eff_avgdl is None else eff_avgdl
     cols = ["term", "n_docs", "docs_vbyte", "tfs_vbyte", "dls_vbyte"]
+    if fieldw is not None:
+        cols.append("pos_vbyte")
     if strategy == "blockmax":
         cols += ["first_doc", "last_doc"]
         # derived bounds replace the precomputed tf_norm bounds entirely —
@@ -708,14 +738,14 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
             else ["max_tf_norm", "min_tf_norm"]
         )
         kernel = _wand_topk_fn(
-            occ, eff_k1, eff_b, ix.avgdl, k, None,
+            occ, eff_k1, eff_b, avgdl, k, None,
             derived_bounds=derived, tombstones=tomb,
             and_need=and_need, exclude=exclude,
         )
     else:
         kernel = _sharded_topk_fn(
-            occ, eff_k1, eff_b, ix.avgdl, k, None, tombstones=tomb,
-            and_need=and_need, exclude=exclude,
+            occ, eff_k1, eff_b, avgdl, k, None, tombstones=tomb,
+            and_need=and_need, exclude=exclude, fieldw=fieldw,
         )
     fm = ix.shard_file_map(buckets)
     rows = [
@@ -1590,6 +1620,42 @@ def index_fuzzy_search(
     )
 
 
+def index_bm25f_search(
+    ix: Index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    title_tokens: int = 8,
+    w_title: float = 2.0,
+    w_body: float = 1.0,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25F served FROM THE INDEX (simple BM25F, Robertson &
+    Zaragoza 2009 §3.3 — the same composition as bm25f.bm25f_score_topk,
+    which remains the corpus-scan cross-check oracle).
+
+    Fields are position-derived (title = the first ``title_tokens``
+    tokens), so a positional index (BuildParams(store_positions=True))
+    already carries the per-field tf information: the kernel counts each
+    posting's positions below the split. That makes EVERY BM25F
+    parameter — split point, field weights, k1/b — a query-time choice;
+    nothing is baked at build. Weighted doc length and avgdl~ derive
+    exactly from doc_stats integer sums (Index.bm25f_avgdl); df/idf are
+    the unchanged any-field counts, matching the corpus-scan path.
+
+    Delegates to index_search's sharded kernels (direct and exchange
+    routes), so where=/k1/b/tombstones/mode/min_match/exclude all
+    compose; with integer-valued weights results are bit-identical to
+    the corpus-scan path pre-rounding.
+
+    Reference analog: search params applied at query time over a
+    prebuilt artifact (benchmarking/search/search_indices.py:16-39) —
+    nothing re-reads the raw dataset at query time."""
+    return index_search(
+        ix, queries, k=k,
+        fields=(title_tokens, w_title, w_body), **kwargs,
+    )
+
+
 def _auto_subsplit(ix: Index, parallelism: int, n_queries: int) -> int:
     """Search-time kernel sub-split factor (power of two).
 
@@ -1629,6 +1695,7 @@ def index_search(
     mode: str = "or",
     min_match: int | None = None,
     exclude: dict[int, str] | None = None,
+    fields: tuple | None = None,
     _resolved: tuple | None = None,
 ) -> DataFrame:
     """Exact top-k BM25 from the index.
@@ -1767,6 +1834,38 @@ def index_search(
         raise ValueError(f"k1 must be >= 0, got {eff_k1}")
     if not (0.0 <= eff_b <= 1.0):
         raise ValueError(f"b must be in [0, 1], got {eff_b}")
+    fw = None
+    eff_avgdl = ix.avgdl
+    if fields is not None:
+        # positional-split BM25F: (title_tokens, w_title, w_body). The
+        # kernels derive per-field tf from the positions stream, so the
+        # index must store positions; split and weights are query-time.
+        split, w_t, w_b = fields
+        if not (isinstance(split, int) and split >= 1):
+            raise ValueError(
+                f"fields title_tokens must be an int >= 1, got {split!r}"
+            )
+        if not (w_t > 0.0 and w_b > 0.0):
+            # zero/negative field weights break the kernels' strictly-
+            # positive-contribution assumption (and idf still counts the
+            # suppressed field's matches — not "field deletion")
+            raise ValueError(
+                f"field weights must be > 0, got ({w_t}, {w_b})"
+            )
+        if strategy != "sharded":
+            raise ValueError(
+                "fields= (BM25F) is served by the 'sharded' strategy "
+                "only (block-max bounds are not field-weighted yet)"
+            )
+        if not ix.store_positions:
+            raise ValueError(
+                "field-weighted search derives per-field tf from the "
+                "positions stream; rebuild the index with "
+                "BuildParams(store_positions=True) — or use the "
+                "corpus-scan path (bm25f.bm25f_score_topk)"
+            )
+        fw = (int(split), float(w_t), float(w_b))
+        eff_avgdl = ix.bm25f_avgdl(*fw)
     spark = ix.spark
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
@@ -1946,7 +2045,7 @@ def index_search(
             return _direct_search(
                 ix, weights, occ, eff_k1, eff_b, k, tomb,
                 strategy=strategy, derived=derived, and_need=and_need,
-                exclude=excl_map,
+                exclude=excl_map, fieldw=fw, eff_avgdl=eff_avgdl,
             )
         # auto-split only the dense sharded kernel: WAND's block pruning
         # already bounds its per-group work, and finer groups just multiply
@@ -1983,6 +2082,8 @@ def index_search(
                     *[c for c in meta_cols if c not in
                       ("first_doc", "last_doc")],
                     "docs_vbyte", "tfs_vbyte", "dls_vbyte",
+                    # field-weighted scoring reads the positions stream
+                    *(["pos_vbyte"] if fw is not None else []),
                     # per-group tombstone masking needs each block's
                     # lineage seq (codecs.dead_mask)
                     *([ix.gseq_col().alias("gseq")] if n_del else []))
@@ -2033,16 +2134,16 @@ def index_search(
             side = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
             kern = (
                 _wand_topk_fn(
-                    occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
+                    occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
                     derived_bounds=derived, cogroup=True,
                     has_qual=has_qual, tombstones=tomb,
                     and_need=and_need, exclude=excl_map,
                 )
                 if strategy == "blockmax"
                 else _sharded_topk_fn(
-                    occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
+                    occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
                     cogroup=True, has_qual=has_qual, tombstones=tomb,
-                    and_need=and_need, exclude=excl_map,
+                    and_need=and_need, exclude=excl_map, fieldw=fw,
                 )
             )
             shard_tops = (
@@ -2054,13 +2155,14 @@ def index_search(
             )
             return topk_window(shard_tops, k)
         kern = (
-            _wand_topk_fn(occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
+            _wand_topk_fn(occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
                           derived_bounds=derived, tombstones=tomb,
                           and_need=and_need, exclude=excl_map)
             if strategy == "blockmax"
             else _sharded_topk_fn(
-                occ, eff_k1, eff_b, ix.avgdl, k, sub_shift,
+                occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
                 tombstones=tomb, and_need=and_need, exclude=excl_map,
+                fieldw=fw,
             )
         )
         shard_tops = blocks.groupBy(group_key).applyInPandas(

@@ -992,6 +992,41 @@ class Index:
     def term_stats(self) -> DataFrame:
         return self._load("term_stats")
 
+    @property
+    def store_positions(self) -> bool:
+        return bool(self.manifest["build"].get("store_positions", False))
+
+    def bm25f_avgdl(self, title_tokens: int, w_title: float,
+                    w_body: float) -> float:
+        """Field-weighted average doc length for the positional-split
+        BM25F surface (index_query.index_bm25f_search).
+
+        One metadata-light agg over doc_stats per distinct split point,
+        cached on the handle: (n, Σdl, Σmin(dl, split)) are exact integer
+        sums, so avgdl~ for ANY (w_title, w_body) derives exactly as
+        (w_t·S1 + w_b·(S−S1))/n — bit-equal to the corpus-scan path's
+        Σ(per-doc weighted length)/n (bm25f._weighted_doc_stats)."""
+        key = int(title_tokens)
+        sums = getattr(self, "_bm25f_sums", None)
+        if sums is None:
+            sums = self._bm25f_sums = {}
+        if key not in sums:
+            row = self.doc_stats().agg(
+                F.count("*").alias("n"),
+                F.sum("doc_len").alias("s"),
+                F.sum(F.least(F.col("doc_len"), F.lit(key))).alias("s1"),
+            ).first()
+            if int(row.n) != self.n_docs:
+                raise ValueError(
+                    f"doc_stats rows ({row.n}) != manifest n_docs "
+                    f"({self.n_docs}); repair/compact the index before "
+                    "field-weighted search (stats must describe the same "
+                    "corpus idf does)"
+                )
+            sums[key] = (int(row.n), int(row.s), int(row.s1))
+        n, s, s1 = sums[key]
+        return (w_title * s1 + w_body * (s - s1)) / n
+
     def doc_stats(self) -> DataFrame:
         return self._load("doc_stats")
 

@@ -76,3 +76,101 @@ def test_bm25f_title_boost_changes_ranking(spark):
     got = bm25f_score_topk(corpus, [(0, "zzterm")], k=2).collect()
     order = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
     assert order == [1, 2]
+
+
+# --- round 6: BM25F served from the positional index ------------------------
+
+@pytest.fixture(scope="module")
+def f_built(spark, tmp_path_factory):
+    from sparkbm25.build import BuildParams
+    from sparkbm25.jobs import build_index
+
+    pdf = make_transcripts_pdf(60)
+    corpus = add_doc_id(spark.createDataFrame(pdf), "conv_seq").select(
+        "doc_id", "text"
+    )
+    corpus.cache().count()
+    d = str(tmp_path_factory.mktemp("ixf"))
+    build_index(
+        corpus, d,
+        BuildParams(num_shards=6, salt_factor=2, num_term_buckets=8,
+                    lineage_groups=3, doc_id_scheme="conv_seq",
+                    store_positions=True),
+        source_fingerprint="bm25f60",
+    )
+    return corpus, d
+
+
+def _rows(df):
+    return sorted((r.query_id, r.rank, r.doc_id, r.score)
+                  for r in df.collect())
+
+
+def test_indexed_bm25f_bitexact_vs_corpus_scan(spark, f_built):
+    """index_bm25f_search must be bit-identical to the corpus-scan path
+    for integer-valued weights — split/weights/k1/b all query-time."""
+    from sparkbm25.index_query import index_bm25f_search
+    from sparkbm25.jobs import Index
+
+    corpus, d = f_built
+    ix = Index(spark, d)
+    queries = make_queries(15) + [(901, "w0001 w0001 w0002")]
+    for split, wt, wb, kw in (
+        (TITLE_TOKENS, W_TITLE, W_BODY, {}),
+        (4, 3.0, 1.0, {}),
+        (TITLE_TOKENS, W_TITLE, W_BODY, {"k1": 0.9, "b": 0.3}),
+    ):
+        want = _rows(bm25f_score_topk(corpus, queries, k=K,
+                                      title_tokens=split, w_title=wt,
+                                      w_body=wb, **kw))
+        for route in ({"direct": True}, {"direct": False}):
+            got = _rows(index_bm25f_search(ix, queries, k=K,
+                                           title_tokens=split, w_title=wt,
+                                           w_body=wb, **route, **kw))
+            assert got == want, (split, wt, wb, kw, route)
+
+
+def test_indexed_bm25f_composes_with_boolean_and_filterless(spark, f_built):
+    """fields= composes with min_match / exclude through the same
+    kernels: results equal the corpus-scan ranking filtered by the
+    sharded path's own coverage/exclusion semantics."""
+    from sparkbm25.index_query import index_bm25f_search, index_search
+    from sparkbm25.jobs import Index
+
+    corpus, d = f_built
+    ix = Index(spark, d)
+    queries = make_queries(12)
+    got = _rows(index_bm25f_search(ix, queries, k=K, min_match=2))
+    # cross-check: every (query, doc) score equals the unfiltered BM25F
+    # score of that doc, and coverage >= 2 holds (oracle via corpus scan)
+    full = {(q, doc): s for q, _r, doc, s in
+            _rows(bm25f_score_topk(corpus, queries, k=10**6))}
+    assert got and all((q, doc) in full and full[(q, doc)] == s
+                       for q, _r, doc, s in got)
+    ex = {queries[0][0]: queries[5][1].split()[0]}
+    got_ex = _rows(index_bm25f_search(ix, queries, k=K, exclude=ex))
+    assert got_ex
+
+
+def test_indexed_bm25f_refusals(spark, f_built, tmp_path):
+    from sparkbm25.build import BuildParams
+    from sparkbm25.index_query import index_bm25f_search
+    from sparkbm25.jobs import Index, build_index
+
+    corpus, d = f_built
+    ix = Index(spark, d)
+    q = [(0, "w0100 w0200")]
+    with pytest.raises(ValueError, match="sharded"):
+        index_bm25f_search(ix, q, strategy="blockmax")
+    with pytest.raises(ValueError, match="> 0"):
+        index_bm25f_search(ix, q, w_title=0.0)
+    with pytest.raises(ValueError, match="int >= 1"):
+        index_bm25f_search(ix, q, title_tokens=0)
+    # positionless index: descriptive refusal pointing at the corpus scan
+    d2 = str(tmp_path / "nopos")
+    build_index(corpus, d2,
+                BuildParams(num_shards=6, salt_factor=2, num_term_buckets=8,
+                            lineage_groups=3, doc_id_scheme="conv_seq"),
+                source_fingerprint="nopos60")
+    with pytest.raises(ValueError, match="store_positions"):
+        index_bm25f_search(Index(spark, d2), q)
