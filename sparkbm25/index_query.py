@@ -1366,6 +1366,7 @@ def index_phrase_search(
     k1: float | None = None,
     b: float | None = None,
     slop: int = 0,
+    direct: bool | None = None,
 ) -> DataFrame:
     """Exact top-k PHRASE search: docs containing the exact token sequence,
     ranked by BM25 over the PHRASE frequency — score = idf(df_phrase) *
@@ -1382,10 +1383,16 @@ def index_phrase_search(
     slop=0 (default) is exact adjacency, bit-identical to the original
     path.
 
-    Plan: posting blocks of the phrase terms (term_bucket-pruned scan) →
-    ONE shard-grouped position-intersection kernel → tiny (query, doc,
-    phrase_tf) stream → Catalyst scoring + top-k window. Same shuffle
-    shape as the sharded scoring path.
+    Plan: the position-intersection kernel runs per shard, then the tiny
+    (query, doc, phrase_tf) stream flows into Catalyst scoring + top-k
+    window. On a layout-2 index the kernel rides the DIRECT route by
+    default (r06): each task pyarrow-reads its shard's files — including
+    the heavy positional stream, which therefore never crosses an
+    exchange — leaving the skinny match stream's window as the only
+    shuffle, exactly like index_search's direct route. ``direct`` mirrors
+    index_search: None auto-selects, False forces the cogrouped exchange
+    kernel, True refuses when ineligible. Bit-identical across routes
+    (same kernel; it sorts its block batch itself).
 
     Returns (query_id, rank, doc_id, score); queries whose phrase matches
     nothing (or with an absent term) yield no rows."""
@@ -1431,18 +1438,43 @@ def index_phrase_search(
     buckets = sorted(
         {spark_pmod_bucket(t, ix.num_term_buckets) for t in terms}
     )
-    blocks = (
-        ix.postings()
-        .filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
-        .select("term", "shard_id", "n_docs", "first_doc",
-                "docs_vbyte", "tfs_vbyte", "dls_vbyte", "pos_vbyte",
-                *([ix.gseq_col().alias("gseq")] if n_del else []))
-    )
-    matched = blocks.groupBy("shard_id").applyInPandas(
-        _phrase_match_fn(q_phrases, tombstones=tomb, slop=slop),
-        schema=PHRASE_MATCH_SCHEMA,
-    )
+    kern = _phrase_match_fn(q_phrases, tombstones=tomb, slop=slop)
+    use_direct = direct is not False and ix.posting_layout >= 2
+    if direct and not use_direct:
+        raise ValueError(
+            "direct=True is not serviceable: posting layout < 2 "
+            "(rebuild or compact_index first)"
+        )
+    if use_direct:
+        cols = ["term", "n_docs", "first_doc",
+                "docs_vbyte", "tfs_vbyte", "dls_vbyte", "pos_vbyte"]
+        fm = ix.shard_file_map(buckets)
+        rows = [
+            (sh, [p for _, p in fm[sh]], [g for g, _ in fm[sh]])
+            for sh in sorted(fm)
+        ]
+        if not rows:
+            return empty
+        items = spark.createDataFrame(
+            rows,
+            schema="shard_id long, paths array<string>, gseqs array<long>",
+        )
+        matched = items.mapInPandas(
+            _direct_topk_gen(kern, cols, terms, tombstones=tomb),
+            schema=PHRASE_MATCH_SCHEMA,
+        )
+    else:
+        blocks = (
+            ix.postings()
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .select("term", "shard_id", "n_docs", "first_doc",
+                    "docs_vbyte", "tfs_vbyte", "dls_vbyte", "pos_vbyte",
+                    *([ix.gseq_col().alias("gseq")] if n_del else []))
+        )
+        matched = blocks.groupBy("shard_id").applyInPandas(
+            kern, schema=PHRASE_MATCH_SCHEMA,
+        )
     # materialize the (small) match stream once: the df-per-query count and
     # the scoring pass must see the same rows without re-running the kernel
     matched = matched.localCheckpoint(eager=True)

@@ -462,7 +462,11 @@ def _build_index_locked(
     m["submit_token"] = token
     m["status"] = STATUS_RUNNING  # resumed FAILED builds are running again
     m["claim"] = {
-        "host": socket.gethostname(), "pid": os.getpid(), "ts": time.time()
+        "host": socket.gethostname(), "pid": os.getpid(), "ts": time.time(),
+        # record WHICH catalog arbitrated this build (r05 verdict #8):
+        # an operator reading the manifest can tell whether the publish
+        # path was a true CAS or the rename fallback's settle window
+        "catalog": type(cat).__name__, "catalog_atomic": cat.atomic,
     }
     cat.publish(index_dir, m)
     if not cat.atomic:

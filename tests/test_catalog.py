@@ -129,3 +129,26 @@ def test_flock_cas_two_processes_never_torn(tmp_path):
     assert m["submit_token"] in ("A", "B")
     assert sum(wins.values()) >= 1
     assert os.path.exists(os.path.join(d, ".manifest.guard"))
+
+
+def test_manifest_records_catalog_choice(spark, tmp_path):
+    """Every build's manifest must say which catalog arbitrated it and
+    whether the publish path was a true CAS — the default (no env) being
+    the flock catalog."""
+    from sparkbm25.build import BuildParams
+    from sparkbm25.corpus import add_doc_id
+    from sparkbm25.fixtures import make_transcripts_pdf
+    from sparkbm25.jobs import build_index
+
+    pdf = make_transcripts_pdf(6)
+    corpus = add_doc_id(spark.createDataFrame(pdf), "conv_seq").select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "ixcat")
+    m = build_index(corpus, d, BuildParams(num_shards=2, salt_factor=1,
+                                           num_term_buckets=2,
+                                           lineage_groups=1,
+                                           doc_id_scheme="conv_seq"),
+                    source_fingerprint="cat6")
+    assert m["claim"]["catalog"] == "FlockCasCatalog"
+    assert m["claim"]["catalog_atomic"] is True
