@@ -146,6 +146,7 @@ def index_facets(
     k_facets: int | None = None,
     where: dict | None = None,
     where_expr=None,
+    direct: bool | None = None,
 ) -> DataFrame:
     """Per-query facet counts: (query_id, value, n_docs) where n_docs is
     the number of live docs matching >= 1 of the query's tokens whose
@@ -157,7 +158,16 @@ def index_facets(
 
     The attribute must be stored at build time
     (BuildParams(attr_cols=(by, ...))). A query with no corpus-present
-    token yields no rows."""
+    token yields no rows.
+
+    On a layout-2 index the kernel rides the SIDE-GROUPED direct plan by
+    default (r06): only the attribute side is exchanged (grouped on the
+    shard key); each task pyarrow-reads its shard's posting blocks
+    in-task (index_query._direct_side_fn), so the blocks never shuffle.
+    Exact: every live doc has an attribute row, so a shard absent from
+    the side has nothing countable. ``direct`` mirrors index_search
+    (None auto, False forces the cogrouped exchange, True refuses on
+    layout-1); results are bit-identical across plans (same kernel)."""
     spark = ix.spark
     if ix.shard_shift is None:
         raise ValueError("facets need the doc-range shard layout")
@@ -227,14 +237,29 @@ def index_facets(
             )
         )
     side = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
-    partials = (
-        blocks.groupBy("shard_id")
-        .cogroup(side.groupBy("shard_id"))
-        .applyInPandas(
-            _facet_count_fn(q_tokens, tombstones=tomb),
+    kern = _facet_count_fn(q_tokens, tombstones=tomb)
+    use_direct = direct is not False and ix.posting_layout >= 2
+    if direct and not use_direct:
+        raise ValueError(
+            "direct=True is not serviceable: posting layout < 2 "
+            "(rebuild or compact_index first)"
+        )
+    if use_direct:
+        from .index_query import _direct_side_fn
+
+        partials = side.groupBy("shard_id").applyInPandas(
+            _direct_side_fn(
+                kern, ["term", "n_docs", "docs_vbyte"], terms,
+                ix.shard_file_map(buckets), need_gseq=need_gseq,
+            ),
             schema=FACET_SCHEMA,
         )
-    )
+    else:
+        partials = (
+            blocks.groupBy("shard_id")
+            .cogroup(side.groupBy("shard_id"))
+            .applyInPandas(kern, schema=FACET_SCHEMA)
+        )
     out = partials.groupBy("query_id", "value").agg(
         F.sum("n_docs").alias("n_docs")
     )

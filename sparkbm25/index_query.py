@@ -652,52 +652,84 @@ def _direct_topk_gen(kernel, cols: list[str], terms: list[str],
     terms = list(terms)
 
     def gen(batches):
-        import pyarrow.dataset as pads
-
-        filt = pads.field("term").isin(terms)
         for wpdf in batches:
             for r in wpdf.itertuples(index=False):
-                paths = list(r.paths)
-                if not paths:
-                    continue
-                if need_gseq:
-                    by_gs: dict[int, list[str]] = {}
-                    for p, g in zip(paths, r.gseqs):
-                        by_gs.setdefault(int(g), []).append(p)
-                    parts = []
-                    for g, ps in sorted(by_gs.items()):
-                        part = (
-                            pads.dataset(ps, format="parquet")
-                            .to_table(
-                                columns=cols, filter=filt,
-                                use_threads=False,
-                            )
-                            .to_pandas()
-                        )
-                        part["gseq"] = np.int64(g)
-                        parts.append(part)
-                    pdf = (
-                        parts[0] if len(parts) == 1
-                        else pd.concat(parts, ignore_index=True)
-                    )
-                else:
-                    # use_threads=False: a task must stay inside its ONE
-                    # Spark core slot — arrow's default pool would use
-                    # every host core, silently oversubscribing executors
-                    # (and faking low-core scaling measurements)
-                    pdf = (
-                        pads.dataset(paths, format="parquet")
-                        .to_table(
-                            columns=cols, filter=filt, use_threads=False
-                        )
-                        .to_pandas()
-                    )
+                pdf = _read_shard_blocks(
+                    list(r.paths), list(r.gseqs), cols, terms, need_gseq
+                )
                 if len(pdf):
                     out = inner((int(r.shard_id),), pdf)
                     if len(out):
                         yield out
 
     return gen
+
+
+def _read_shard_blocks(paths: list, gseqs: list, cols: list[str],
+                       terms: list[str], need_gseq: bool) -> pd.DataFrame:
+    """pyarrow read of one shard's posting files (layout-2 clustered tree)
+    with the term filter pushed down to row groups. use_threads=False: a
+    task must stay inside its ONE Spark core slot — arrow's default pool
+    would use every host core, silently oversubscribing executors (and
+    faking low-core scaling measurements). With ``need_gseq`` files read
+    grouped by lineage seq so per-group tombstone masking stays exact."""
+    import pyarrow.dataset as pads
+
+    if not paths:
+        return pd.DataFrame(
+            columns=cols + (["gseq"] if need_gseq else [])
+        )
+    filt = pads.field("term").isin(terms)
+    if need_gseq:
+        by_gs: dict[int, list[str]] = {}
+        for p, g in zip(paths, gseqs):
+            by_gs.setdefault(int(g), []).append(p)
+        parts = []
+        for g, ps in sorted(by_gs.items()):
+            part = (
+                pads.dataset(ps, format="parquet")
+                .to_table(columns=cols, filter=filt, use_threads=False)
+                .to_pandas()
+            )
+            part["gseq"] = np.int64(g)
+            parts.append(part)
+        return (
+            parts[0] if len(parts) == 1
+            else pd.concat(parts, ignore_index=True)
+        )
+    return (
+        pads.dataset(paths, format="parquet")
+        .to_table(columns=cols, filter=filt, use_threads=False)
+        .to_pandas()
+    )
+
+
+def _direct_side_fn(kernel_cogroup, cols: list[str], terms: list[str],
+                    file_map: dict, need_gseq: bool):
+    """SIDE-GROUPED direct kernel (r06): applyInPandas over the
+    co-partitioned SIDE frame alone — qualifying ids / facet attribute
+    rows / distributed tombstones — with each group's posting blocks
+    pyarrow-read IN-TASK from the shard-clustered layout. The blocks
+    never cross an exchange; only the small side does. This is how
+    `where=` filtered search and facets consume the direct route: the
+    cogrouped kernels are reused verbatim, so results are bit-identical
+    to the blocks-exchange plan.
+
+    Validity: every group key is a WHOLE shard (the side is keyed by
+    shard_shift), and a shard absent from the side has no qualifying /
+    countable docs, so skipping it is exact. ``file_map`` is the tiny
+    driver-side {shard_id: [(gseq, path), ...]} listing (n_shards
+    entries of strings — closure-shipped like the query terms)."""
+
+    def fn(key: tuple, side_pdf: pd.DataFrame) -> pd.DataFrame:
+        entry = file_map.get(int(key[0]), ())
+        pdf = _read_shard_blocks(
+            [p for _, p in entry], [g for g, _ in entry],
+            cols, terms, need_gseq,
+        )
+        return kernel_cogroup(key, pdf, side_pdf)
+
+    return fn
 
 
 def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
@@ -2061,15 +2093,25 @@ def index_search(
             and not use_cotomb
             and subsplit in (None, 1)
         )
-        if direct and not use_direct:
+        # SIDE-GROUPED direct (r06): filtered search on a layout-2 index
+        # groups only the SIDE (qualifying ids [+ distributed tombstones])
+        # by the shard key and pyarrow-reads each shard's blocks IN-TASK —
+        # the blocks never cross an exchange, only the small side does.
+        # Skipping shards absent from the side is exact: no qualifying
+        # docs there. Whole-shard groups only (files are per shard).
+        use_side_direct = (
+            direct is not False
+            and ix.posting_layout >= 2
+            and _has_filter
+            and subsplit in (None, 1)
+        )
+        if direct and not (use_direct or use_side_direct):
             why = (
                 "posting layout < 2 (rebuild or compact_index first)"
                 if ix.posting_layout < 2
-                else "where=/where_expr= filters cogroup with the blocks"
-                if _has_filter
                 else "the distributed tombstone mask cogroups with the "
                      "blocks"
-                if use_cotomb
+                if use_cotomb and not _has_filter
                 else f"subsplit={subsplit} requests the exchange kernel"
             )
             raise ValueError(f"direct=True is not serviceable: {why}")
@@ -2079,6 +2121,62 @@ def index_search(
                 strategy=strategy, derived=derived, and_need=and_need,
                 exclude=excl_map, fieldw=fw, eff_avgdl=eff_avgdl,
             )
+        if use_side_direct:
+            terms = _fetch_terms(weights, excl_map)
+            buckets = sorted(
+                {spark_pmod_bucket(t, ix.num_term_buckets) for t in terms}
+            )
+            cols = ["term", "n_docs", "docs_vbyte", "tfs_vbyte",
+                    "dls_vbyte"]
+            if fw is not None:
+                cols.append("pos_vbyte")
+            if strategy == "blockmax":
+                cols += ["first_doc", "last_doc"]
+                cols += (
+                    ["max_tf", "min_tf", "min_dl", "max_dl"] if derived
+                    else ["max_tf_norm", "min_tf_norm"]
+                )
+            sides = [
+                filtered_live_stats(ix, where, where_expr).select(
+                    "doc_id",
+                    F.shiftright("doc_id", ix.shard_shift)
+                    .alias("shard_id"),
+                    F.lit(0).alias("kind"),
+                    F.lit(0).cast("long").alias("seq"),
+                )
+            ]
+            if use_cotomb:
+                sides.append(ix.tombstones_df().select(
+                    "doc_id",
+                    F.shiftright("doc_id", ix.shard_shift)
+                    .alias("shard_id"),
+                    F.lit(1).alias("kind"),
+                    F.col("del_seq").alias("seq"),
+                ))
+            side = (
+                sides[0] if len(sides) == 1
+                else sides[0].unionByName(sides[1])
+            )
+            kern = (
+                _wand_topk_fn(
+                    occ, eff_k1, eff_b, eff_avgdl, k, None,
+                    derived_bounds=derived, cogroup=True, has_qual=True,
+                    tombstones=tomb, and_need=and_need, exclude=excl_map,
+                )
+                if strategy == "blockmax"
+                else _sharded_topk_fn(
+                    occ, eff_k1, eff_b, eff_avgdl, k, None,
+                    cogroup=True, has_qual=True, tombstones=tomb,
+                    and_need=and_need, exclude=excl_map, fieldw=fw,
+                )
+            )
+            shard_tops = side.groupBy("shard_id").applyInPandas(
+                _direct_side_fn(kern, cols, terms,
+                                ix.shard_file_map(buckets),
+                                need_gseq=bool(n_del)),
+                schema="query_id int, doc_id long, score double",
+            )
+            return topk_window(shard_tops, k)
         # auto-split only the dense sharded kernel: WAND's block pruning
         # already bounds its per-group work, and finer groups just multiply
         # its per-group fixed cost (measured: 20-query blockmax 2.34 s at

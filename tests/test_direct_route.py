@@ -92,8 +92,8 @@ def test_direct_subsplit_falls_back_same_results(built):
 
 
 def test_direct_true_refusals(built):
-    with pytest.raises(ValueError, match="where=/where_expr="):
-        index_search(built, QS[:2], k=5, direct=True, where={"x": 1})
+    # r06: where= no longer refuses — it rides the side-grouped direct
+    # plan (test_direct_filtered_side_grouped); subsplit still exchanges
     with pytest.raises(ValueError, match="subsplit"):
         index_search(built, QS[:2], k=5, direct=True, subsplit=2)
     with pytest.raises(ValueError, match="strategy"):
@@ -145,3 +145,62 @@ def test_shard_file_map_shape_and_cache(built):
     all_paths = {p for lst in fm.values() for _, p in lst}
     sub_paths = {p for lst in sub.values() for _, p in lst}
     assert sub_paths < all_paths
+
+
+# --- round 6: SIDE-GROUPED direct — filtered search without a blocks
+# exchange (only the qualifying-id side shuffles) -----------------------------
+
+@pytest.fixture(scope="module")
+def built_attrs(spark, tmp_path_factory):
+    pdf = make_transcripts_pdf(40)
+    corpus = add_doc_id(spark.createDataFrame(pdf), "conv_seq").select(
+        "doc_id", "text", "role", "tool"
+    )
+    d = str(tmp_path_factory.mktemp("ixsd"))
+    build_index(
+        corpus, d,
+        BuildParams(num_shards=6, salt_factor=2, num_term_buckets=8,
+                    lineage_groups=2, doc_id_scheme="conv_seq",
+                    attr_cols=("role", "tool")),
+        "sidedirect40",
+    )
+    return corpus, Index(spark, d)
+
+
+def test_direct_filtered_side_grouped_bit_identical(built_attrs):
+    """where= on the default plan (side-grouped direct) must be
+    bit-identical to the cogrouped exchange plan — same kernel — for
+    both strategies, and direct=True must now be serviceable."""
+    _corpus, ix = built_attrs
+    for kw in ({}, {"strategy": "blockmax"}, {"min_match": 2},
+               {"k1": 0.9, "b": 0.4}):
+        d = _rows(index_search(ix, QS, k=8, where={"role": "user"},
+                               direct=True, **kw))
+        e = _rows(index_search(ix, QS, k=8, where={"role": "user"},
+                               direct=False, **kw))
+        assert d == e and len(d) > 0, kw
+
+
+def test_direct_filtered_with_distributed_tombstones(spark, built_attrs,
+                                                     tmp_path, monkeypatch):
+    """side-grouped direct composes with the distributed tombstone side
+    (kind=1 rows) — forced via TOMBSTONE_BROADCAST_MAX=1."""
+    import shutil as _sh
+
+    import sparkbm25.index_query as iq
+    import sparkbm25.jobs as J
+
+    corpus, ix0 = built_attrs
+    d = str(tmp_path / "ixsdt")
+    _sh.copytree(ix0.index_dir, d)
+    victims = [r.doc_id for r in corpus.limit(12).collect()]
+    delete_docs(spark, d, victims)
+    monkeypatch.setattr(J, "TOMBSTONE_BROADCAST_MAX", 1)
+    monkeypatch.setattr(iq, "Index", J.Index, raising=False)
+    ix = J.Index(spark, d)
+    got_d = _rows(index_search(ix, QS, k=8, where={"role": "user"},
+                               direct=True))
+    got_e = _rows(index_search(ix, QS, k=8, where={"role": "user"},
+                               direct=False))
+    assert got_d == got_e and len(got_d) > 0
+    assert not ({r[2] for r in got_d} & set(victims))

@@ -182,8 +182,25 @@ def test_filtered_search_plan_cogroup_no_broadcast(spark, tmp_path):
                     attr_cols=("role",)),
         "fplan",
     )
-    df = index_search(Index(spark, d), [(0, "w0001 w0002")], k=5,
+    ix = Index(spark, d)
+    # r06 default: SIDE-GROUPED direct — only the qualifying ids are
+    # exchanged (one hashpartitioning for the side's applyInPandas + the
+    # skinny top-k window); the blocks are pyarrow-read in-task, so no
+    # cogroup and no blocks exchange appear in the plan at all
+    df = index_search(ix, [(0, "w0001 w0002")], k=5,
                       where={"role": "user"})
+    plan = _plan(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert plan.count("FlatMapCoGroupsInPandas") == 0, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert df.count() > 0
+    # the exchange fallback (direct=False) keeps the cogrouped shape:
+    # blocks + qual co-partitioned on the doc-range key, then the window
+    df = index_search(ix, [(0, "w0001 w0002")], k=5,
+                      where={"role": "user"}, direct=False)
     plan = _plan(df)
     assert plan.count("FlatMapCoGroupsInPandas") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 3, plan
