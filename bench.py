@@ -308,6 +308,17 @@ def main() -> int:
         index_prefix_search(ix, pq, k=10, max_expansions=16).count()
         extras["query_prefix_s"] = round(time.time() - t0, 3)
         extras["prefix_n_queries"] = len(pq)
+        # r06: fuzzy landed after the r05 bench refresh — give it a row
+        from sparkbm25.index_query import index_fuzzy_search
+
+        fq = [(i, s[:-1] + "x") for i, s in enumerate(stems)]  # 1-edit off
+        index_fuzzy_search(ix, fq[:2], k=10, max_dist=1,
+                           max_expansions=16).count()
+        t0 = time.time()
+        index_fuzzy_search(ix, fq, k=10, max_dist=1,
+                           max_expansions=16).count()
+        extras["query_fuzzy_s"] = round(time.time() - t0, 3)
+        extras["fuzzy_n_queries"] = len(fq)
     except Exception as e:
         extras["boolean_bench_error"] = str(e)[:200]
 
