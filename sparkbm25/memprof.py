@@ -5,9 +5,19 @@ peaks into its benchmark results (benchmarking/memory_profiler/
 memory_monitor.py:11-77, rollup benchmarking/results.py:14-122). The Spark
 analog must cover the whole local process TREE: the python driver, the JVM
 it spawns, and the Arrow python workers the JVM spawns — so the sampler
-walks /proc, sums VmRSS over this process and all descendants, and keeps
-the running peak. Pure stdlib, Linux /proc only (degrades to rss=0
-elsewhere)."""
+walks /proc over this process and all descendants and keeps the running
+peak. Pure stdlib, Linux /proc only (degrades to rss=0 elsewhere).
+
+Counts PSS (proportional set size, /proc/pid/smaps_rollup) rather than
+VmRSS when the kernel provides it: the JVM continually fork()s short-lived
+children while spawning processes (jspawnhelper), and each fork SHARES the
+whole JVM heap copy-on-write — summing VmRSS attributes the full heap to
+every such fork, overstating a 12 GB-heap build by 5x+ in bursts (r06
+diagnosis; the r05 "build RSS doubled" reading carried this artifact —
+measured fork PSS was ~40-160 kB against ~8-12 GB of attributed RSS). PSS
+apportions shared pages across their mappers, so the tree sum is bounded
+by true physical use. Falls back to statm RSS per process when smaps_rollup
+is unavailable."""
 
 from __future__ import annotations
 
@@ -16,8 +26,21 @@ import threading
 import time
 
 
+def _pss_bytes(pid: int) -> int | None:
+    """PSS (bytes) from smaps_rollup — shared pages apportioned, so COW
+    forks of a big JVM cost what they physically use, not the full heap."""
+    try:
+        with open(f"/proc/{pid}/smaps_rollup") as f:
+            for line in f:
+                if line.startswith("Pss:"):
+                    return int(line.split()[1]) * 1024
+    except (OSError, IndexError, ValueError):
+        return None
+    return None
+
+
 def _proc_tree_rss(root_pid: int) -> int:
-    """Sum of VmRSS (bytes) over root_pid and every descendant."""
+    """Sum of PSS (fallback: VmRSS) bytes over root_pid + descendants."""
     children: dict[int, list[int]] = {}
     rss: dict[int, int] = {}
     try:
@@ -41,7 +64,9 @@ def _proc_tree_rss(root_pid: int) -> int:
         if pid in seen:
             continue
         seen.add(pid)
-        total += rss.get(pid, 0)
+        if pid in rss:
+            pss = _pss_bytes(pid)
+            total += pss if pss is not None else rss[pid]
         stack.extend(children.get(pid, []))
     return total
 

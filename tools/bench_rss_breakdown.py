@@ -94,7 +94,13 @@ class Breakdown:
 def main():
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 50000
-    spark = get_spark("rss-breakdown", cores=cpus, shuffle_partitions=cpus)
+    store_pos = len(sys.argv) > 3 and sys.argv[3] == "pos"
+    extra = {}
+    if os.environ.get("RSSB_MAXREC"):
+        extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = \
+            os.environ["RSSB_MAXREC"]
+    spark = get_spark("rss-breakdown", cores=cpus, shuffle_partitions=cpus,
+                      extra_conf=extra)
     corpus_path = prepare_corpus(spark, "0.1", n_convs)
     corpus = add_doc_id(spark.read.parquet(corpus_path), "conv_seq").select(
         "doc_id", "text"
@@ -103,8 +109,9 @@ def main():
     params = BuildParams(
         num_shards=max(cpus, 8), salt_factor=4, num_term_buckets=32,
         lineage_groups=1, doc_id_scheme="conv_seq",
+        store_positions=store_pos,
     )
-    ix_dir = f"/tmp/sparkbm25_bench/rssb_{cpus}"
+    ix_dir = f"/tmp/sparkbm25_bench/rssb_{cpus}_{store_pos}"
     shutil.rmtree(ix_dir, ignore_errors=True)
     build_index(corpus, ix_dir, params, source_fingerprint=corpus_path)
     shutil.rmtree(ix_dir, ignore_errors=True)
