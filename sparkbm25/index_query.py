@@ -772,7 +772,7 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
         kernel = _wand_topk_fn(
             occ, eff_k1, eff_b, avgdl, k, None,
             derived_bounds=derived, tombstones=tomb,
-            and_need=and_need, exclude=exclude,
+            and_need=and_need, exclude=exclude, fieldw=fieldw,
         )
     else:
         kernel = _sharded_topk_fn(
@@ -811,7 +811,8 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
                   cogroup: bool = False, has_qual: bool = False,
                   tombstones: "tuple | None" = None,
                   and_need: dict[int, int] | None = None,
-                  exclude: dict[int, list[str]] | None = None):
+                  exclude: dict[int, list[str]] | None = None,
+                  fieldw: tuple | None = None):
     """Shard-local block-max WAND kernel: the module doc's 3-phase pruned
     traversal executed INSIDE the shard task on block metadata, so pruned
     search keeps the sharded path's one-shuffle plan (the DataFrame 3-phase
@@ -906,7 +907,29 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
         for term, grp in pdf.groupby("term", sort=False):
             if term not in wanted:
                 continue
-            if derived_bounds:
+            if fieldw is not None:
+                # BM25F bounds from the raw block integers under the
+                # WEIGHT ENVELOPE: tf~ <= wmax*max_tf (weighted avg of the
+                # field tfs) and dl~ >= wmin*min_dl, so
+                # tf_norm(wmax*max_tf, wmin*min_dl) under the weighted
+                # avgdl upper-bounds every posting's weighted tf_norm
+                # (monotone inc in tf~, dec in dl~); the lower bound
+                # mirrors with (wmin*min_tf, wmax*max_dl). Sound for any
+                # positive weights; looser than exact per-field bounds,
+                # which the layout does not store.
+                _, w_t, w_b = fieldw
+                wmax, wmin = max(w_t, w_b), min(w_t, w_b)
+                maxt = tf_norm_np(
+                    wmax * grp["max_tf"].to_numpy(dtype=np.float64),
+                    wmin * grp["min_dl"].to_numpy(dtype=np.float64),
+                    avgdl, k1, b,
+                )
+                mint = tf_norm_np(
+                    wmin * grp["min_tf"].to_numpy(dtype=np.float64),
+                    wmax * grp["max_dl"].to_numpy(dtype=np.float64),
+                    avgdl, k1, b,
+                )
+            elif derived_bounds:
                 maxt = tf_norm_np(
                     grp["max_tf"].to_numpy(dtype=np.int64),
                     grp["min_dl"].to_numpy(dtype=np.int64), avgdl, k1, b,
@@ -931,6 +954,8 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
                 "dv": grp["docs_vbyte"].to_list(),
                 "tv": grp["tfs_vbyte"].to_list(),
                 "lv": grp["dls_vbyte"].to_list(),
+                "pv": (grp["pos_vbyte"].to_list()
+                       if fieldw is not None else None),
                 "dec": [None] * len(grp),
             }
 
@@ -938,8 +963,26 @@ def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
             if td["dec"][j] is None:
                 n = int(td["n"][j])
                 ids = delta_decode(vbyte_decode(td["dv"][j], n))
-                tfs = vbyte_decode(td["tv"][j], n).astype(np.float64)
+                tfs_i = vbyte_decode(td["tv"][j], n)
                 dls = vbyte_decode(td["lv"][j], n).astype(np.float64)
+                if fieldw is not None:
+                    # same weighted tf~/dl~ derivation as the sharded
+                    # kernel (index_bm25f_search): tf1 from positions
+                    split, w_t, w_b = fieldw
+                    cnt = tfs_i.astype(np.int64)
+                    pos_gaps = vbyte_decode(td["pv"][j], int(cnt.sum()))
+                    starts = np.cumsum(cnt) - cnt
+                    pos_all = segment_delta_restore(pos_gaps, starts, cnt)
+                    tf1 = np.add.reduceat(
+                        (pos_all < split).astype(np.int64), starts
+                    )
+                    tfs = w_t * tf1 + w_b * (cnt - tf1)
+                    dls = (
+                        w_t * np.minimum(dls, float(split))
+                        + w_b * np.maximum(dls - split, 0.0)
+                    )
+                else:
+                    tfs = tfs_i.astype(np.float64)
                 tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
                 m = None
                 if sub_shift is not None:
@@ -1706,10 +1749,13 @@ def index_bm25f_search(
     exactly from doc_stats integer sums (Index.bm25f_avgdl); df/idf are
     the unchanged any-field counts, matching the corpus-scan path.
 
-    Delegates to index_search's sharded kernels (direct and exchange
-    routes), so where=/k1/b/tombstones/mode/min_match/exclude all
-    compose; with integer-valued weights results are bit-identical to
-    the corpus-scan path pre-rounding.
+    Delegates to index_search's kernels (direct and exchange routes;
+    'sharded' default or 'blockmax' — the WAND kernel derives sound
+    pruning bounds from the raw block integers under the weight
+    envelope tf~ <= wmax*max_tf, dl~ >= wmin*min_dl), so
+    where=/k1/b/tombstones/mode/min_match/exclude all compose; with
+    integer-valued weights results are bit-identical to the corpus-scan
+    path pre-rounding.
 
     Reference analog: search params applied at query time over a
     prebuilt artifact (benchmarking/search/search_indices.py:16-39) —
@@ -1916,10 +1962,10 @@ def index_search(
             raise ValueError(
                 f"field weights must be > 0, got ({w_t}, {w_b})"
             )
-        if strategy != "sharded":
+        if strategy not in ("sharded", "blockmax"):
             raise ValueError(
-                "fields= (BM25F) is served by the 'sharded' strategy "
-                "only (block-max bounds are not field-weighted yet)"
+                "fields= (BM25F) is served by the 'sharded' and "
+                "'blockmax' strategies only"
             )
         if not ix.store_positions:
             raise ValueError(
@@ -2054,7 +2100,7 @@ def index_search(
     # (max_tf/min_tf/min_dl/max_dl, layout >= 0.7) to derive sound bounds
     # under the effective parameters at query time
     derived = strategy == "blockmax" and (
-        eff_k1 != ix.k1 or eff_b != ix.b
+        eff_k1 != ix.k1 or eff_b != ix.b or fw is not None
     )
     if derived and "max_tf" not in ix.postings().columns:
         raise ValueError(
@@ -2162,6 +2208,7 @@ def index_search(
                     occ, eff_k1, eff_b, eff_avgdl, k, None,
                     derived_bounds=derived, cogroup=True, has_qual=True,
                     tombstones=tomb, and_need=and_need, exclude=excl_map,
+                    fieldw=fw,
                 )
                 if strategy == "blockmax"
                 else _sharded_topk_fn(
@@ -2267,7 +2314,7 @@ def index_search(
                     occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
                     derived_bounds=derived, cogroup=True,
                     has_qual=has_qual, tombstones=tomb,
-                    and_need=and_need, exclude=excl_map,
+                    and_need=and_need, exclude=excl_map, fieldw=fw,
                 )
                 if strategy == "blockmax"
                 else _sharded_topk_fn(
@@ -2287,7 +2334,7 @@ def index_search(
         kern = (
             _wand_topk_fn(occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
                           derived_bounds=derived, tombstones=tomb,
-                          and_need=and_need, exclude=excl_map)
+                          and_need=and_need, exclude=excl_map, fieldw=fw)
             if strategy == "blockmax"
             else _sharded_topk_fn(
                 occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,

@@ -161,7 +161,7 @@ def test_indexed_bm25f_refusals(spark, f_built, tmp_path):
     ix = Index(spark, d)
     q = [(0, "w0100 w0200")]
     with pytest.raises(ValueError, match="sharded"):
-        index_bm25f_search(ix, q, strategy="blockmax")
+        index_bm25f_search(ix, q, strategy="exhaustive")
     with pytest.raises(ValueError, match="> 0"):
         index_bm25f_search(ix, q, w_title=0.0)
     with pytest.raises(ValueError, match="int >= 1"):
@@ -174,3 +174,25 @@ def test_indexed_bm25f_refusals(spark, f_built, tmp_path):
                 source_fingerprint="nopos60")
     with pytest.raises(ValueError, match="store_positions"):
         index_bm25f_search(Index(spark, d2), q)
+
+
+def test_indexed_bm25f_blockmax_bit_identical(spark, f_built):
+    """r06: BM25F on the pruned strategy — bounds from the raw block
+    integers under the weight envelope (tf~ <= wmax*max_tf,
+    dl~ >= wmin*min_dl) — must match the sharded kernel bit-for-bit on
+    both routes, composing with overrides and boolean surfaces."""
+    from sparkbm25.index_query import index_bm25f_search
+    from sparkbm25.jobs import Index
+
+    _corpus, d = f_built
+    ix = Index(spark, d)
+    queries = make_queries(12)
+    for kw in ({}, {"k1": 0.9, "b": 0.3}, {"min_match": 2},
+               {"title_tokens": 4, "w_title": 3.0}):
+        ref = _rows(index_bm25f_search(ix, queries, k=K, **kw))
+        assert ref
+        for route in (True, False):
+            got = _rows(index_bm25f_search(ix, queries, k=K,
+                                           strategy="blockmax",
+                                           direct=route, **kw))
+            assert got == ref, (kw, route)
