@@ -399,6 +399,13 @@ JACCARD_MAX_DF = 1024  # stop-shingle cap: bounds the inverted-index self-
 # testdata (measured max shingle df: 7 at sf0.01, 25 at sf0.1)
 COS_PAIR_T = 0.4
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+# hybrid retrieval: each DOC_QUERY text paired with a probe vector from the
+# aligned embeddings table (vec_id == doc_id domain; the container has no
+# embedding model, so query vectors are row lookups — the ann convention)
+HYBRID_QUERIES: list[tuple[int, str, int]] = [
+    (qid, text, qid) for qid, text in DOC_QUERIES
+]
+HYBRID_N_EACH = 50  # per-leg top-n cut before fusion
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,6 +527,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(f"{d}/manifest.json") as f:
         n_centroids = int(json.load(f)["n_centroids"])
     return ann_index_search(spark, d, qvecs, k=K, n_probe=n_centroids)
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval: BM25 and cosine top-n legs fused
+    with reciprocal-rank fusion (rrf_score = sum 1/(60+rank), rank-only —
+    no score normalization, so the fold is bit-exact vs the SQL oracle).
+    The correctness-reference composition (corpus-scan BM25 + exact
+    cosine); the artifact-served path (posting index + IVF) is
+    rank-identity-gated in tests/test_hybrid.py."""
+    from sparkbm25.hybrid import hybrid_rrf_topk
+
+    ensure_shipped(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hybrid_rrf_topk(docs, emb, HYBRID_QUERIES, k=K,
+                           n_each=HYBRID_N_EACH)
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "curate": q_curate,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "token_counts": q_token_counts,
@@ -675,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sparkbm25 import hybrid as HY
     from sparkbm25.pipeline import curate as CU
     from sparkbm25.pipeline import dedup as DD
     from sparkbm25.pipeline import events as EV
@@ -724,6 +749,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": DD.simhash_pairs_sql(3),
         "curate": CU.curate_sql(JACCARD_T, MIN_QUALITY, CURATE_LANGS),
         "ann_cosine_topk": SIM.cosine_topk_sql(ANN_QUERY_IDS, k=K),
+        "hybrid_rrf_topk": HY.hybrid_rrf_sql(
+            HYBRID_QUERIES, k=K, n_each=HYBRID_N_EACH),
         "embedding_neardup": SIM.cosine_pairs_sql(COS_PAIR_T),
         # full-probe IVF from the artifact is exact -> same oracle as brute
         "ann_ivf_topk": SIM.cosine_topk_sql(ANN_QUERY_IDS, k=K),
