@@ -242,6 +242,26 @@ def q_bm25_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("score", F.round("score", 6))
 
 
+MLT_LIKE_IDS = [0, 3, 7]
+MLT_MAX_TERMS = 10
+
+
+def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this (Lucene MLT analog): per source doc, its top
+    MLT_MAX_TERMS terms by the pure-rational interest weight
+    tf*(n-df+0.5)/(df+0.5) (bit-identical selection across engines —
+    sparkbm25.mlt module doc) become a BM25 disjunctive query; the source
+    doc is excluded from its own result. Corpus-scan composition here
+    (the correctness reference); the artifact-served path (stored text +
+    term_stats lookup + one index_search) is rank-identity-gated in
+    tests/test_mlt.py."""
+    from sparkbm25.mlt import more_like_this
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = more_like_this(docs, MLT_LIKE_IDS, k=K, max_terms=MLT_MAX_TERMS)
+    return out.withColumn("score", F.round("score", 6))
+
+
 EXPLAIN_K = 5
 
 
@@ -667,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": q_search_snippets,
         "score_explain": q_score_explain,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
+        "mlt_topk": q_mlt_topk,
         "bm25f_topk": q_bm25f_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_msm_topk": q_bm25_msm_topk,
@@ -700,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from sparkbm25 import hybrid as HY
+    from sparkbm25 import mlt as MLT
     from sparkbm25.pipeline import curate as CU
     from sparkbm25.pipeline import dedup as DD
     from sparkbm25.pipeline import events as EV
@@ -728,6 +750,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fuzzy_topk": sqlgen.fuzzy_topk_sql(
             DOC_FUZZY_QUERIES, k=K, max_dist=FUZZY_DIST,
             max_expansions=FUZZY_MAX_EXP,
+        ),
+        "mlt_topk": MLT.more_like_this_sql(
+            MLT_LIKE_IDS, k=K, max_terms=MLT_MAX_TERMS
         ),
         "bm25f_topk": _bm25f_topk_sql(DOC_QUERIES, k=K),
         "bm25_and_topk": sqlgen.bm25_topk_sql(DOC_QUERIES, k=K, mode="and"),

@@ -348,7 +348,7 @@ def main() -> int:
             # total (keeps `value` comparable with earlier rounds)
             for xname in ("bm25f_topk", "search_facets", "search_snippets",
                           "score_explain", "bm25_msm_topk", "bm25_not_topk",
-                          "phrase_near_topk"):
+                          "phrase_near_topk", "hybrid_rrf_topk", "mlt_topk"):
                 fn = entry_mod.queries().get(xname)
                 if fn is not None:
                     t0 = time.time()
