@@ -1870,7 +1870,14 @@ def index_search(
     group-local (see _sharded_topk_fn). Served by the 'sharded'
     strategy, both routes; composes with where=/k1/b/tombstones.
     On 'blockmax' these queries run CANDIDATE-DRIVEN conjunctive
-    retrieval (see _wand_topk_fn) — the pruned production path.
+    retrieval (see _wand_topk_fn). Measured guidance (BENCH_BOOL_AB.json):
+    on the fixture corpus the dense 'sharded' kernel beats 'blockmax'
+    at EVERY batch size and core count — iid-Zipf text is prune-hostile
+    (block bounds sit near actual scores, θ excludes little) while the
+    WAND kernel pays per-block call overhead. Prefer the default
+    'sharded' for interactive traffic; 'blockmax' is the asymptotic
+    design point (per-term postings ≫ task memory, skewed real-text tf
+    where block maxima discriminate).
 
     `min_match` (mode='or', 'sharded' strategy) is Lucene's
     minimum-should-match: rank only docs matching >= that many DISTINCT
