@@ -131,6 +131,36 @@ def q_bm25_topk_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("score", F.round("score", 6))
 
 
+def q_bm25_page2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor pagination (OpenSearch search_after analog): run page 1
+    (top-K), take each query's last hit as a stateless (score, doc_id)
+    cursor, and serve page 2 as the top-K STRICTLY after the cursor in
+    the (score DESC, doc_id ASC) total order — no deep re-ranking, the
+    kernel masks folded scores before local top-k extraction. Oracle:
+    the same BM25 SQL windowed to ranks K+1..2K (rank-identity of the
+    shared total order). Cursors use the engine's UNROUNDED page-1
+    scores (bit-exact across routes); queries with a short first page
+    have no page 2. Reference analog: repeated top-k harness calls
+    (benchmarking/search/search_indices.py)."""
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    ix = Index(spark, ix_dir)
+    # page 1: k*|queries| rows — a driver-bounded collect by construction
+    page1: dict[int, list] = {}
+    for r in index_search(ix, DOC_QUERIES, k=K).collect():
+        page1.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    cursors = {
+        qid: (rows[-1][2], rows[-1][1])
+        for qid, rows in page1.items()
+        if len(rows) == K and max(r for r, _d, _s in rows) == K
+    }
+    qs2 = [(qid, txt) for qid, txt in DOC_QUERIES if qid in cursors]
+    out = index_search(ix, qs2, k=K, search_after=cursors)
+    return out.withColumn("score", F.round("score", 6))
+
+
 def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered search: exact top-k among docs with lang = FILTER_LANG,
     global idf/avgdl (standard filter-narrows-candidates semantics). The
@@ -143,6 +173,23 @@ def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix_dir = _entry_index(spark, sf_dir)
     out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K,
                        where={"lang": FILTER_LANG})
+    return out.withColumn("score", F.round("score", 6))
+
+
+def q_bm25_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (OpenSearch `collapse`): per query, the top-K
+    keeps only the BEST doc per distinct `source` value (total order
+    score DESC, doc_id ASC), re-ranked over the group representatives —
+    "best hit per source". Served from the stored-attribute side
+    (side-grouped direct plan: blocks pyarrow-read in-task, only the
+    attribute side shuffles). Oracle: the same BM25 SQL with a
+    group-best row_number between scoring and ranking."""
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K,
+                       collapse="source")
     return out.withColumn("score", F.round("score", 6))
 
 
@@ -693,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm_topk": q_bm25_msm_topk,
         "bm25_not_topk": q_bm25_not_topk,
         "bm25_prefix_topk": q_bm25_prefix_topk,
+        "bm25_page2_topk": q_bm25_page2_topk,
+        "bm25_collapse_topk": q_bm25_collapse_topk,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "dedup_exact": q_dedup_exact,
@@ -764,6 +813,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_prefix_topk": sqlgen.prefix_topk_sql(
             DOC_PREFIX_QUERIES, k=K, max_expansions=PREFIX_MAX_EXP
+        ),
+        "bm25_page2_topk": sqlgen.bm25_topk_sql(
+            DOC_QUERIES, k=K, page_after_rank=K
+        ),
+        "bm25_collapse_topk": sqlgen.bm25_topk_sql(
+            DOC_QUERIES, k=K, collapse_by="source"
         ),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_stats": sqlgen.term_stats_sql(),

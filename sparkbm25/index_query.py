@@ -257,6 +257,245 @@ def _rescore_gen(k1: float, b: float, avgdl: float):
     return gen
 
 
+_PRUNE_EPS = 1e-9
+
+
+def _decode_tfn(pdf: pd.DataFrame, k1: float, b: float,
+                avgdl: float) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Decode a (sub)frame of posting blocks into {term: (doc_ids,
+    tf_norm)} — the prune-refinement SEED decode. Clean shape only (no
+    tombstones / filters / field weights; those shapes never reach
+    prune_bounds), same vbyte/delta layout and tf_norm formula as the
+    main kernel's batched decode."""
+    pdf = pdf.sort_values("term", kind="stable", ignore_index=True)
+    terms_arr = pdf["term"].to_numpy()
+    n_arr = pdf["n_docs"].to_numpy().astype(np.int64)
+    total = int(n_arr.sum())
+    if total == 0:
+        return {}
+    seg_starts = np.zeros(len(n_arr), dtype=np.int64)
+    seg_starts[1:] = np.cumsum(n_arr)[:-1]
+    gaps = vbyte_decode(b"".join(pdf["docs_vbyte"]), total)
+    all_ids = segment_delta_restore(gaps, seg_starts, n_arr)
+    tfs = vbyte_decode(b"".join(pdf["tfs_vbyte"]), total).astype(np.float64)
+    dls = vbyte_decode(b"".join(pdf["dls_vbyte"]), total).astype(np.float64)
+    tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    blk_change = np.r_[True, terms_arr[1:] != terms_arr[:-1]]
+    term_first = np.flatnonzero(blk_change)
+    post_off = np.r_[seg_starts[term_first], total]
+    raw: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for i, tb in enumerate(term_first):
+        lo, hi = int(post_off[i]), int(post_off[i + 1])
+        if hi > lo:
+            raw[terms_arr[tb]] = (all_ids[lo:hi], tfn[lo:hi])
+    return raw
+
+
+def _interval_prune(pdf: pd.DataFrame,
+                    q_terms: dict[int, list[tuple[str, float]]],
+                    k1: float, b: float, avgdl: float, k: int,
+                    mode: str, sub_shift: int | None, vs: int):
+    """Interval-level block-max pruning for the DENSE kernel (the
+    round-6 answer to BENCH_BOOL_AB.json: the per-block WAND kernel's
+    Python call overhead loses to dense scoring even when its bounds
+    could pay, so run the bounds analysis VECTORIZED over doc-range
+    INTERVALS and feed the surviving blocks to the unchanged densified
+    fold — pruned search that degrades to dense-kernel speed, never
+    below it, when the data gives the bounds nothing to exclude).
+
+    The block-max idea is Ding & Suel's (SIGIR'11); the interval
+    formulation makes it batch-friendly:
+
+    - intervals: the merged doc-id ranges cut at every block's
+      [first_doc, last_doc+1) boundary across the group's query terms.
+    - per term t: M_t[i] = max upper-bound tf_norm over t's blocks
+      overlapping interval i (a per-block slice-max sweep — once per
+      BATCH, not per query).
+    - per query q: θ_q from the same metadata-only bootstrap as the
+      WAND kernel ("k docs provably score >= θ": some block of one
+      occurrence term holds >= k postings each with lower bound L;
+      under sub_shift only blocks fully inside this range may count);
+      bound vector B_q[i] = Σ over q's occurrences (t, w) of w*M_t[i];
+      live_q = B_q >= θ_q - |θ_q|·EPS.
+    - decode only blocks overlapping the live-interval UNION of the
+      queries that use the block's term (an all-live query must not
+      resurrect dead blocks of terms it never references); mask each
+      query's final candidates to its own live intervals.
+
+    Exactness: a doc d in a q-dead interval i has true q-score
+    <= B_q[i] < θ_q - |θ_q|·EPS < θ_q <= true kth score, so it can
+    neither enter q's top-k nor tie its boundary. A doc in a q-live
+    interval keeps EVERY contribution: each of its blocks overlaps its
+    (live) interval and is therefore decoded, and the densified fold
+    adds kept docs' contributions in the identical qpos order — scores
+    bit-equal to the unpruned kernel.
+
+    Returns None when nothing is excludable (the caller then runs the
+    plain dense path with zero per-query overhead), else
+    (keep_rows boolean mask over pdf rows, interval bounds array,
+    {qid: live boolean vector} for queries with >= 1 dead interval).
+    """
+    from .bm25 import tf_norm_np
+
+    firsts = pdf["first_doc"].to_numpy(dtype=np.int64)
+    lasts = pdf["last_doc"].to_numpy(dtype=np.int64)
+    if mode == "derived":
+        maxt = tf_norm_np(pdf["max_tf"].to_numpy(dtype=np.int64),
+                          pdf["min_dl"].to_numpy(dtype=np.int64),
+                          avgdl, k1, b)
+        mint = tf_norm_np(pdf["min_tf"].to_numpy(dtype=np.int64),
+                          pdf["max_dl"].to_numpy(dtype=np.int64),
+                          avgdl, k1, b)
+    else:
+        maxt = pdf["max_tf_norm"].to_numpy(dtype=np.float64)
+        mint = pdf["min_tf_norm"].to_numpy(dtype=np.float64)
+    n_arr = pdf["n_docs"].to_numpy(dtype=np.int64)
+    terms_arr = pdf["term"].to_numpy()
+    bounds = np.unique(np.concatenate([firsts, lasts + 1]))
+    n_int = len(bounds) - 1
+    if n_int < 1:
+        return None
+    lo = np.searchsorted(bounds, firsts, side="right") - 1
+    hi = np.searchsorted(bounds, lasts + 1, side="left")
+    # per-term interval max-ub staircase (once per batch)
+    blk_of: dict[str, np.ndarray] = {}
+    M: dict[str, np.ndarray] = {}
+    for t in {t for tw in q_terms.values() for t, _w in tw}:
+        idx = np.flatnonzero(terms_arr == t)
+        if not len(idx):
+            continue
+        blk_of[t] = idx
+        m = np.zeros(n_int)
+        for j in idx:
+            np.maximum(m[lo[j]:hi[j]], maxt[j], out=m[lo[j]:hi[j]])
+        M[t] = m
+    if not M:
+        return None
+    if sub_shift is not None:
+        cont_all = ((firsts >> np.int64(sub_shift)) == vs) & (
+            (lasts >> np.int64(sub_shift)) == vs
+        )
+    # phase 1 — metadata-only theta per query ("k docs provably score
+    # >= theta": a prefix of ONE term's blocks, ordered by lower bound
+    # desc, holds >= k postings; under sub_shift only blocks fully
+    # inside this group's range may count)
+    theta_of: dict[int, float] = {}
+    present_of: dict[int, list[tuple[str, float]]] = {}
+    for qid, tw in q_terms.items():
+        present = [(t, w) for t, w in tw if t in M]
+        if not present:
+            continue
+        present_of[qid] = present
+        theta = 0.0
+        for t, w in present:
+            idx = blk_of[t]
+            L, nn = w * mint[idx], n_arr[idx]
+            if sub_shift is not None:
+                c = cont_all[idx]
+                if not c.any():
+                    continue
+                L, nn = L[c], nn[c]
+            order = np.argsort(-L, kind="stable")
+            cum = np.cumsum(nn[order])
+            hit = np.flatnonzero(cum >= k)
+            if len(hit):
+                theta = max(theta, float(L[order[hit[0]]]))
+        theta_of[qid] = theta
+    if not present_of:
+        return None
+    # phase 2 — SEED refinement (two-phase block-max): the metadata
+    # bootstrap certifies only ONE term's contribution, so for
+    # multi-term queries theta sits far below the true kth score and
+    # excludes little. Decode each query term's highest-upper-bound
+    # blocks once (a bounded seed), accumulate each query's scores over
+    # the decoded postings, and take the kth-largest as theta'.
+    # Soundness: every decoded candidate is a real doc and its
+    # accumulated score omits at most some of its own contributions
+    # (an UNDERestimate), and a subset's kth order statistic never
+    # exceeds the full set's — so theta' <= the true kth score. (Under
+    # sub_shift a seed doc may belong to a neighboring group; it is
+    # still a real doc of the full candidate set, so the bound holds.)
+    # Accumulation order may differ from the final fold by ~ulp; the
+    # relative _PRUNE_EPS margin on the live test absorbs that.
+    if "docs_vbyte" in pdf.columns:
+        seed_rows = np.zeros(len(pdf), dtype=bool)
+        for qid, present in present_of.items():
+            for t, _w in present:
+                idx = blk_of[t]
+                order = np.argsort(-maxt[idx], kind="stable")
+                cum = np.cumsum(n_arr[idx][order])
+                take = int(np.searchsorted(cum, 4 * k)) + 1
+                seed_rows[idx[order[:take]]] = True
+        n_seed = int(n_arr[seed_rows].sum())
+        if 0 < n_seed <= max(0.25 * float(n_arr.sum()), 64.0 * k):
+            raw = _decode_tfn(pdf[seed_rows], k1, b, avgdl)
+            if raw:
+                for qid, present in present_of.items():
+                    parts = [
+                        (raw[t][0], w, raw[t][1])
+                        for t, w in present if t in raw
+                    ]
+                    if not parts:
+                        continue
+                    # per-term seed ids are unique but NOT sorted across
+                    # blocks (lineage groups interleave doc ranges)
+                    ids_c = (
+                        np.sort(parts[0][0]) if len(parts) == 1
+                        else np.unique(
+                            np.concatenate([p[0] for p in parts])
+                        )
+                    )
+                    if len(ids_c) < k:
+                        continue
+                    sc = np.zeros(len(ids_c))
+                    for pids, w, ptfn in parts:
+                        sc[np.searchsorted(ids_c, pids)] += w * ptfn
+                    th2 = float(-np.partition(-sc, k - 1)[k - 1])
+                    if th2 > theta_of[qid]:
+                        theta_of[qid] = th2
+    # phase 3 — live intervals per query under the refined theta
+    live_of: dict[int, np.ndarray] = {}
+    # per-TERM live union: a block needs decoding only where some query
+    # USING ITS TERM is live — an all-live query must not resurrect the
+    # dead blocks of terms it never references
+    term_live: dict[str, np.ndarray | None] = {}  # None = live everywhere
+    any_dead = False
+    for qid, present in present_of.items():
+        theta = theta_of[qid]
+        if theta <= 0.0:
+            for t, _w in present:
+                term_live[t] = None
+            continue
+        B = np.zeros(n_int)
+        for t, w in present:
+            B += w * M[t]
+        live = B >= theta - abs(theta) * _PRUNE_EPS
+        if live.all():
+            for t, _w in present:
+                term_live[t] = None
+            continue
+        any_dead = True
+        live_of[qid] = live
+        for t, _w in present:
+            prev = term_live.get(t, ...)
+            if prev is ...:
+                term_live[t] = live.copy()
+            elif prev is not None:
+                prev |= live
+    if not any_dead:
+        return None
+    # decode only blocks overlapping their term's live-union region
+    keep_rows = np.ones(len(pdf), dtype=bool)
+    for t, lv in term_live.items():
+        if lv is None:
+            continue
+        c = np.zeros(n_int + 1, dtype=np.int64)
+        np.cumsum(lv, out=c[1:])
+        idx = blk_of[t]
+        keep_rows[idx] = (c[hi[idx]] - c[lo[idx]]) > 0
+    return keep_rows, bounds, live_of
+
+
 def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                      k1: float, b: float, avgdl: float, k: int,
                      sub_shift: int | None = None, cogroup: bool = False,
@@ -264,7 +503,10 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                      tombstones: "tuple | None" = None,
                      and_need: dict[int, int] | None = None,
                      exclude: dict[int, list[str]] | None = None,
-                     fieldw: tuple | None = None):
+                     fieldw: tuple | None = None,
+                     prune_bounds: str | None = None,
+                     after: dict[int, tuple[float, int]] | None = None,
+                     collapse: bool = False):
     """Per-shard exact scoring kernel: decode each query term's blocks ONCE,
     densify each term into one contribution column over the group's doc
     universe, and score every query as a few whole-vector adds.
@@ -319,21 +561,87 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
     (Lucene BooleanQuery MUST_NOT). Excluded terms' blocks arrive with
     the group (the caller widens the block fetch) but contribute no
     scoring column; group-locality makes the exclusion test exact for
-    the same reason as coverage."""
+    the same reason as coverage.
+
+    ``prune_bounds`` ('derived' | 'stored') activates interval-level
+    block-max pruning (see _interval_prune): blocks provably unable to
+    affect any query's top-k are skipped BEFORE the batched decode, and
+    each query's candidates are masked to its own live doc-range
+    intervals. Exact (scores of surviving docs are the bitwise-unchanged
+    dense fold); requires the blockmax metadata columns in the group and
+    composes with sub_shift only — the caller routes masked/boolean/
+    field-weighted shapes to the WAND kernel instead (their bootstrap
+    needs decode-time masking).
+
+    ``after`` ({query_id: (score, doc_id) cursor}) activates
+    SEARCH-AFTER pagination: only candidates STRICTLY after the cursor
+    in the result total order (score DESC, doc_id ASC) survive —
+    ``score < s  OR  (score == s AND doc_id > d)``. The mask runs on
+    the folded scores BEFORE local top-k extraction, so each shard's
+    k survivors are the true after-cursor leaders (OpenSearch
+    search_after semantics; the float equality is sound because the
+    cursor comes from this engine's own bit-exact scores).
+
+    ``collapse`` activates FIELD COLLAPSING (OpenSearch `collapse`):
+    the cogrouped side's kind=0 rows carry a ``value`` column (the
+    stored attribute of every eligible doc — they double as the
+    qualifying set, so ``collapse`` implies ``cogroup`` +
+    ``has_qual``); after each query's fold, candidates sort by the
+    total order (score DESC, doc_id ASC) and only the FIRST doc per
+    distinct value survives (NULL is one group), up to k — each group
+    emits at most k rows per query, one per collapse group, and the
+    output gains a ``value`` column. Scores are the unchanged dense
+    fold; per-group emission of the local collapsed top-k is globally
+    exact (a group in the global collapsed top-k has < k groups ahead
+    of it inside its best doc's shard — any group ahead there is ahead
+    globally too, its global best being >= its shard-local best)."""
+    if collapse and not (cogroup and has_qual):
+        raise ValueError("collapse requires the cogrouped side "
+                         "(attribute rows double as qualifying ids)")
+    if collapse and after:
+        raise ValueError(
+            "search_after does not compose with collapse: a doc-level "
+            "cursor mask could resurface a page-1 group via its "
+            "second-best doc"
+        )
+    if prune_bounds is not None and (
+        tombstones is not None or has_qual or and_need or exclude
+        or fieldw is not None or after
+    ):
+        raise ValueError(
+            "prune_bounds composes with sub_shift only; route masked/"
+            "boolean/field-weighted searches to the WAND kernel"
+        )
 
     def _run(vs: int, pdf: pd.DataFrame,
              qual: np.ndarray | None,
-             tomb: "tuple | None") -> pd.DataFrame:
+             tomb: "tuple | None",
+             sidev: "tuple | None" = None) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "query_id": pd.Series(dtype="int32"),
                 "doc_id": pd.Series(dtype="int64"),
                 "score": pd.Series(dtype="float64"),
+                **(
+                    {"value": pd.Series(dtype="object")} if collapse else {}
+                ),
             }
         )
         w_of: dict[str, float] = {
             t: w for tw in q_terms.values() for t, w in tw
         }
+        live_of: dict[int, np.ndarray] = {}
+        int_bounds: np.ndarray | None = None
+        if prune_bounds is not None and len(pdf):
+            pruned = _interval_prune(
+                pdf, q_terms, k1, b, avgdl, k, prune_bounds, sub_shift, vs
+            )
+            if pruned is not None:
+                keep_rows, int_bounds, live_of = pruned
+                if not keep_rows.all():
+                    pdf = pdf[keep_rows]
+                if not len(pdf):
+                    return empty
         # BATCHED decode: varbyte streams are self-delimiting, so the whole
         # group's blocks decode in THREE numpy passes (docs via
         # segment_delta_restore with per-block segment starts — each
@@ -436,6 +744,12 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
             return empty
         uids_g = np.unique(np.concatenate(score_ids))
         U = len(uids_g)
+        # interval index of each universe doc (pruning active only):
+        # one searchsorted per batch serves every query's live-mask
+        u_int = (
+            np.searchsorted(int_bounds, uids_g, side="right") - 1
+            if live_of else None
+        )
         heavy_at = max(1, U // 8)
         dense: dict[str, np.ndarray] = {}
         sparse: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -474,7 +788,7 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                     ex_pos_of[t] = np.unique(pos[valid])
         raw.clear()
 
-        rows_q, rows_d, rows_s = [], [], []
+        rows_q, rows_d, rows_s, rows_v = [], [], [], []
         for qid, tw in q_terms.items():
             present = [t for t, _w in tw if t in dense or t in sparse]
             if not present:
@@ -534,6 +848,9 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                     nz = np.flatnonzero(scores)  # contributions > 0
                 if ex_pos is not None and len(nz):
                     nz = nz[~_in_sorted(nz, ex_pos)]
+                live = live_of.get(qid)
+                if live is not None and len(nz):
+                    nz = nz[live[u_int[nz]]]
                 if not len(nz):
                     continue
                 sc = scores[nz]
@@ -561,12 +878,40 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
                 sel = and_pos if and_pos is not None else cand
                 if ex_pos is not None and len(sel):
                     sel = sel[~_in_sorted(sel, ex_pos)]
+                live = live_of.get(qid)
+                if live is not None and len(sel):
+                    sel = sel[live[u_int[sel]]]
                 if not len(sel):
                     continue
                 if sel is not cand:
                     sc = sc[np.searchsorted(cand, sel)]
                 ids_nz = uids_g[sel]
-            if len(sc) > k:
+            aft = after.get(qid) if after else None
+            if aft is not None:
+                s_cur, d_cur = aft
+                m = (sc < s_cur) | ((sc == s_cur) & (ids_nz > d_cur))
+                if not m.all():
+                    sc, ids_nz = sc[m], ids_nz[m]
+                    if not len(sc):
+                        continue
+            if collapse:
+                # field collapsing: total-order sort, first doc per
+                # distinct side value (candidates ⊆ qual ⊆ side ids, so
+                # every candidate has a value; NULL/NaN is one group via
+                # use_na_sentinel=False), first k groups in rank order
+                sids_s, svals_s = sidev
+                gv = svals_s[np.searchsorted(sids_s, ids_nz)]
+                order = np.lexsort((ids_nz, -sc))
+                codes, _u = pd.factorize(
+                    pd.Series(gv[order], dtype="object"),
+                    use_na_sentinel=False,
+                )
+                first_idx = np.sort(
+                    np.unique(codes, return_index=True)[1]
+                )[:k]
+                keep = order[first_idx]
+                rows_v.append(gv[keep])
+            elif len(sc) > k:
                 # exact top-k under the TOTAL order (score desc, doc_id
                 # asc): kth score via partition, keep the tie plateau,
                 # lexsort survivors, cut to k
@@ -580,13 +925,21 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
             rows_s.append(sc[keep])
         if not rows_q:
             return empty
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(rows_q),
-                "doc_id": np.concatenate(rows_d),
-                "score": np.concatenate(rows_s),
-            }
-        )
+        out = {
+            "query_id": np.concatenate(rows_q),
+            "doc_id": np.concatenate(rows_d),
+            "score": np.concatenate(rows_s),
+        }
+        if collapse:
+            v_out = np.concatenate(rows_v)
+            # pandas surfaces NULL attrs as NaN; emit real None so the
+            # Spark string column carries NULL (one NULL collapse group,
+            # matching SQL PARTITION BY)
+            out["value"] = np.array(
+                [None if (v is None or v != v) else v for v in v_out],
+                dtype=object,
+            )
+        return pd.DataFrame(out)
 
     def topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return _run(int(key[0]), pdf, None, tombstones)
@@ -597,7 +950,18 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
         # qualifying ids (kind=0) and/or distributed tombstones (kind=1),
         # already co-partitioned by the same key
         qual, tomb = _parse_side(side_pdf, has_qual, tombstones)
-        return _run(int(key[0]), blocks_pdf, qual, tomb)
+        sidev = None
+        if collapse:
+            kind_c = (
+                side_pdf["kind"].to_numpy()
+                if len(side_pdf) else np.empty(0, dtype=np.int64)
+            )
+            a = kind_c == 0
+            sids_c = side_pdf["doc_id"].to_numpy(dtype=np.int64)[a]
+            svals_c = side_pdf["value"].to_numpy()[a]
+            o = np.argsort(sids_c, kind="stable")
+            sidev = (sids_c[o], svals_c[o])
+        return _run(int(key[0]), blocks_pdf, qual, tomb, sidev)
 
     return topk_cogroup if cogroup else topk
 
@@ -704,6 +1068,30 @@ def _read_shard_blocks(paths: list, gseqs: list, cols: list[str],
     )
 
 
+def _collapse_window(shard_tops: DataFrame, k: int) -> DataFrame:
+    """Global merge for FIELD COLLAPSING: per-shard collapsed candidates
+    (query_id, doc_id, score, value) -> (query_id, rank, doc_id, score,
+    value). Two windows over a tiny frame (<= k rows per query per
+    shard): pick each (query, value) group's best doc under the total
+    order (a group's true global best is always present — its shard
+    emitted it; other shards' inferior representatives lose here), then
+    rank the group representatives and keep the top k. NULL values form
+    one group in partitionBy, matching SQL."""
+    w_g = Window.partitionBy("query_id", "value").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        shard_tops.withColumn("rn_g", F.row_number().over(w_g))
+        .filter(F.col("rn_g") == 1)
+        .withColumn("rank", F.row_number().over(w_q))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score", "value")
+    )
+
+
 def _direct_side_fn(kernel_cogroup, cols: list[str], terms: list[str],
                     file_map: dict, need_gseq: bool):
     """SIDE-GROUPED direct kernel (r06): applyInPandas over the
@@ -739,7 +1127,9 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
                    and_need: dict[int, int] | None = None,
                    exclude: dict[int, list[str]] | None = None,
                    fieldw: tuple | None = None,
-                   eff_avgdl: float | None = None) -> DataFrame:
+                   eff_avgdl: float | None = None,
+                   after: dict[int, tuple[float, int]] | None = None,
+                   ) -> DataFrame:
     """Assemble the direct route's plan: a tiny work-item DataFrame (one
     row per shard; LocalRelation -> parallelize, NO exchange) feeding the
     pyarrow-reading kernel (dense sharded scoring, or block-max WAND for
@@ -769,15 +1159,26 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
             ["max_tf", "min_tf", "min_dl", "max_dl"] if derived
             else ["max_tf_norm", "min_tf_norm"]
         )
-        kernel = _wand_topk_fn(
-            occ, eff_k1, eff_b, avgdl, k, None,
-            derived_bounds=derived, tombstones=tomb,
-            and_need=and_need, exclude=exclude, fieldw=fieldw,
-        )
+        if tomb is None and not and_need and not exclude and fieldw is None:
+            # interval-pruned dense kernel (BENCH_BOOL_AB.json follow-up):
+            # the bounds analysis runs vectorized over doc-range
+            # intervals, the scoring is the unchanged densified fold —
+            # never slower than 'sharded', skips decode where bounds pay
+            kernel = _sharded_topk_fn(
+                occ, eff_k1, eff_b, avgdl, k, None,
+                prune_bounds="derived" if derived else "stored",
+            )
+        else:
+            kernel = _wand_topk_fn(
+                occ, eff_k1, eff_b, avgdl, k, None,
+                derived_bounds=derived, tombstones=tomb,
+                and_need=and_need, exclude=exclude, fieldw=fieldw,
+            )
     else:
         kernel = _sharded_topk_fn(
             occ, eff_k1, eff_b, avgdl, k, None, tombstones=tomb,
             and_need=and_need, exclude=exclude, fieldw=fieldw,
+            after=after,
         )
     fm = ix.shard_file_map(buckets)
     rows = [
@@ -1806,6 +2207,8 @@ def index_search(
     min_match: int | None = None,
     exclude: dict[int, str] | None = None,
     fields: tuple | None = None,
+    search_after: dict[int, tuple[float, int]] | None = None,
+    collapse: str | None = None,
     _resolved: tuple | None = None,
 ) -> DataFrame:
     """Exact top-k BM25 from the index.
@@ -1815,9 +2218,19 @@ def index_search(
                     the query terms shuffle ONCE by shard (never replicated
                     per query); each shard task scores every query in numpy
                     and emits only its local top-k. Minimal shuffle, exact.
-      "blockmax"    same one-shuffle plan, but the shard kernel runs the
-                    3-phase block-max WAND (see _wand_topk_fn): only blocks
-                    that can affect the top-k are decoded; exact.
+      "blockmax"    same one-shuffle plan with block-max pruning: only
+                    blocks that can affect the top-k are decoded; exact.
+                    Clean shape (no tombstones/where/boolean/field
+                    weights): INTERVAL-pruned dense kernel — the bounds
+                    analysis runs vectorized over doc-range intervals
+                    (_interval_prune) and surviving blocks feed the
+                    unchanged densified fold, so it degrades to
+                    'sharded' speed when bounds exclude nothing
+                    (BENCH_BOOL_AB.json: the per-block WAND kernel's
+                    Python call overhead lost to the dense kernel at
+                    every benchable scale). Masked/boolean/field shapes:
+                    3-phase block-max WAND (_wand_topk_fn), whose
+                    bootstrap masks at decode time.
       "blockmax_plan" legacy DataFrame-level 3-phase traversal (module doc)
                     — retained as a cross-check; ~8 Spark jobs per batch.
       "exhaustive"  decode every block of the query's terms — the
@@ -1903,6 +2316,41 @@ def index_search(
     time so its τ bound stays sound), both routes; composes with
     mode/min_match/where=/k1/b/tombstones and
     with prefix search (exclusion tokens are exact, never expanded).
+
+    `search_after` is OpenSearch's stateless cursor pagination:
+    {query_id: (score, doc_id)} — return the top-k candidates STRICTLY
+    after the cursor in the result total order (score DESC, doc_id
+    ASC), i.e. ``score < s OR (score == s AND doc_id > d)``. Chain
+    pages by passing the last hit of each page as the next cursor;
+    queries absent from the dict serve page 1. The mask runs on the
+    folded scores in the kernel BEFORE local top-k extraction (each
+    shard's survivors are the true after-cursor leaders), and the
+    float equality is sound because cursors come from the engine's
+    own bit-exact scores. 'sharded' strategy only (a pruning
+    strategy's theta bootstrap counts docs the cursor excludes, so
+    theta could exceed the true kth-after-cursor score); both routes;
+    composes with where=/mode/min_match/exclude/k1/b/tombstones.
+
+    `collapse` is OpenSearch's FIELD COLLAPSING: name a stored
+    attribute (BuildParams(attr_cols=...)) and each query's top-k
+    keeps only the BEST doc per distinct attribute value (total order
+    score DESC, doc_id ASC; NULL attrs form one group), ranked 1..k
+    over the surviving group representatives — "best hit per
+    conversation/source/author". The output gains a ``value`` column
+    (the group key, cast to string). Plan: the attribute side (one row
+    per eligible doc: id + value, pre-filtered by where=) groups by
+    the shard key exactly like filtered search — on a layout-2 index
+    it rides the SIDE-GROUPED direct route (blocks pyarrow-read
+    in-task, never exchanged); the kernel collapses its shard-local
+    candidates (at most one row per group value per query), and a
+    two-window merge picks each group's global best then ranks them.
+    Exact: a group in the global collapsed top-k has < k groups ahead
+    of it inside its best doc's shard, so that shard emits it.
+    'sharded' strategy only (a pruning theta that counts k same-group
+    docs overstates the collapsed kth score); composes with where=/
+    where_expr/mode/min_match/exclude/k1/b/fields/tombstones; refuses
+    search_after (a doc-level cursor could resurface a page-1 group
+    via its second-best doc).
 
     `_resolved` (internal) bypasses _query_weights with pre-expanded
     (weights, occ) — the prefix-search entry point resolves wildcard
@@ -2090,10 +2538,57 @@ def index_search(
                     excl_map[qid] = present_ex
             if not excl_map:
                 excl_map = None
+    if search_after:
+        if strategy != "sharded":
+            # the pruned strategies' theta bootstrap counts docs the
+            # cursor excludes (theta could exceed the true kth-after-
+            # cursor score), so pruning is unsound under a cursor
+            raise ValueError(
+                "search_after (cursor pagination) is served by the "
+                "'sharded' strategy only"
+            )
+        for qid, cur in search_after.items():
+            if (
+                not isinstance(cur, tuple) or len(cur) != 2
+                or not isinstance(cur[0], float)
+                or isinstance(cur[1], bool) or not isinstance(cur[1], int)
+            ):
+                raise ValueError(
+                    "search_after cursors must be (score: float, "
+                    f"doc_id: int) pairs; query {qid} has {cur!r}"
+                )
+    if collapse is not None:
+        if strategy != "sharded":
+            # a pruning theta bootstrap may count k docs of one collapse
+            # group, overstating the collapsed kth score — unsound
+            raise ValueError(
+                "collapse (field collapsing) is served by the 'sharded' "
+                "strategy only"
+            )
+        if search_after:
+            raise ValueError(
+                "search_after does not compose with collapse: a doc-"
+                "level cursor mask could resurface a page-1 group via "
+                "its second-best doc"
+            )
+        if ix.shard_shift is None:
+            raise ValueError(
+                "collapse needs the doc-range shard layout (engine >= "
+                "0.2); rebuild the index"
+            )
+        ds_cols = ix.live_doc_stats().columns
+        if collapse not in ds_cols:
+            raise ValueError(
+                f"attribute {collapse!r} not stored in this index's "
+                f"doc_stats (build with BuildParams(attr_cols=...)); "
+                f"stored columns: {sorted(ds_cols)}"
+            )
+    out_schema = (
+        "query_id int, rank int, doc_id long, score double"
+        + (", value string" if collapse is not None else "")
+    )
     if not weights:
-        return spark.createDataFrame(
-            [], "query_id int, rank int, doc_id long, score double"
-        )
+        return spark.createDataFrame([], out_schema)
     decode = _decode_gen(eff_k1, eff_b, ix.avgdl, tombstones=tomb)
 
     if (where or where_expr is not None) and strategy not in (
@@ -2138,11 +2633,15 @@ def index_search(
         # where=/distributed-tombstone variants need the cogrouped
         # exchange, and explicit subsplit requests the exchange kernel's
         # finer grouping, so those fall through.
-        _has_filter = bool(where) or where_expr is not None
+        # collapse always needs the attribute side (values co-partitioned
+        # with the blocks), so it routes exactly like filtered search
+        _needs_side = (
+            bool(where) or where_expr is not None or collapse is not None
+        )
         use_direct = (
             direct is not False
             and ix.posting_layout >= 2
-            and not _has_filter
+            and not _needs_side
             and not use_cotomb
             and subsplit in (None, 1)
         )
@@ -2155,7 +2654,7 @@ def index_search(
         use_side_direct = (
             direct is not False
             and ix.posting_layout >= 2
-            and _has_filter
+            and _needs_side
             and subsplit in (None, 1)
         )
         if direct and not (use_direct or use_side_direct):
@@ -2164,7 +2663,7 @@ def index_search(
                 if ix.posting_layout < 2
                 else "the distributed tombstone mask cogroups with the "
                      "blocks"
-                if use_cotomb and not _has_filter
+                if use_cotomb and not _needs_side
                 else f"subsplit={subsplit} requests the exchange kernel"
             )
             raise ValueError(f"direct=True is not serviceable: {why}")
@@ -2173,6 +2672,7 @@ def index_search(
                 ix, weights, occ, eff_k1, eff_b, k, tomb,
                 strategy=strategy, derived=derived, and_need=and_need,
                 exclude=excl_map, fieldw=fw, eff_avgdl=eff_avgdl,
+                after=search_after,
             )
         if use_side_direct:
             terms = _fetch_terms(weights, excl_map)
@@ -2189,6 +2689,10 @@ def index_search(
                     ["max_tf", "min_tf", "min_dl", "max_dl"] if derived
                     else ["max_tf_norm", "min_tf_norm"]
                 )
+            val_cols = (
+                [F.col(collapse).cast("string").alias("value")]
+                if collapse is not None else []
+            )
             sides = [
                 filtered_live_stats(ix, where, where_expr).select(
                     "doc_id",
@@ -2196,6 +2700,7 @@ def index_search(
                     .alias("shard_id"),
                     F.lit(0).alias("kind"),
                     F.lit(0).cast("long").alias("seq"),
+                    *val_cols,
                 )
             ]
             if use_cotomb:
@@ -2205,6 +2710,10 @@ def index_search(
                     .alias("shard_id"),
                     F.lit(1).alias("kind"),
                     F.col("del_seq").alias("seq"),
+                    *(
+                        [F.lit(None).cast("string").alias("value")]
+                        if collapse is not None else []
+                    ),
                 ))
             side = (
                 sides[0] if len(sides) == 1
@@ -2222,14 +2731,20 @@ def index_search(
                     occ, eff_k1, eff_b, eff_avgdl, k, None,
                     cogroup=True, has_qual=True, tombstones=tomb,
                     and_need=and_need, exclude=excl_map, fieldw=fw,
+                    after=search_after, collapse=collapse is not None,
                 )
             )
             shard_tops = side.groupBy("shard_id").applyInPandas(
                 _direct_side_fn(kern, cols, terms,
                                 ix.shard_file_map(buckets),
                                 need_gseq=bool(n_del)),
-                schema="query_id int, doc_id long, score double",
+                schema=(
+                    "query_id int, doc_id long, score double"
+                    + (", value string" if collapse is not None else "")
+                ),
             )
+            if collapse is not None:
+                return _collapse_window(shard_tops, k)
             return topk_window(shard_tops, k)
         # auto-split only the dense sharded kernel: WAND's block pruning
         # already bounds its per-group work, and finer groups just multiply
@@ -2293,9 +2808,15 @@ def index_search(
             group_key = "shard_id"
         if strategy != "blockmax":
             blocks = blocks.drop("first_doc", "last_doc")
-        has_qual = bool(where) or where_expr is not None
+        has_qual = (
+            bool(where) or where_expr is not None or collapse is not None
+        )
         if has_qual or use_cotomb:
             key_shift = sub_shift if sub_shift is not None else ix.shard_shift
+            val_cols = (
+                [F.col(collapse).cast("string").alias("value")]
+                if collapse is not None else []
+            )
             sides = []
             if has_qual:
                 qual = filtered_live_stats(ix, where, where_expr)
@@ -2306,6 +2827,7 @@ def index_search(
                     F.shiftright("doc_id", key_shift).alias(group_key),
                     F.lit(0).alias("kind"),
                     F.lit(0).cast("long").alias("seq"),
+                    *val_cols,
                 ))
             if use_cotomb:
                 # distributed tombstones: same co-partitioning, kind=1
@@ -2314,6 +2836,10 @@ def index_search(
                     F.shiftright("doc_id", key_shift).alias(group_key),
                     F.lit(1).alias("kind"),
                     F.col("del_seq").alias("seq"),
+                    *(
+                        [F.lit(None).cast("string").alias("value")]
+                        if collapse is not None else []
+                    ),
                 ))
             side = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
             kern = (
@@ -2328,27 +2854,44 @@ def index_search(
                     occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
                     cogroup=True, has_qual=has_qual, tombstones=tomb,
                     and_need=and_need, exclude=excl_map, fieldw=fw,
+                    after=search_after, collapse=collapse is not None,
                 )
             )
             shard_tops = (
                 blocks.groupBy(group_key)
                 .cogroup(side.groupBy(group_key))
                 .applyInPandas(
-                    kern, schema="query_id int, doc_id long, score double"
+                    kern,
+                    schema=(
+                        "query_id int, doc_id long, score double"
+                        + (", value string" if collapse is not None
+                           else "")
+                    ),
                 )
             )
+            if collapse is not None:
+                return _collapse_window(shard_tops, k)
             return topk_window(shard_tops, k)
-        kern = (
-            _wand_topk_fn(occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
-                          derived_bounds=derived, tombstones=tomb,
-                          and_need=and_need, exclude=excl_map, fieldw=fw)
-            if strategy == "blockmax"
-            else _sharded_topk_fn(
+        if strategy == "blockmax" and (
+            tomb is None and not and_need and not excl_map and fw is None
+        ):
+            # same interval-pruned dense kernel as the direct route
+            kern = _sharded_topk_fn(
+                occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
+                prune_bounds="derived" if derived else "stored",
+            )
+        elif strategy == "blockmax":
+            kern = _wand_topk_fn(
+                occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
+                derived_bounds=derived, tombstones=tomb,
+                and_need=and_need, exclude=excl_map, fieldw=fw,
+            )
+        else:
+            kern = _sharded_topk_fn(
                 occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
                 tombstones=tomb, and_need=and_need, exclude=excl_map,
-                fieldw=fw,
+                fieldw=fw, after=search_after,
             )
-        )
         shard_tops = blocks.groupBy(group_key).applyInPandas(
             kern, schema="query_id int, doc_id long, score double"
         )

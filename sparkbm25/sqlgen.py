@@ -32,6 +32,8 @@ def bm25_topk_sql(
     mode: str = "or",
     min_match: int | None = None,
     exclude: dict[int, str] | None = None,
+    page_after_rank: int | None = None,
+    collapse_by: str | None = None,
 ) -> str:
     """Full BM25 top-k in one DuckDB query (rank over raw score, score
     rounded only in the projection — the Spark side does the same).
@@ -62,7 +64,20 @@ def bm25_topk_sql(
     ``exclude`` ({query_id: "tokens ..."}) drops docs containing ANY of
     that query's excluded tokens (MUST_NOT), via an anti-join on a
     second per-query token list — scores of the surviving docs are
-    untouched."""
+    untouched.
+
+    ``page_after_rank`` returns the NEXT page: rows ranked
+    ``page_after_rank+1 .. page_after_rank+k`` of the same total order,
+    re-ranked 1..k — the oracle for the engine's cursor pagination
+    (``search_after``), whose after-cursor top-k equals the rank window
+    by rank-identity of the shared (score DESC, doc_id ASC) order.
+
+    ``collapse_by`` is the FIELD-COLLAPSING oracle (engine
+    ``collapse=``): join each scored doc to its ``{table}`` attribute,
+    keep only the best doc per (query, attribute value) under the total
+    order (row_number partition — NULL attrs form one group in both
+    DuckDB and Spark), then rank the group representatives 1..k. Adds a
+    ``value`` column (attribute cast to VARCHAR) to the projection."""
     from .analysis import tokenize_py
     toks = DUCKDB_TOKENS.format(col=text_col)
     idf = idf_sql("tdf.df", "cs.n")
@@ -136,6 +151,43 @@ def bm25_topk_sql(
     ranked_where = (
         "\n  WHERE " + "\n    AND ".join(ranked_preds) if ranked_preds else ""
     )
+    if page_after_rank is not None:
+        if not isinstance(page_after_rank, int) or page_after_rank < 1:
+            raise ValueError(
+                f"page_after_rank must be an int >= 1, got {page_after_rank!r}"
+            )
+        off = int(page_after_rank)
+        rank_proj = f"rank - {off}"
+        page_pred = f"rank > {off} AND rank <= {off + k}"
+    else:
+        rank_proj = "rank"
+        page_pred = f"rank <= {k}"
+    if collapse_by is not None:
+        # collapse: group-best selection between scoring and ranking —
+        # the ranked CTE re-ranks only the rn_g=1 representatives
+        collapse_cte = f"""
+grouped AS (
+  SELECT scores.query_id, scores.doc_id AS doc_id, score,
+         CAST(cd.{collapse_by} AS VARCHAR) AS value,
+         row_number() OVER (
+           PARTITION BY scores.query_id, cd.{collapse_by}
+           ORDER BY score DESC, scores.doc_id ASC) AS rn_g
+  FROM scores
+  JOIN {table} cd ON cd.{id_col} = scores.doc_id{and_join}{ranked_where}
+),"""
+        ranked_src = "grouped WHERE rn_g = 1"
+        ranked_extra = ", value"
+        src = "grouped"
+        # boolean/exclusion predicates moved into `grouped`
+        and_join = ""
+        ranked_where = ""
+        val_proj = ", value"
+    else:
+        collapse_cte = ""
+        ranked_src = "scores"
+        ranked_extra = ""
+        src = "scores"
+        val_proj = ""
     return f"""
 WITH q AS (SELECT * FROM {_values_clause(queries)}),
 qt AS (
@@ -162,15 +214,16 @@ scores AS (
   JOIN dstats ON dstats.doc_id = tf.doc_id
   CROSS JOIN cs{cand_filter}
   GROUP BY 1, 2
-),
+),{collapse_cte}
 ranked AS (
-  SELECT scores.query_id, doc_id, score,
-         row_number() OVER (PARTITION BY scores.query_id
+  SELECT {src}.query_id, doc_id, score{ranked_extra},
+         row_number() OVER (PARTITION BY {src}.query_id
                             ORDER BY score DESC, doc_id ASC) AS rank
-  FROM scores{and_join}{ranked_where}
+  FROM {ranked_src}{and_join}{ranked_where}
 )
-SELECT query_id, rank, doc_id, round(score, {round_dp}) AS score
-FROM ranked WHERE rank <= {k}
+SELECT query_id, {rank_proj} AS rank, doc_id,
+       round(score, {round_dp}) AS score{val_proj}
+FROM ranked WHERE {page_pred}
 """
 
 

@@ -1,0 +1,215 @@
+"""Interval-level block-max pruning for the dense kernel (round 6).
+
+BENCH_BOOL_AB.json measured the per-block WAND kernel losing to the
+dense sharded kernel at every benchable batch size, core count, and
+even the decode-heaviest high-df regime on this corpus: the bounds
+could pay, the per-block Python call overhead didn't. The answer
+pinned here: ``strategy='blockmax'`` in the clean shape (no
+tombstones / where / boolean / field weights) now runs the bounds
+analysis VECTORIZED over doc-range intervals (``_interval_prune``)
+and feeds only surviving blocks to the unchanged densified fold —
+pruned search that degrades to dense-kernel speed when the bounds
+exclude nothing, and skips decode when they do.
+
+Contract pinned by these tests:
+- bit-exact identity with 'sharded' and 'exhaustive' on both the
+  direct and exchange routes, with subsplit, and under k1/b overrides
+  (derived bounds);
+- on a skewed corpus the prune provably drops blocks (asserted on the
+  real index's block metadata, not a synthetic frame);
+- on a bounds-hostile frame the analysis reports "nothing excludable"
+  (None) so the caller pays zero per-query masking;
+- masked/boolean/field-weighted shapes refuse prune_bounds (their
+  theta bootstrap needs decode-time masking — they keep the WAND
+  kernel).
+
+Reference analog: pruning serves every search unconditionally in the
+reference harness (benchmarking/search/search_indices.py:16-20); the
+interval formulation is the Spark-batch-friendly equivalent of Ding &
+Suel's block-max WAND (SIGIR'11).
+"""
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkbm25.build import BuildParams
+from sparkbm25.corpus import add_doc_id
+from sparkbm25.index_query import (
+    _interval_prune,
+    _sharded_topk_fn,
+    index_search,
+)
+from sparkbm25.jobs import Index, build_index
+
+
+def _mk_pdf(rows):
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "term", "first_doc", "last_doc", "n_docs",
+            "max_tf_norm", "min_tf_norm",
+        ],
+    )
+
+
+def _prune(pdf, q_terms, k=3, mode="stored"):
+    return _interval_prune(
+        pdf, q_terms, k1=1.2, b=0.75, avgdl=10.0, k=k,
+        mode=mode, sub_shift=None, vs=0,
+    )
+
+
+def test_unit_skewed_drops_low_blocks():
+    # one term, three blocks; the last block's 8 postings all bound
+    # >= 5.0 while the first two blocks bound <= 0.5 -> theta >= 5.0
+    # (k=3 <= 8) kills intervals covering only the first two blocks.
+    pdf = _mk_pdf([
+        ("t", 0, 99, 8, 0.5, 0.1),
+        ("t", 100, 199, 8, 0.5, 0.1),
+        ("t", 200, 299, 8, 6.0, 5.0),
+    ])
+    out = _prune(pdf, {1: [("t", 1.0)]}, k=3)
+    assert out is not None
+    keep_rows, bounds, live_of = out
+    assert keep_rows.tolist() == [False, False, True]
+    live = live_of[1]
+    # the interval holding docs 200..299 is live, earlier ones dead
+    ival = np.searchsorted(bounds, 250, side="right") - 1
+    assert live[ival]
+    assert not live[np.searchsorted(bounds, 50, side="right") - 1]
+
+
+def test_unit_hostile_returns_none():
+    # uniform bounds: theta equals every block's upper bound, nothing
+    # excludable -> None (the caller runs the plain dense path)
+    pdf = _mk_pdf([
+        ("t", 0, 99, 8, 1.0, 1.0),
+        ("t", 100, 199, 8, 1.0, 1.0),
+    ])
+    assert _prune(pdf, {1: [("t", 1.0)]}, k=3) is None
+
+
+def test_unit_multi_query_union_keeps_shared_blocks():
+    # q1 prunes to the high block of t1; q2 matches only t2 (uniform,
+    # unprunable) -> t2's block overlapping q1's dead interval must
+    # still be decoded (kept) for q2, and q1's mask must not leak to q2
+    pdf = _mk_pdf([
+        ("t1", 0, 99, 8, 0.5, 0.1),
+        ("t1", 200, 299, 8, 6.0, 5.0),
+        ("t2", 0, 299, 8, 1.0, 1.0),
+    ])
+    out = _prune(pdf, {1: [("t1", 1.0)], 2: [("t2", 1.0)]}, k=3)
+    assert out is not None
+    keep_rows, bounds, live_of = out
+    assert keep_rows.tolist() == [False, True, True]
+    assert 1 in live_of and 2 not in live_of  # q2 has no dead interval
+
+
+def test_unit_theta_zero_when_k_unreachable():
+    # fewer than k postings -> no theta bootstrap -> nothing excludable
+    pdf = _mk_pdf([("t", 0, 99, 2, 9.0, 8.0)])
+    assert _prune(pdf, {1: [("t", 1.0)]}, k=5) is None
+
+
+def test_kernel_refuses_prune_with_masking_shapes():
+    with pytest.raises(ValueError, match="prune_bounds"):
+        _sharded_topk_fn(
+            {1: [("t", 1.0)]}, 1.2, 0.75, 10.0, 5,
+            and_need={1: 1}, prune_bounds="stored",
+        )
+    with pytest.raises(ValueError, match="prune_bounds"):
+        _sharded_topk_fn(
+            {1: [("t", 1.0)]}, 1.2, 0.75, 10.0, 5,
+            tombstones=(np.array([1]), np.array([1])),
+            prune_bounds="stored",
+        )
+
+
+def _skewed_pdf(n_docs=1600, hot_from=1500, hot_tf=40):
+    """Prune-friendly corpus: 'alpha' appears once in every doc but
+    hot_tf times in the docs at the top of the id range, so alpha's
+    high blocks carry a min bound far above the low blocks' max."""
+    rows = []
+    for i in range(n_docs):
+        tf = hot_tf if i >= hot_from else 1
+        text = " ".join(
+            ["alpha"] * tf + [f"w{i % 37:04d}", f"w{(i * 7) % 53:04d}"]
+        )
+        rows.append((f"c{i:06d}", 0, "user", text, None, None))
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+QS = [(1, "alpha"), (2, "alpha w0003"), (3, "w0007 w0011"),
+      (4, "alpha alpha w0005")]
+
+
+@pytest.fixture(scope="module")
+def skewed(spark, tmp_path_factory):
+    corpus = add_doc_id(
+        spark.createDataFrame(_skewed_pdf()), "conv_seq"
+    ).select("doc_id", "text")
+    d = str(tmp_path_factory.mktemp("prune_ix"))
+    build_index(
+        corpus, d,
+        BuildParams(num_shards=2, salt_factor=2, num_term_buckets=2,
+                    lineage_groups=1, block_size=64,
+                    doc_id_scheme="conv_seq"),
+        "prune",
+    )
+    return Index(spark, d)
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.rank, r.doc_id, r.score) for r in df.collect()
+    )
+
+
+def test_blockmax_prune_bit_exact_skewed(skewed):
+    base = _rows(index_search(skewed, QS, k=10, strategy="exhaustive"))
+    assert len(base) > 0
+    for kw in (
+        {},                     # direct route (auto on layout 2)
+        {"direct": False},      # exchange route
+        {"direct": False, "subsplit": 4},
+        {"k1": 0.9, "b": 0.4},  # derived bounds
+    ):
+        sh = _rows(index_search(skewed, QS, k=10, strategy="sharded", **kw))
+        bm = _rows(index_search(skewed, QS, k=10, strategy="blockmax", **kw))
+        if "k1" in kw:
+            base_kw = _rows(
+                index_search(skewed, QS, k=10, strategy="exhaustive", **kw)
+            )
+            assert bm == sh == base_kw
+        else:
+            assert bm == sh == base
+
+
+def test_prune_fires_on_real_blocks(skewed, spark):
+    """The skew must make the prune actually drop blocks — asserted on
+    the index's own block metadata, so a regression that silently
+    stops pruning (returns None forever) fails here, not in a bench."""
+    files = glob.glob(f"{skewed.index_dir}/postings/**/*.parquet",
+                      recursive=True)
+    assert files
+    pdf = (
+        spark.read.parquet(f"{skewed.index_dir}/postings")
+        .filter("term = 'alpha'")
+        .select("term", "first_doc", "last_doc", "n_docs",
+                "max_tf_norm", "min_tf_norm")
+        .toPandas()
+    )
+    assert len(pdf) > 4  # multiple blocks so there is something to skip
+    out = _interval_prune(
+        pdf, {1: [("alpha", 1.0)]}, k1=skewed.k1, b=skewed.b,
+        avgdl=skewed.avgdl, k=10, mode="stored", sub_shift=None, vs=0,
+    )
+    assert out is not None
+    keep_rows, _bounds, live_of = out
+    assert (~keep_rows).sum() > 0, "skew should exclude some blocks"
+    assert 1 in live_of
