@@ -85,16 +85,20 @@ def _entry_index(spark: SparkSession, sf_dir: str) -> str:
 
     import sparkbm25
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
     # version in the cache key: a stale /tmp artifact from an older engine
     # revision (prior round) must never be served by newer code
     tag = hashlib.sha1(f"{sf_dir}@{sparkbm25.__version__}".encode()).hexdigest()[:10]
     ix_dir = f"/tmp/sparkbm25_entry/ix_{tag}"
     # store_positions: ONE shared artifact serves scoring, filtered, tuned
     # AND phrase queries (the scoring kernels' column pruning drops the
-    # positional stream from their scans, so they pay nothing at query)
+    # positional stream from their scans, so they pay nothing at query);
+    # n_chars feeds the histogram/stats aggregation queries
     params = BuildParams(num_shards=8, salt_factor=2, num_term_buckets=16,
-                         lineage_groups=2, attr_cols=("lang", "source"),
+                         lineage_groups=2,
+                         attr_cols=("lang", "source", "n_chars"),
                          store_positions=True)
     build_index(docs, ix_dir, params, source_fingerprint=sf_dir)  # idempotent
     return ix_dir
@@ -174,6 +178,40 @@ def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = index_search(Index(spark, ix_dir), DOC_QUERIES, k=K,
                        where={"lang": FILTER_LANG})
     return out.withColumn("score", F.round("score", 6))
+
+
+HIST_WIDTH = 50  # n_chars spans ~48..553 -> ~10 buckets
+
+
+def q_search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram aggregation over the match set (OpenSearch `histogram`
+    analog): per query, doc counts in fixed-width n_chars buckets over
+    ALL docs matching >= 1 query token — the facet candidate-set
+    semantics with a computed numeric bucket (floor(n_chars/width)*
+    width). Served by the facet kernel over a bucket-valued attribute
+    side (side-grouped direct plan on layout 2). Oracle: the same
+    match CTE grouped by the same bucket expression."""
+    from sparkbm25.facets import index_histogram
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    return index_histogram(Index(spark, ix_dir), DOC_QUERIES,
+                           on="n_chars", width=HIST_WIDTH)
+
+
+def q_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats aggregation over the match set (OpenSearch `stats` analog):
+    per query, (n_docs, min_v, max_v, sum_v, avg_v) of n_chars over all
+    matching docs — partial (n, sum, min, max) folds in the kernel, one
+    tiny final fold, |queries| output rows regardless of match volume.
+    Exact vs the SQL oracle: n_chars is integer-valued, so f64 partial
+    sums are order-free below 2^53 and avg is the division of the same
+    two exact doubles."""
+    from sparkbm25.facets import index_stats
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    return index_stats(Index(spark, ix_dir), DOC_QUERIES, on="n_chars")
 
 
 def q_bm25_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix_topk": q_bm25_prefix_topk,
         "bm25_page2_topk": q_bm25_page2_topk,
         "bm25_collapse_topk": q_bm25_collapse_topk,
+        "search_histogram": q_search_histogram,
+        "search_stats": q_search_stats,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "dedup_exact": q_dedup_exact,
@@ -820,6 +860,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_collapse_topk": sqlgen.bm25_topk_sql(
             DOC_QUERIES, k=K, collapse_by="source"
         ),
+        "search_histogram": sqlgen.histogram_sql(
+            DOC_QUERIES, on="n_chars", width=HIST_WIDTH
+        ),
+        "search_stats": sqlgen.stats_sql(DOC_QUERIES, on="n_chars"),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_stats": sqlgen.term_stats_sql(),
         "dedup_exact": DD.exact_dedup_sql(),

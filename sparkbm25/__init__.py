@@ -21,7 +21,7 @@ Package layout
                  multimodal column plumbing
 """
 
-__version__ = "0.9.0"  # bump on ANY index-layout change (0.9: spill-free hash-partitioned merge default, indexed BM25F + pruned boolean surfaces [no layout change, cache-key refresh]; 0.8: shard-clustered posting files [posting_layout 2] + direct no-exchange search route; 0.7: raw block bounds max_tf/min_tf/min_dl/max_dl + optional positional stream; 0.6: per-group tombstones)
+__version__ = "0.9.1"  # bump on ANY index-layout change (0.9.1: entry index stores n_chars for histogram/stats aggregations [no layout change, cache-key refresh]; 0.9: spill-free hash-partitioned merge default, indexed BM25F + pruned boolean surfaces [no layout change, cache-key refresh]; 0.8: shard-clustered posting files [posting_layout 2] + direct no-exchange search route; 0.7: raw block bounds max_tf/min_tf/min_dl/max_dl + optional positional stream; 0.6: per-group tombstones)
 
 K1 = 1.2
 B = 0.75

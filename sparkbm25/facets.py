@@ -139,6 +139,295 @@ def _facet_count_fn(q_tokens: dict[int, list[str]],
     return fn
 
 
+def _stats_agg_fn(q_tokens: dict[int, list[str]],
+                  tombstones: "tuple | None" = None):
+    """Cogrouped per-shard STATS kernel (ES stats-aggregation analog):
+    same match computation as the facet kernel, but the side's kind=0
+    rows carry a NUMERIC value and the emission is one partial
+    (n, sum, min, max) row per query — final folds happen plan-side.
+    Docs without a side row (NULL attr, filtered out) are not counted,
+    matching the SQL oracle's inner join. float64 partial sums are
+    EXACT for integer-valued attributes below 2^53 (the documented
+    contract; float attributes may differ from a serial sum by ~1 ulp,
+    absorbed by the driver's 6dp rounding)."""
+
+    def fn(key: tuple, blocks_pdf: pd.DataFrame,
+           side_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int32"),
+                "n": pd.Series(dtype="int64"),
+                "s": pd.Series(dtype="float64"),
+                "mn": pd.Series(dtype="float64"),
+                "mx": pd.Series(dtype="float64"),
+            }
+        )
+        if blocks_pdf.empty or side_pdf.empty:
+            return empty
+        kind = side_pdf["kind"].to_numpy()
+        attr_rows = kind == 0
+        if not attr_rows.any():
+            return empty
+        sids = side_pdf["doc_id"].to_numpy(dtype=np.int64)[attr_rows]
+        vals = side_pdf["value"].to_numpy(dtype=np.float64)[attr_rows]
+        o = np.argsort(sids, kind="stable")
+        sids, vals = sids[o], vals[o]
+        tomb = tombstones
+        tm = kind == 1
+        if tm.any():
+            t_ids = side_pdf["doc_id"].to_numpy(dtype=np.int64)[tm]
+            t_seqs = side_pdf["seq"].to_numpy(dtype=np.int64)[tm]
+            to = np.argsort(t_ids)
+            tomb = (t_ids[to], t_seqs[to])
+        spans = _live_term_spans(blocks_pdf, tomb)
+        if spans is None:
+            return empty
+        rows = []
+        for qid, toks in q_tokens.items():
+            parts = [a for t in set(toks) for a in spans.get(t, ())]
+            if not parts:
+                continue
+            matched = (
+                parts[0] if len(parts) == 1 else np.unique(
+                    np.concatenate(parts)
+                )
+            )
+            pos = np.searchsorted(sids, matched)
+            pos_c = np.minimum(pos, len(sids) - 1)
+            valid = (pos < len(sids)) & (sids[pos_c] == matched)
+            if not valid.any():
+                continue
+            v = vals[pos[valid]]
+            rows.append((qid, len(v), float(v.sum()),
+                         float(v.min()), float(v.max())))
+        if not rows:
+            return empty
+        return pd.DataFrame(
+            rows, columns=["query_id", "n", "s", "mn", "mx"]
+        ).astype({"query_id": "int32", "n": "int64"})
+
+    return fn
+
+
+def _live_term_spans(blocks_pdf: pd.DataFrame, tomb: "tuple | None"):
+    """Decode a group's posting blocks into {term: [live doc-id array per
+    block]} — the shared match machinery of the facet/stats kernels
+    (ids only; the tf streams never decode)."""
+    n_arr = blocks_pdf["n_docs"].to_numpy().astype(np.int64)
+    total = int(n_arr.sum())
+    if total == 0:
+        return None
+    seg_starts = np.cumsum(n_arr) - n_arr
+    gaps = vbyte_decode(b"".join(blocks_pdf["docs_vbyte"]), total)
+    all_ids = segment_delta_restore(gaps, seg_starts, n_arr)
+    if tomb is not None and len(tomb[0]):
+        gseqs = np.repeat(blocks_pdf["gseq"].to_numpy(np.int64), n_arr)
+        alive = ~dead_mask(all_ids, gseqs, tomb[0], tomb[1])
+    else:
+        alive = None
+    terms_arr = blocks_pdf["term"].to_numpy()
+    spans: dict[str, list[np.ndarray]] = {}
+    for i in range(len(blocks_pdf)):
+        lo = int(seg_starts[i])
+        hi = lo + int(n_arr[i])
+        ids_i = all_ids[lo:hi]
+        if alive is not None:
+            ids_i = ids_i[alive[lo:hi]]
+        if len(ids_i):
+            spans.setdefault(terms_arr[i], []).append(ids_i)
+    return spans
+
+
+def _matched_agg_plan(
+    ix: Index,
+    queries: list[tuple[int, str]],
+    value_col,
+    kern_factory,
+    out_schema: str,
+    where: dict | None,
+    where_expr,
+    direct: bool | None,
+    drop_null_value: bool = False,
+):
+    """Shared plan assembly for the match-set aggregations (facets /
+    histogram / stats): tokenize + merge dup query ids, build the
+    attribute side (doc_id, shard_id, value, kind, seq) from live
+    filtered doc_stats with ``value_col`` as the value expression,
+    route it side-grouped-direct on layout-2 (blocks pyarrow-read
+    in-task) or cogrouped-exchange otherwise, and return (partials
+    DataFrame | None, empty DataFrame). ``drop_null_value`` excludes
+    NULL attribute values from the side (ES histogram/stats ignore
+    docs missing the field; facets keep a NULL bucket)."""
+    spark = ix.spark
+    if ix.shard_shift is None:
+        raise ValueError("aggregations need the doc-range shard layout")
+    from .index_query import filtered_live_stats
+    from .jobs import TOMBSTONE_BROADCAST_MAX
+    from .xxhash64 import spark_pmod_bucket
+
+    q_tokens: dict[int, list[str]] = {}
+    for qid, text in queries:
+        toks = tokenize_py(text)
+        if toks:
+            q_tokens.setdefault(qid, []).extend(toks)
+    empty = spark.createDataFrame([], out_schema)
+    if not q_tokens:
+        return None, empty
+    side_src = filtered_live_stats(ix, where, where_expr)
+    if drop_null_value:
+        side_src = side_src.filter(value_col.isNotNull())
+
+    n_del = ix.n_deleted()
+    use_cotomb = n_del > TOMBSTONE_BROADCAST_MAX
+    tomb = ix.tombstones_pair() if (n_del and not use_cotomb) else None
+    terms = sorted({t for ts in q_tokens.values() for t in ts})
+    buckets = sorted(
+        {spark_pmod_bucket(t, ix.num_term_buckets) for t in terms}
+    )
+    need_gseq = n_del > 0
+    blocks = (
+        ix.postings()
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select(
+            "term", "shard_id", "n_docs", "docs_vbyte",
+            *([ix.gseq_col().alias("gseq")] if need_gseq else []),
+        )
+    )
+    val_type = side_src.select(value_col.alias("value")).schema[0].dataType
+    sides = [
+        side_src.select(
+            "doc_id",
+            F.shiftright("doc_id", ix.shard_shift).alias("shard_id"),
+            value_col.alias("value"),
+            F.lit(0).alias("kind"),
+            F.lit(0).cast("long").alias("seq"),
+        )
+    ]
+    if use_cotomb:
+        sides.append(
+            ix.tombstones_df().select(
+                "doc_id",
+                F.shiftright("doc_id", ix.shard_shift).alias("shard_id"),
+                F.lit(None).cast(val_type).alias("value"),
+                F.lit(1).alias("kind"),
+                F.col("del_seq").alias("seq"),
+            )
+        )
+    side = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+    kern = kern_factory(q_tokens, tomb)
+    use_direct = direct is not False and ix.posting_layout >= 2
+    if direct and not use_direct:
+        raise ValueError(
+            "direct=True is not serviceable: posting layout < 2 "
+            "(rebuild or compact_index first)"
+        )
+    if use_direct:
+        from .index_query import _direct_side_fn
+
+        partials = side.groupBy("shard_id").applyInPandas(
+            _direct_side_fn(
+                kern, ["term", "n_docs", "docs_vbyte"], terms,
+                ix.shard_file_map(buckets), need_gseq=need_gseq,
+            ),
+            schema=out_schema,
+        )
+    else:
+        partials = (
+            blocks.groupBy("shard_id")
+            .cogroup(side.groupBy("shard_id"))
+            .applyInPandas(kern, schema=out_schema)
+        )
+    return partials, empty
+
+
+def _require_attr(ix: Index, name: str):
+    ds_cols = ix.live_doc_stats().columns
+    if name not in ds_cols:
+        raise ValueError(
+            f"attribute {name!r} not stored in this index's doc_stats "
+            f"(build with BuildParams(attr_cols=...)); stored columns: "
+            f"{sorted(ds_cols)}"
+        )
+
+
+def index_histogram(
+    ix: Index,
+    queries: list[tuple[int, str]],
+    on: str,
+    width: float,
+    where: dict | None = None,
+    where_expr=None,
+    direct: bool | None = None,
+) -> DataFrame:
+    """Histogram aggregation over the match set (ES `histogram` /
+    `date_histogram` analog): per query, doc counts in fixed-width
+    buckets of a stored NUMERIC attribute — (query_id, bucket, n_docs)
+    where bucket = floor(attr / width) * width (a long; docs with a
+    NULL attribute are ignored, the ES missing-field default). Matching
+    semantics, filters, routing, tombstones: exactly index_facets — the
+    facet kernel runs unchanged over a bucket-valued side, so the plan
+    exchanges only the (doc_id, bucket) side on layout-2 indexes.
+
+    Reference analog: the reference service exposes no aggregations
+    (SURVEY §2.5 widening, like facets); semantics follow OpenSearch's
+    histogram aggregation."""
+    if not (isinstance(width, (int, float)) and width > 0):
+        raise ValueError(f"width must be a number > 0, got {width!r}")
+    _require_attr(ix, on)
+    bucket = (
+        F.floor(F.col(on).cast("double") / F.lit(float(width)))
+        * F.lit(float(width))
+    ).cast("long")
+    partials, empty = _matched_agg_plan(
+        ix, queries, bucket, _facet_count_fn,
+        "query_id int, value long, n_docs long",
+        where, where_expr, direct, drop_null_value=True,
+    )
+    if partials is None:
+        return empty
+    return (
+        partials.groupBy("query_id", "value")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .withColumnRenamed("value", "bucket")
+    )
+
+
+def index_stats(
+    ix: Index,
+    queries: list[tuple[int, str]],
+    on: str,
+    where: dict | None = None,
+    where_expr=None,
+    direct: bool | None = None,
+) -> DataFrame:
+    """Stats aggregation over the match set (ES `stats` analog): per
+    query, (query_id, n_docs, min_v, max_v, sum_v, avg_v) of a stored
+    NUMERIC attribute over ALL docs matching >= 1 query token (NULL
+    attrs ignored). Partial (n, sum, min, max) fold in the kernel, one
+    tiny plan-side final fold — output is |queries| rows regardless of
+    match volume. Sums are exact for integer-valued attributes below
+    2^53 (f64 partials of integers); avg = sum/n of those exact
+    doubles, so it is deterministic and oracle-identical for integer
+    attributes. Composes with where=/where_expr/tombstones; same
+    side-grouped direct routing as facets."""
+    _require_attr(ix, on)
+    partials, empty = _matched_agg_plan(
+        ix, queries, F.col(on).cast("double"), _stats_agg_fn,
+        "query_id int, n long, s double, mn double, mx double",
+        where, where_expr, direct, drop_null_value=True,
+    )
+    if partials is None:
+        return empty
+    return partials.groupBy("query_id").agg(
+        F.sum("n").alias("n_docs"),
+        F.min("mn").alias("min_v"),
+        F.max("mx").alias("max_v"),
+        F.sum("s").alias("sum_v"),
+        (F.sum("s") / F.sum("n")).alias("avg_v"),
+    )
+
+
 def index_facets(
     ix: Index,
     queries: list[tuple[int, str]],

@@ -495,6 +495,81 @@ SELECT query_id, value, n_docs FROM counts{limit}
 """
 
 
+def _match_ctes(queries: list[tuple[int, str]], table: str, id_col: str,
+                text_col: str, attr: str, filter_where: str | None) -> str:
+    """Shared CTE chain for the match-set aggregations (facets /
+    histogram / stats): q -> distinct query terms -> per-doc distinct
+    terms -> (query_id, doc_id) matches, with the attribute carried on
+    the tokenized scan."""
+    toks = DUCKDB_TOKENS.format(col=text_col)
+    fw = f"\n  WHERE {filter_where}" if filter_where else ""
+    return f"""
+WITH q AS (SELECT * FROM {_values_clause(queries)}),
+qt AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({DUCKDB_TOKENS.format(col='query_text')}) AS t(term)
+),
+toks AS (SELECT {id_col} AS doc_id, {attr} AS attr, {toks} AS ts FROM {table}{fw}),
+dterms AS (
+  SELECT DISTINCT doc_id, t.term FROM toks, unnest(ts) AS t(term)
+  WHERE t.term IN (SELECT term FROM qt)
+),
+matches AS (
+  SELECT DISTINCT qt.query_id, dterms.doc_id
+  FROM dterms JOIN qt ON qt.term = dterms.term
+)"""
+
+
+def histogram_sql(
+    queries: list[tuple[int, str]],
+    on: str,
+    width: float,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    filter_where: str | None = None,
+) -> str:
+    """DuckDB oracle for index_histogram: per query, doc counts in
+    fixed-width buckets (floor(attr/width)*width as BIGINT) of a numeric
+    attribute over all docs sharing >= 1 distinct token with the query;
+    NULL attrs are ignored (the engine drops them from the side)."""
+    w = float(width)
+    return f"""{_match_ctes(queries, table, id_col, text_col, on, filter_where)}
+SELECT m.query_id,
+       CAST(floor(CAST(d.attr AS DOUBLE) / {w}) * {w} AS BIGINT) AS bucket,
+       count(*) AS n_docs
+FROM matches m JOIN toks d ON d.doc_id = m.doc_id
+WHERE d.attr IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def stats_sql(
+    queries: list[tuple[int, str]],
+    on: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    filter_where: str | None = None,
+) -> str:
+    """DuckDB oracle for index_stats: per query, (n_docs, min, max, sum,
+    avg) of a numeric attribute over the match set, NULL attrs ignored.
+    sum/avg computed in DOUBLE like the engine's f64 partial folds —
+    exact (order-free) for integer attributes below 2^53, and avg is the
+    division of the same two exact doubles."""
+    return f"""{_match_ctes(queries, table, id_col, text_col, on, filter_where)}
+SELECT m.query_id,
+       count(*) AS n_docs,
+       min(CAST(d.attr AS DOUBLE)) AS min_v,
+       max(CAST(d.attr AS DOUBLE)) AS max_v,
+       CAST(sum(CAST(d.attr AS DOUBLE)) AS DOUBLE) AS sum_v,
+       CAST(sum(CAST(d.attr AS DOUBLE)) AS DOUBLE) / count(*) AS avg_v
+FROM matches m JOIN toks d ON d.doc_id = m.doc_id
+WHERE d.attr IS NOT NULL
+GROUP BY 1
+"""
+
+
 def snippets_sql(
     queries: list[tuple[int, str]],
     k: int = 10,
