@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sparkbm25 import sqlgen
 from sparkbm25.analysis import tokens_col
 from sparkbm25.bm25f import bm25f_topk_sql as _bm25f_topk_sql
+from sparkbm25.sigterms import significant_terms_sql as _sig_terms_sql
 from sparkbm25.kernels import doc_term_freqs
 from sparkbm25.query import score_all_topk
 from sparkbm25.session import ensure_shipped
@@ -698,17 +699,14 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, 30)
 
 
-def q_bm25_topk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k + stored-field fetch: a store_text=True index serves the
-    search AND the document text from its own artifact (the inverse of the
-    reference's skip-stored-vectors, SURVEY §2.2 P6) — the fetched text
-    must equal the source table's, value-hashed against the SQL top-k
-    joined to documents."""
+def _entry_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """store_text=True sibling of the entry index (idempotent, /tmp-
+    cached, version-keyed) — serves the stored-field fetch query AND the
+    significant-terms aggregation (both need the text in the artifact)."""
     import hashlib
 
     from sparkbm25.build import BuildParams
-    from sparkbm25.index_query import index_search
-    from sparkbm25.jobs import Index, build_index
+    from sparkbm25.jobs import build_index
 
     import sparkbm25
 
@@ -720,12 +718,46 @@ def q_bm25_topk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = BuildParams(num_shards=8, salt_factor=2, num_term_buckets=16,
                          lineage_groups=1, store_text=True)
     build_index(docs, ix_dir, params, source_fingerprint=sf_dir)
-    ix = Index(spark, ix_dir)
+    return ix_dir
+
+
+def q_bm25_topk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k + stored-field fetch: a store_text=True index serves the
+    search AND the document text from its own artifact (the inverse of the
+    reference's skip-stored-vectors, SURVEY §2.2 P6) — the fetched text
+    must equal the source table's, value-hashed against the SQL top-k
+    joined to documents."""
+    from sparkbm25.index_query import index_search
+    from sparkbm25.jobs import Index
+
+    ix = Index(spark, _entry_text_index(spark, sf_dir))
     out = ix.fetch_text(index_search(ix, DOC_QUERIES, k=K))
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score"),
         "text",
     )
+
+
+SIG_K_HITS, SIG_MAX_TERMS, SIG_MIN_DF = 30, 8, 2
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms aggregation (OpenSearch significant_terms under
+    its sampler shape): per query, the terms over-represented in its top
+    SIG_K_HITS result docs vs the background corpus, scored by the JLH
+    heuristic over distinct-doc rates — pure rational arithmetic, so the
+    engine and the SQL oracle agree bitwise; foreground equality follows
+    from top-k rank identity. Artifact-served: stored text supplies the
+    foreground terms, term_stats the background df (no corpus re-scan)."""
+    from sparkbm25.jobs import Index
+    from sparkbm25.sigterms import index_significant_terms
+
+    ix = Index(spark, _entry_text_index(spark, sf_dir))
+    out = index_significant_terms(
+        ix, DOC_QUERIES, k_hits=SIG_K_HITS, max_terms=SIG_MAX_TERMS,
+        min_df=SIG_MIN_DF,
+    )
+    return out.withColumn("score", F.round("score", 6))
 
 
 def q_events_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_collapse_topk": q_bm25_collapse_topk,
         "search_histogram": q_search_histogram,
         "search_stats": q_search_stats,
+        "significant_terms": q_significant_terms,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "dedup_exact": q_dedup_exact,
@@ -864,6 +897,10 @@ def oracle_sql() -> dict[str, str]:
             DOC_QUERIES, on="n_chars", width=HIST_WIDTH
         ),
         "search_stats": sqlgen.stats_sql(DOC_QUERIES, on="n_chars"),
+        "significant_terms": _sig_terms_sql(
+            DOC_QUERIES, k_hits=SIG_K_HITS, max_terms=SIG_MAX_TERMS,
+            min_df=SIG_MIN_DF,
+        ),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_stats": sqlgen.term_stats_sql(),
         "dedup_exact": DD.exact_dedup_sql(),
