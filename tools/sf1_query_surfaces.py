@@ -51,21 +51,25 @@ def bench_scale(spark, n_convs: int, cpus: int) -> dict:
 
     cp = corpus_path(spark, n_convs)
     corpus = add_doc_id(spark.read.parquet(cp), "conv_seq").select(
-        "doc_id", "text", "role"
+        "doc_id", "text", "role", "conv_id",
+        F.length("text").alias("n_chars"),
     )
     n_turns = corpus.count()
     out = {"n_turns": n_turns}
-    ix_dir = f"/tmp/sparkbm25_scale/ixq_{n_convs}_{cpus}"
+    # ixq2: r06-late attrs (conv_id for collapse, n_chars for histogram/
+    # stats) — a distinct dir so pre-existing ixq_ artifacts don't serve
+    # a schema missing them
+    ix_dir = f"/tmp/sparkbm25_scale/ixq2_{n_convs}_{cpus}"
     params = BuildParams(
         num_shards=max(cpus, 8), salt_factor=4, num_term_buckets=32,
         lineage_groups=1, doc_id_scheme="conv_seq",
-        store_positions=True, attr_cols=("role",),
+        store_positions=True, attr_cols=("role", "conv_id", "n_chars"),
     )
     if not os.path.exists(os.path.join(ix_dir, "manifest.json")):
         shutil.rmtree(ix_dir, ignore_errors=True)
         t0 = time.time()
         with MemorySampler() as ms:
-            build_index(corpus.select("doc_id", "text", "role"), ix_dir,
+            build_index(corpus, ix_dir,
                         params, source_fingerprint=cp)
         out["build_s"] = round(time.time() - t0, 2)
         out["build_turns_per_sec"] = round(n_turns / out["build_s"], 1)
@@ -104,6 +108,24 @@ def bench_scale(spark, n_convs: int, cpus: int) -> dict:
                                        k=10, where={"role": "user"})
     out["filtered20_exchange_s"] = t(index_search, ix, queries[:20], k=10,
                                      where={"role": "user"}, direct=False)
+    # r06-late surfaces: interval-pruned blockmax, field collapsing,
+    # cursor pagination, histogram + stats aggregations
+    from sparkbm25.facets import index_histogram, index_stats
+
+    out["blockmax20_s"] = t(index_search, ix, queries[:20], k=10,
+                            strategy="blockmax")
+    out["collapse20_s"] = t(index_search, ix, queries[:20], k=10,
+                            collapse="conv_id")
+    page1: dict[int, list] = {}
+    for r in index_search(ix, queries[:20], k=10).collect():
+        page1.setdefault(r.query_id, []).append((r.score, r.doc_id))
+    cursors = {q: rs[-1] for q, rs in page1.items() if len(rs) == 10}
+    qs2 = [(q, txt) for q, txt in queries[:20] if q in cursors]
+    out["page2_after20_s"] = t(index_search, ix, qs2, k=10,
+                               search_after=cursors)
+    out["histogram20_s"] = t(index_histogram, ix, queries[:20],
+                             on="n_chars", width=50)
+    out["stats20_s"] = t(index_stats, ix, queries[:20], on="n_chars")
     if n_convs >= 100_000:  # corpus-scan comparison only at the big point
         out["bm25f20_scan_s"] = t(bm25f_score_topk,
                                   corpus.select("doc_id", "text"),
