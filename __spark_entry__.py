@@ -215,6 +215,20 @@ def q_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_stats(Index(spark, ix_dir), DOC_QUERIES, on="n_chars")
 
 
+def q_search_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality aggregation (OpenSearch `cardinality`, exact): per
+    query, the number of distinct `source` values over all matching
+    docs. The facet kernel's partials are one row per distinct (query,
+    value) per shard, so the final distinct-count shuffles an
+    attribute-bounded frame, never a doc-bounded one."""
+    from sparkbm25.facets import index_cardinality
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    return index_cardinality(Index(spark, ix_dir), DOC_QUERIES,
+                             on="source")
+
+
 def q_bm25_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field collapsing (OpenSearch `collapse`): per query, the top-K
     keeps only the BEST doc per distinct `source` value (total order
@@ -815,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_histogram": q_search_histogram,
         "search_stats": q_search_stats,
         "significant_terms": q_significant_terms,
+        "search_cardinality": q_search_cardinality,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "dedup_exact": q_dedup_exact,
@@ -900,6 +915,9 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms": _sig_terms_sql(
             DOC_QUERIES, k_hits=SIG_K_HITS, max_terms=SIG_MAX_TERMS,
             min_df=SIG_MIN_DF,
+        ),
+        "search_cardinality": sqlgen.cardinality_sql(
+            DOC_QUERIES, on="source"
         ),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_stats": sqlgen.term_stats_sql(),

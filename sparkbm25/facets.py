@@ -428,6 +428,35 @@ def index_stats(
     )
 
 
+def index_cardinality(
+    ix: Index,
+    queries: list[tuple[int, str]],
+    on: str,
+    where: dict | None = None,
+    where_expr=None,
+    direct: bool | None = None,
+) -> DataFrame:
+    """Cardinality aggregation (ES `cardinality` analog, EXACT — no
+    HyperLogLog: the kernel's per-group partials are already one row
+    per DISTINCT (query, value), so the plan-side distinct count costs
+    one shuffle of an attribute-bounded frame, not a doc-bounded one):
+    per query, the number of distinct values of a stored attribute over
+    all docs matching >= 1 query token — (query_id, n_values). NULL
+    attrs are ignored (ES missing-field default). Composes with
+    where=/tombstones; same side-grouped direct routing as facets."""
+    _require_attr(ix, on)
+    partials, _empty = _matched_agg_plan(
+        ix, queries, F.col(on).cast("string"), _facet_count_fn,
+        "query_id int, value string, n_docs long",
+        where, where_expr, direct, drop_null_value=True,
+    )
+    if partials is None:
+        return ix.spark.createDataFrame([], "query_id int, n_values long")
+    return partials.groupBy("query_id").agg(
+        F.countDistinct("value").alias("n_values")
+    )
+
+
 def index_facets(
     ix: Index,
     queries: list[tuple[int, str]],

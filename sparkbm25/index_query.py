@@ -294,7 +294,8 @@ def _decode_tfn(pdf: pd.DataFrame, k1: float, b: float,
 def _interval_prune(pdf: pd.DataFrame,
                     q_terms: dict[int, list[tuple[str, float]]],
                     k1: float, b: float, avgdl: float, k: int,
-                    mode: str, sub_shift: int | None, vs: int):
+                    mode: str, sub_shift: int | None, vs: int,
+                    and_need: dict[int, int] | None = None):
     """Interval-level block-max pruning for the DENSE kernel (the
     round-6 answer to BENCH_BOOL_AB.json: the per-block WAND kernel's
     Python call overhead loses to dense scoring even when its bounds
@@ -329,6 +330,27 @@ def _interval_prune(pdf: pd.DataFrame,
     (live) interval and is therefore decoded, and the densified fold
     adds kept docs' contributions in the identical qpos order — scores
     bit-equal to the unpruned kernel.
+
+    ``and_need`` ({qid: required distinct matched-term count}) makes
+    the analysis CONJUNCTIVE-AWARE for those queries (mode='and' /
+    min_match):
+
+    - coverage liveness: an interval where fewer than ``need`` distinct
+      query terms have ANY overlapping block cannot hold an eligible
+      doc (a doc's posting for t lies inside one of t's blocks), so it
+      is dead regardless of θ;
+    - θ bootstrap: the metadata-only single-term phase is SKIPPED (its
+      k counted docs may not be eligible — θ would overstate the kth
+      ELIGIBLE score); the seed refinement counts per-doc DECODED
+      distinct-term coverage and takes the kth-largest decoded score
+      among PROVABLY eligible docs (decoded coverage >= need implies
+      true coverage >= need; the decoded score is still an
+      underestimate), which lower-bounds the true kth eligible score;
+    - exactness: a doc in a q-live interval keeps every contribution
+      AND its full coverage count (every term the query uses has all
+      its blocks overlapping that live interval decoded), so the
+      kernel's coverage test and fold are bit-exact there; q-dead
+      intervals are masked only after the coverage selection.
 
     Returns None when nothing is excludable (the caller then runs the
     plain dense path with zero per-query overhead), else
@@ -381,25 +403,32 @@ def _interval_prune(pdf: pd.DataFrame,
     # inside this group's range may count)
     theta_of: dict[int, float] = {}
     present_of: dict[int, list[tuple[str, float]]] = {}
+    need_of: dict[int, int] = {}
     for qid, tw in q_terms.items():
         present = [(t, w) for t, w in tw if t in M]
         if not present:
             continue
         present_of[qid] = present
+        need_of[qid] = (and_need or {}).get(qid, 1)
         theta = 0.0
-        for t, w in present:
-            idx = blk_of[t]
-            L, nn = w * mint[idx], n_arr[idx]
-            if sub_shift is not None:
-                c = cont_all[idx]
-                if not c.any():
-                    continue
-                L, nn = L[c], nn[c]
-            order = np.argsort(-L, kind="stable")
-            cum = np.cumsum(nn[order])
-            hit = np.flatnonzero(cum >= k)
-            if len(hit):
-                theta = max(theta, float(L[order[hit[0]]]))
+        if need_of[qid] <= 1:
+            # metadata bootstrap is OR-only: for a conjunctive query its
+            # k counted docs may not be eligible (theta would overstate
+            # the kth ELIGIBLE score) — those queries get theta from the
+            # coverage-aware seed phase below, or coverage-only liveness
+            for t, w in present:
+                idx = blk_of[t]
+                L, nn = w * mint[idx], n_arr[idx]
+                if sub_shift is not None:
+                    c = cont_all[idx]
+                    if not c.any():
+                        continue
+                    L, nn = L[c], nn[c]
+                order = np.argsort(-L, kind="stable")
+                cum = np.cumsum(nn[order])
+                hit = np.flatnonzero(cum >= k)
+                if len(hit):
+                    theta = max(theta, float(L[order[hit[0]]]))
         theta_of[qid] = theta
     if not present_of:
         return None
@@ -450,6 +479,20 @@ def _interval_prune(pdf: pd.DataFrame,
                     sc = np.zeros(len(ids_c))
                     for pids, w, ptfn in parts:
                         sc[np.searchsorted(ids_c, pids)] += w * ptfn
+                    need = need_of[qid]
+                    if need > 1:
+                        # conjunctive: only docs whose DECODED distinct-
+                        # term coverage already proves eligibility may
+                        # certify theta (true coverage >= decoded)
+                        cov = np.zeros(len(ids_c), dtype=np.int32)
+                        for t in {t for t, _w in present}:
+                            got = raw.get(t)
+                            if got is not None:
+                                cov[np.searchsorted(ids_c, got[0])] += 1
+                        elig = cov >= need
+                        if int(elig.sum()) < k:
+                            continue
+                        sc = sc[elig]
                     th2 = float(-np.partition(-sc, k - 1)[k - 1])
                     if th2 > theta_of[qid]:
                         theta_of[qid] = th2
@@ -462,14 +505,41 @@ def _interval_prune(pdf: pd.DataFrame,
     any_dead = False
     for qid, present in present_of.items():
         theta = theta_of[qid]
-        if theta <= 0.0:
+        need = need_of[qid]
+        cov_ok: np.ndarray | None = None
+        if need > 1:
+            tset = {t for t, _w in present}
+            if len(tset) < need:
+                # too few group-present terms: no doc here can cover —
+                # every interval is dead for this query (its terms join
+                # the union as all-dead, so blocks used by no other
+                # query are dropped)
+                live = np.zeros(n_int, dtype=bool)
+                any_dead = True
+                live_of[qid] = live
+                for t, _w in present:
+                    if term_live.get(t, ...) is ...:
+                        term_live[t] = live.copy()
+                continue
+            # interval coverage: a doc in interval i can match at most
+            # the distinct terms with >= 1 block overlapping i
+            C = np.zeros(n_int, dtype=np.int32)
+            for t in tset:
+                C += (M[t] > 0.0)
+            cov_ok = C >= need
+        if theta <= 0.0 and (cov_ok is None or cov_ok.all()):
             for t, _w in present:
                 term_live[t] = None
             continue
-        B = np.zeros(n_int)
-        for t, w in present:
-            B += w * M[t]
-        live = B >= theta - abs(theta) * _PRUNE_EPS
+        if theta > 0.0:
+            B = np.zeros(n_int)
+            for t, w in present:
+                B += w * M[t]
+            live = B >= theta - abs(theta) * _PRUNE_EPS
+            if cov_ok is not None:
+                live &= cov_ok
+        else:
+            live = cov_ok
         if live.all():
             for t, _w in present:
                 term_live[t] = None
@@ -569,7 +639,10 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
     each query's candidates are masked to its own live doc-range
     intervals. Exact (scores of surviving docs are the bitwise-unchanged
     dense fold); requires the blockmax metadata columns in the group and
-    composes with sub_shift only — the caller routes masked/boolean/
+    composes with sub_shift AND with ``and_need`` (conjunctive queries
+    get coverage liveness + a coverage-aware seed theta; the live mask
+    applies AFTER the coverage selection, so surviving docs keep exact
+    counts and scores) — the caller routes masked/excluded/
     field-weighted shapes to the WAND kernel instead (their bootstrap
     needs decode-time masking).
 
@@ -605,12 +678,13 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
             "second-best doc"
         )
     if prune_bounds is not None and (
-        tombstones is not None or has_qual or and_need or exclude
+        tombstones is not None or has_qual or exclude
         or fieldw is not None or after
     ):
         raise ValueError(
-            "prune_bounds composes with sub_shift only; route masked/"
-            "boolean/field-weighted searches to the WAND kernel"
+            "prune_bounds composes with sub_shift and and_need only; "
+            "route masked/excluded/field-weighted searches to the WAND "
+            "kernel"
         )
 
     def _run(vs: int, pdf: pd.DataFrame,
@@ -634,7 +708,8 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
         int_bounds: np.ndarray | None = None
         if prune_bounds is not None and len(pdf):
             pruned = _interval_prune(
-                pdf, q_terms, k1, b, avgdl, k, prune_bounds, sub_shift, vs
+                pdf, q_terms, k1, b, avgdl, k, prune_bounds, sub_shift,
+                vs, and_need=and_need,
             )
             if pruned is not None:
                 keep_rows, int_bounds, live_of = pruned
@@ -1159,14 +1234,17 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
             ["max_tf", "min_tf", "min_dl", "max_dl"] if derived
             else ["max_tf_norm", "min_tf_norm"]
         )
-        if tomb is None and not and_need and not exclude and fieldw is None:
+        if tomb is None and not exclude and fieldw is None:
             # interval-pruned dense kernel (BENCH_BOOL_AB.json follow-up):
             # the bounds analysis runs vectorized over doc-range
             # intervals, the scoring is the unchanged densified fold —
-            # never slower than 'sharded', skips decode where bounds pay
+            # never slower than 'sharded', skips decode where bounds
+            # pay; conjunctive queries (and_need) ride it too via
+            # coverage liveness + the coverage-aware seed theta
             kernel = _sharded_topk_fn(
                 occ, eff_k1, eff_b, avgdl, k, None,
                 prune_bounds="derived" if derived else "stored",
+                and_need=and_need,
             )
         else:
             kernel = _wand_topk_fn(
@@ -2873,12 +2951,14 @@ def index_search(
                 return _collapse_window(shard_tops, k)
             return topk_window(shard_tops, k)
         if strategy == "blockmax" and (
-            tomb is None and not and_need and not excl_map and fw is None
+            tomb is None and not excl_map and fw is None
         ):
             # same interval-pruned dense kernel as the direct route
+            # (conjunctive shapes included)
             kern = _sharded_topk_fn(
                 occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
                 prune_bounds="derived" if derived else "stored",
+                and_need=and_need,
             )
         elif strategy == "blockmax":
             kern = _wand_topk_fn(

@@ -570,6 +570,24 @@ GROUP BY 1
 """
 
 
+def cardinality_sql(
+    queries: list[tuple[int, str]],
+    on: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    filter_where: str | None = None,
+) -> str:
+    """DuckDB oracle for index_cardinality: per query, the exact number
+    of distinct non-NULL attribute values over the match set."""
+    return f"""{_match_ctes(queries, table, id_col, text_col, on, filter_where)}
+SELECT m.query_id, count(DISTINCT CAST(d.attr AS VARCHAR)) AS n_values
+FROM matches m JOIN toks d ON d.doc_id = m.doc_id
+WHERE d.attr IS NOT NULL
+GROUP BY 1
+"""
+
+
 def snippets_sql(
     queries: list[tuple[int, str]],
     k: int = 10,

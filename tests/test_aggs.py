@@ -172,7 +172,29 @@ def test_tombstones_excluded(built, spark, tmp_path):
     assert got_s == _brute_stats(alive)
 
 
+def test_cardinality_both_routes(built):
+    from sparkbm25.facets import index_cardinality
+
+    ix, docs_pdf = built
+    vals = dict(zip(docs_pdf.doc_id, docs_pdf.role))
+    want = {
+        (qid, len({vals[d] for d in m if vals[d] is not None}))
+        for qid, m in _matches(docs_pdf).items()
+    }
+    want = {(q, n) for q, n in want if n}
+    assert want
+    for direct in (None, False):
+        got = {
+            (r.query_id, r.n_values)
+            for r in index_cardinality(ix, QS, on="role",
+                                       direct=direct).collect()
+        }
+        assert got == want
+
+
 def test_refusals(built):
+    from sparkbm25.facets import index_cardinality
+
     ix, _docs = built
     with pytest.raises(ValueError, match="not stored"):
         index_histogram(ix, QS, on="nope", width=WIDTH)
@@ -180,3 +202,5 @@ def test_refusals(built):
         index_histogram(ix, QS, on="n_chars", width=0)
     with pytest.raises(ValueError, match="not stored"):
         index_stats(ix, QS, on="nope")
+    with pytest.raises(ValueError, match="not stored"):
+        index_cardinality(ix, QS, on="nope")

@@ -115,10 +115,12 @@ def test_unit_theta_zero_when_k_unreachable():
 
 
 def test_kernel_refuses_prune_with_masking_shapes():
+    # and_need COMPOSES with prune_bounds (coverage-aware analysis);
+    # exclusion and tombstones still need decode-time masking
     with pytest.raises(ValueError, match="prune_bounds"):
         _sharded_topk_fn(
             {1: [("t", 1.0)]}, 1.2, 0.75, 10.0, 5,
-            and_need={1: 1}, prune_bounds="stored",
+            exclude={1: ["x"]}, prune_bounds="stored",
         )
     with pytest.raises(ValueError, match="prune_bounds"):
         _sharded_topk_fn(
@@ -126,6 +128,60 @@ def test_kernel_refuses_prune_with_masking_shapes():
             tombstones=(np.array([1]), np.array([1])),
             prune_bounds="stored",
         )
+
+
+def test_unit_conjunctive_coverage_kills_uncovered_intervals():
+    # q needs BOTH t1 and t2; t2 only covers docs 200..299, so every
+    # interval outside that range is coverage-dead even though theta=0
+    pdf = _mk_pdf([
+        ("t1", 0, 99, 8, 1.0, 1.0),
+        ("t1", 200, 299, 8, 1.0, 1.0),
+        ("t2", 200, 299, 8, 1.0, 1.0),
+    ])
+    out = _interval_prune(
+        pdf, {1: [("t1", 1.0), ("t2", 1.0)]}, k1=1.2, b=0.75,
+        avgdl=10.0, k=3, mode="stored", sub_shift=None, vs=0,
+        and_need={1: 2},
+    )
+    assert out is not None
+    keep_rows, bounds, live_of = out
+    assert keep_rows.tolist() == [False, True, True]
+    live = live_of[1]
+    assert live[np.searchsorted(bounds, 250, side="right") - 1]
+    assert not live[np.searchsorted(bounds, 50, side="right") - 1]
+
+
+def test_unit_conjunctive_unreachable_need_all_dead():
+    # need exceeds the group-present distinct terms -> everything dead,
+    # the term's blocks drop entirely
+    pdf = _mk_pdf([("t1", 0, 99, 8, 1.0, 1.0)])
+    out = _interval_prune(
+        pdf, {1: [("t1", 1.0), ("t2", 1.0)]}, k1=1.2, b=0.75,
+        avgdl=10.0, k=3, mode="stored", sub_shift=None, vs=0,
+        and_need={1: 2},
+    )
+    assert out is not None
+    keep_rows, _bounds, live_of = out
+    assert not keep_rows.any()
+    assert not live_of[1].any()
+
+
+def test_blockmax_conjunctive_bit_exact_skewed(skewed):
+    """mode='and' and min_match now ride the interval-pruned dense
+    kernel on strategy='blockmax' — bit-identical to 'sharded' on both
+    routes (the r06-late replacement for the candidate-driven WAND
+    conjunction, which lost to dense scoring at every benchable
+    scale)."""
+    for kw in (
+        {"mode": "and"},
+        {"min_match": 2},
+        {"mode": "and", "direct": False},
+        {"min_match": 2, "direct": False, "subsplit": 4},
+        {"mode": "and", "k1": 0.9, "b": 0.4},
+    ):
+        sh = _rows(index_search(skewed, QS, k=10, strategy="sharded", **kw))
+        bm = _rows(index_search(skewed, QS, k=10, strategy="blockmax", **kw))
+        assert bm == sh and sh, kw
 
 
 def _skewed_pdf(n_docs=1600, hot_from=1500, hot_tf=40):
