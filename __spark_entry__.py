@@ -215,6 +215,17 @@ def q_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_stats(Index(spark, ix_dir), DOC_QUERIES, on="n_chars")
 
 
+def q_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-count API (OpenSearch `_count`): per query, how many docs
+    match >= 1 token — the candidate-set size disjunctive retrieval
+    ranks over, served from the posting blocks without scoring."""
+    from sparkbm25.facets import index_count
+    from sparkbm25.jobs import Index
+
+    ix_dir = _entry_index(spark, sf_dir)
+    return index_count(Index(spark, ix_dir), DOC_QUERIES)
+
+
 def q_search_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality aggregation (OpenSearch `cardinality`, exact): per
     query, the number of distinct `source` values over all matching
@@ -830,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_stats": q_search_stats,
         "significant_terms": q_significant_terms,
         "search_cardinality": q_search_cardinality,
+        "search_count": q_search_count,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "dedup_exact": q_dedup_exact,
@@ -919,6 +931,7 @@ def oracle_sql() -> dict[str, str]:
         "search_cardinality": sqlgen.cardinality_sql(
             DOC_QUERIES, on="source"
         ),
+        "search_count": sqlgen.match_count_sql(DOC_QUERIES),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_stats": sqlgen.term_stats_sql(),
         "dedup_exact": DD.exact_dedup_sql(),

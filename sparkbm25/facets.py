@@ -457,6 +457,31 @@ def index_cardinality(
     )
 
 
+def index_count(
+    ix: Index,
+    queries: list[tuple[int, str]],
+    where: dict | None = None,
+    where_expr=None,
+    direct: bool | None = None,
+) -> DataFrame:
+    """Match-count API (ES `_count` analog): per query, the number of
+    live docs matching >= 1 query token — (query_id, n_docs) — under
+    the same candidate semantics, filters, routing and tombstone
+    masking as facets, without needing any stored attribute (the side
+    carries a constant value; the kernel's partial is one row per
+    query per shard)."""
+    partials, _empty = _matched_agg_plan(
+        ix, queries, F.lit("*"), _facet_count_fn,
+        "query_id int, value string, n_docs long",
+        where, where_expr, direct,
+    )
+    if partials is None:
+        return ix.spark.createDataFrame([], "query_id int, n_docs long")
+    return partials.groupBy("query_id").agg(
+        F.sum("n_docs").alias("n_docs")
+    )
+
+
 def index_facets(
     ix: Index,
     queries: list[tuple[int, str]],

@@ -260,13 +260,20 @@ def _rescore_gen(k1: float, b: float, avgdl: float):
 _PRUNE_EPS = 1e-9
 
 
-def _decode_tfn(pdf: pd.DataFrame, k1: float, b: float,
-                avgdl: float) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+def _decode_tfn(pdf: pd.DataFrame, k1: float, b: float, avgdl: float,
+                tomb: "tuple | None" = None,
+                qual: "np.ndarray | None" = None,
+                ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Decode a (sub)frame of posting blocks into {term: (doc_ids,
-    tf_norm)} — the prune-refinement SEED decode. Clean shape only (no
-    tombstones / filters / field weights; those shapes never reach
-    prune_bounds), same vbyte/delta layout and tf_norm formula as the
-    main kernel's batched decode."""
+    tf_norm)} — the prune-refinement SEED decode. Same vbyte/delta
+    layout and tf_norm formula as the main kernel's batched decode.
+
+    ``tomb`` / ``qual`` apply the kernel's EXACT masks (per-group
+    tombstones via the frame's gseq column; sorted qualifying ids) so
+    every surviving seed doc is a REAL eligible candidate — required
+    for the theta bound to stay sound under deletes / filtered search
+    (an unmasked seed could certify theta from a dead or non-qualifying
+    doc's score, overstating the kth eligible score)."""
     pdf = pdf.sort_values("term", kind="stable", ignore_index=True)
     terms_arr = pdf["term"].to_numpy()
     n_arr = pdf["n_docs"].to_numpy().astype(np.int64)
@@ -280,6 +287,15 @@ def _decode_tfn(pdf: pd.DataFrame, k1: float, b: float,
     tfs = vbyte_decode(b"".join(pdf["tfs_vbyte"]), total).astype(np.float64)
     dls = vbyte_decode(b"".join(pdf["dls_vbyte"]), total).astype(np.float64)
     tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    m = None
+    if tomb is not None and len(tomb[0]):
+        from .codecs import dead_mask as _dead_mask
+
+        gseqs = np.repeat(pdf["gseq"].to_numpy(np.int64), n_arr)
+        m = ~_dead_mask(all_ids, gseqs, tomb[0], tomb[1])
+    if qual is not None:
+        mq = _in_sorted(all_ids, qual)
+        m = mq if m is None else (m & mq)
     blk_change = np.r_[True, terms_arr[1:] != terms_arr[:-1]]
     term_first = np.flatnonzero(blk_change)
     post_off = np.r_[seg_starts[term_first], total]
@@ -287,7 +303,12 @@ def _decode_tfn(pdf: pd.DataFrame, k1: float, b: float,
     for i, tb in enumerate(term_first):
         lo, hi = int(post_off[i]), int(post_off[i + 1])
         if hi > lo:
-            raw[terms_arr[tb]] = (all_ids[lo:hi], tfn[lo:hi])
+            ids_s, tfn_s = all_ids[lo:hi], tfn[lo:hi]
+            if m is not None:
+                ms = m[lo:hi]
+                ids_s, tfn_s = ids_s[ms], tfn_s[ms]
+            if len(ids_s):
+                raw[terms_arr[tb]] = (ids_s, tfn_s)
     return raw
 
 
@@ -295,7 +316,9 @@ def _interval_prune(pdf: pd.DataFrame,
                     q_terms: dict[int, list[tuple[str, float]]],
                     k1: float, b: float, avgdl: float, k: int,
                     mode: str, sub_shift: int | None, vs: int,
-                    and_need: dict[int, int] | None = None):
+                    and_need: dict[int, int] | None = None,
+                    tomb: "tuple | None" = None,
+                    qual: "np.ndarray | None" = None):
     """Interval-level block-max pruning for the DENSE kernel (the
     round-6 answer to BENCH_BOOL_AB.json: the per-block WAND kernel's
     Python call overhead loses to dense scoring even when its bounds
@@ -351,6 +374,15 @@ def _interval_prune(pdf: pd.DataFrame,
       its blocks overlapping that live interval decoded), so the
       kernel's coverage test and fold are bit-exact there; q-dead
       intervals are masked only after the coverage selection.
+
+    ``tomb`` / ``qual`` (the kernel's exact tombstone pair / sorted
+    qualifying ids) compose soundly: block upper bounds stay valid (a
+    superset bound), the metadata-only θ phase is SKIPPED (its counted
+    docs may be dead or non-qualifying), and the seed decode applies
+    the SAME masks the main decode will (``_decode_tfn(tomb=, qual=)``)
+    so every θ-certifying doc is a real eligible candidate. The live
+    mask applies after the kernel's own masking, so surviving docs are
+    bit-exact as in the clean shape.
 
     Returns None when nothing is excludable (the caller then runs the
     plain dense path with zero per-query overhead), else
@@ -411,7 +443,8 @@ def _interval_prune(pdf: pd.DataFrame,
         present_of[qid] = present
         need_of[qid] = (and_need or {}).get(qid, 1)
         theta = 0.0
-        if need_of[qid] <= 1:
+        masked = (tomb is not None and len(tomb[0]) > 0) or qual is not None
+        if need_of[qid] <= 1 and not masked:
             # metadata bootstrap is OR-only: for a conjunctive query its
             # k counted docs may not be eligible (theta would overstate
             # the kth ELIGIBLE score) — those queries get theta from the
@@ -457,7 +490,8 @@ def _interval_prune(pdf: pd.DataFrame,
                 seed_rows[idx[order[:take]]] = True
         n_seed = int(n_arr[seed_rows].sum())
         if 0 < n_seed <= max(0.25 * float(n_arr.sum()), 64.0 * k):
-            raw = _decode_tfn(pdf[seed_rows], k1, b, avgdl)
+            raw = _decode_tfn(pdf[seed_rows], k1, b, avgdl,
+                              tomb=tomb, qual=qual)
             if raw:
                 for qid, present in present_of.items():
                     parts = [
@@ -678,13 +712,17 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
             "second-best doc"
         )
     if prune_bounds is not None and (
-        tombstones is not None or has_qual or exclude
-        or fieldw is not None or after
+        exclude or fieldw is not None or after
     ):
+        # exclusion: a partial decode cannot PROVE a doc does not
+        # contain a MUST_NOT term, so a seed theta could count
+        # ineligible docs; field weights: the bounds need the
+        # positional split; cursors: theta counts pre-cursor docs.
+        # (tombstones / where= DO compose: the kernel holds their exact
+        # masks and the seed decode applies them — _interval_prune doc.)
         raise ValueError(
-            "prune_bounds composes with sub_shift and and_need only; "
-            "route masked/excluded/field-weighted searches to the WAND "
-            "kernel"
+            "prune_bounds does not compose with exclude / field weights "
+            "/ search_after; route those to the WAND or dense kernel"
         )
 
     def _run(vs: int, pdf: pd.DataFrame,
@@ -709,7 +747,7 @@ def _sharded_topk_fn(q_terms: dict[int, list[tuple[str, float]]],
         if prune_bounds is not None and len(pdf):
             pruned = _interval_prune(
                 pdf, q_terms, k1, b, avgdl, k, prune_bounds, sub_shift,
-                vs, and_need=and_need,
+                vs, and_need=and_need, tomb=tomb, qual=qual,
             )
             if pruned is not None:
                 keep_rows, int_bounds, live_of = pruned
@@ -1234,17 +1272,18 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
             ["max_tf", "min_tf", "min_dl", "max_dl"] if derived
             else ["max_tf_norm", "min_tf_norm"]
         )
-        if tomb is None and not exclude and fieldw is None:
+        if not exclude and fieldw is None:
             # interval-pruned dense kernel (BENCH_BOOL_AB.json follow-up):
             # the bounds analysis runs vectorized over doc-range
             # intervals, the scoring is the unchanged densified fold —
             # never slower than 'sharded', skips decode where bounds
-            # pay; conjunctive queries (and_need) ride it too via
-            # coverage liveness + the coverage-aware seed theta
+            # pay; conjunctive queries (and_need) compose via coverage
+            # liveness + the coverage-aware seed theta, and tombstones
+            # via mask-exact seed decode (_interval_prune doc)
             kernel = _sharded_topk_fn(
                 occ, eff_k1, eff_b, avgdl, k, None,
                 prune_bounds="derived" if derived else "stored",
-                and_need=and_need,
+                and_need=and_need, tombstones=tomb,
             )
         else:
             kernel = _wand_topk_fn(
@@ -2797,21 +2836,30 @@ def index_search(
                 sides[0] if len(sides) == 1
                 else sides[0].unionByName(sides[1])
             )
-            kern = (
-                _wand_topk_fn(
+            if strategy == "blockmax" and not excl_map and fw is None:
+                # filtered search on the pruned path: the qualifying ids
+                # arrive as the cogrouped side, so the seed theta masks
+                # to them exactly (_interval_prune tomb/qual doc)
+                kern = _sharded_topk_fn(
+                    occ, eff_k1, eff_b, eff_avgdl, k, None,
+                    cogroup=True, has_qual=True, tombstones=tomb,
+                    and_need=and_need,
+                    prune_bounds="derived" if derived else "stored",
+                )
+            elif strategy == "blockmax":
+                kern = _wand_topk_fn(
                     occ, eff_k1, eff_b, eff_avgdl, k, None,
                     derived_bounds=derived, cogroup=True, has_qual=True,
                     tombstones=tomb, and_need=and_need, exclude=excl_map,
                     fieldw=fw,
                 )
-                if strategy == "blockmax"
-                else _sharded_topk_fn(
+            else:
+                kern = _sharded_topk_fn(
                     occ, eff_k1, eff_b, eff_avgdl, k, None,
                     cogroup=True, has_qual=True, tombstones=tomb,
                     and_need=and_need, exclude=excl_map, fieldw=fw,
                     after=search_after, collapse=collapse is not None,
                 )
-            )
             shard_tops = side.groupBy("shard_id").applyInPandas(
                 _direct_side_fn(kern, cols, terms,
                                 ix.shard_file_map(buckets),
@@ -2920,21 +2968,29 @@ def index_search(
                     ),
                 ))
             side = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
-            kern = (
-                _wand_topk_fn(
+            if strategy == "blockmax" and not excl_map and fw is None:
+                # pruned path with cogrouped masks (where= and/or
+                # distributed tombstones): seed theta masks exactly
+                kern = _sharded_topk_fn(
+                    occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
+                    cogroup=True, has_qual=has_qual, tombstones=tomb,
+                    and_need=and_need,
+                    prune_bounds="derived" if derived else "stored",
+                )
+            elif strategy == "blockmax":
+                kern = _wand_topk_fn(
                     occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
                     derived_bounds=derived, cogroup=True,
                     has_qual=has_qual, tombstones=tomb,
                     and_need=and_need, exclude=excl_map, fieldw=fw,
                 )
-                if strategy == "blockmax"
-                else _sharded_topk_fn(
+            else:
+                kern = _sharded_topk_fn(
                     occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
                     cogroup=True, has_qual=has_qual, tombstones=tomb,
                     and_need=and_need, exclude=excl_map, fieldw=fw,
                     after=search_after, collapse=collapse is not None,
                 )
-            )
             shard_tops = (
                 blocks.groupBy(group_key)
                 .cogroup(side.groupBy(group_key))
@@ -2950,15 +3006,13 @@ def index_search(
             if collapse is not None:
                 return _collapse_window(shard_tops, k)
             return topk_window(shard_tops, k)
-        if strategy == "blockmax" and (
-            tomb is None and not excl_map and fw is None
-        ):
+        if strategy == "blockmax" and not excl_map and fw is None:
             # same interval-pruned dense kernel as the direct route
-            # (conjunctive shapes included)
+            # (conjunctive + tombstoned shapes included)
             kern = _sharded_topk_fn(
                 occ, eff_k1, eff_b, eff_avgdl, k, sub_shift,
                 prune_bounds="derived" if derived else "stored",
-                and_need=and_need,
+                and_need=and_need, tombstones=tomb,
             )
         elif strategy == "blockmax":
             kern = _wand_topk_fn(

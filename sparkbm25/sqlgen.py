@@ -570,6 +570,20 @@ GROUP BY 1
 """
 
 
+def match_count_sql(
+    queries: list[tuple[int, str]],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    filter_where: str | None = None,
+) -> str:
+    """DuckDB oracle for index_count: per query, the number of docs
+    sharing >= 1 distinct token with the query."""
+    return f"""{_match_ctes(queries, table, id_col, text_col, id_col, filter_where)}
+SELECT query_id, count(*) AS n_docs FROM matches GROUP BY 1
+"""
+
+
 def cardinality_sql(
     queries: list[tuple[int, str]],
     on: str,

@@ -192,6 +192,27 @@ def test_cardinality_both_routes(built):
         assert got == want
 
 
+def test_count_matches_and_filters(built):
+    from sparkbm25.facets import index_count
+
+    ix, docs_pdf = built
+    want = {(q, len(m)) for q, m in _matches(docs_pdf).items()}
+    assert want
+    for direct in (None, False):
+        got = {
+            (r.query_id, r.n_docs)
+            for r in index_count(ix, QS, direct=direct).collect()
+        }
+        assert got == want
+    got_f = {
+        (r.query_id, r.n_docs)
+        for r in index_count(ix, QS, where={"role": "user"}).collect()
+    }
+    assert got_f == {
+        (q, len(m)) for q, m in _matches(docs_pdf, role="user").items()
+    }
+
+
 def test_refusals(built):
     from sparkbm25.facets import index_cardinality
 

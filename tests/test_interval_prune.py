@@ -115,8 +115,10 @@ def test_unit_theta_zero_when_k_unreachable():
 
 
 def test_kernel_refuses_prune_with_masking_shapes():
-    # and_need COMPOSES with prune_bounds (coverage-aware analysis);
-    # exclusion and tombstones still need decode-time masking
+    # and_need, tombstones and the qualifying side COMPOSE with
+    # prune_bounds (coverage-aware / mask-exact seed theta); exclusion,
+    # field weights and cursors still refuse — a partial decode cannot
+    # prove a doc does NOT contain a MUST_NOT term
     with pytest.raises(ValueError, match="prune_bounds"):
         _sharded_topk_fn(
             {1: [("t", 1.0)]}, 1.2, 0.75, 10.0, 5,
@@ -125,8 +127,7 @@ def test_kernel_refuses_prune_with_masking_shapes():
     with pytest.raises(ValueError, match="prune_bounds"):
         _sharded_topk_fn(
             {1: [("t", 1.0)]}, 1.2, 0.75, 10.0, 5,
-            tombstones=(np.array([1]), np.array([1])),
-            prune_bounds="stored",
+            after={1: (1.0, 5)}, prune_bounds="stored",
         )
 
 
@@ -164,6 +165,61 @@ def test_unit_conjunctive_unreachable_need_all_dead():
     keep_rows, _bounds, live_of = out
     assert not keep_rows.any()
     assert not live_of[1].any()
+
+
+def test_blockmax_masked_bit_exact_skewed(skewed, spark, tmp_path):
+    """Tombstones and where= filters now COMPOSE with the interval
+    pruner (r06-late): the seed decode applies the kernel's exact masks
+    so theta never counts a dead or non-qualifying doc. Pinned by
+    bit-identity to 'sharded' under a delete set that removes the
+    TOP-SCORING hot docs — the shape where an unmasked seed theta
+    would overstate and silently drop true results."""
+    import shutil
+
+    from sparkbm25.jobs import delete_docs
+
+    d2 = str(tmp_path / "tomb_copy")
+    shutil.copytree(skewed.index_dir, d2)
+    # delete most of the hot stripe: survivors' scores sit far below
+    # the dead docs' — exactly the unsound-theta trap
+    delete_docs(spark, d2, list(range(1500, 1590)))
+    tix = Index(spark, d2)
+    for kw in ({}, {"direct": False}, {"mode": "and"}, {"min_match": 2}):
+        sh = _rows(index_search(tix, QS, k=10, strategy="sharded", **kw))
+        bm = _rows(index_search(tix, QS, k=10, strategy="blockmax", **kw))
+        assert bm == sh and sh, kw
+
+
+def test_blockmax_filtered_bit_exact(spark, tmp_path_factory):
+    """where= on blockmax rides the pruned dense kernel with the
+    qualifying side masked into the seed theta — bit-identical to
+    sharded even when every hot doc is filtered OUT (the qual analog
+    of the tombstone trap above)."""
+    pdf = _skewed_pdf()
+    pdf["role"] = ["user" if i < 1500 else "tool"
+                   for i in range(len(pdf))]
+    corpus = add_doc_id(
+        spark.createDataFrame(pdf), "conv_seq"
+    ).select("doc_id", "text", "role")
+    d = str(tmp_path_factory.mktemp("prune_qual_ix"))
+    build_index(
+        corpus, d,
+        BuildParams(num_shards=2, salt_factor=2, num_term_buckets=2,
+                    lineage_groups=1, block_size=64,
+                    attr_cols=("role",), doc_id_scheme="conv_seq"),
+        "pq",
+    )
+    ix = Index(spark, d)
+    # the filter excludes the whole hot stripe (role='tool')
+    for kw in (
+        {"where": {"role": "user"}},
+        {"where": {"role": "user"}, "direct": False},
+        {"where": {"role": "user"}, "mode": "and"},
+        {"where": {"role": "tool"}},
+    ):
+        sh = _rows(index_search(ix, QS, k=10, strategy="sharded", **kw))
+        bm = _rows(index_search(ix, QS, k=10, strategy="blockmax", **kw))
+        assert bm == sh and sh, kw
 
 
 def test_blockmax_conjunctive_bit_exact_skewed(skewed):

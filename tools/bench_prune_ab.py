@@ -73,6 +73,11 @@ def main() -> int:
                      "skewed one?"),
         "host": f"local[{args.cores}], best-of-3 per cell",
     }
+    if os.path.exists(args.out):
+        # partial re-runs (--no-fixture) refresh cells in place instead
+        # of dropping the other corpus's committed numbers
+        with open(args.out) as f:
+            out = {**json.load(f), **out}
     params = BuildParams(num_shards=32, salt_factor=4, num_term_buckets=32,
                          lineage_groups=1, doc_id_scheme="conv_seq")
 
@@ -166,6 +171,41 @@ def main() -> int:
     b = sorted(map(tuple, index_search(
         ixs, skew_qs, k=10, strategy="blockmax").collect()))
     out["skewed_bit_identical"] = a == b
+
+    # r06-late cells: the masked (tombstoned) and conjunctive shapes now
+    # ride the pruned kernel too — measure them on the skew where the
+    # bounds have something to exclude (delete INSIDE the hot stripe so
+    # theta must be re-certified from masked survivors, the exact shape
+    # an unmasked seed would get wrong)
+    import shutil as _sh
+
+    from sparkbm25.jobs import delete_docs
+
+    tomb_dir = f"{sk_dir}_tomb10"
+    if not os.path.exists(os.path.join(tomb_dir, "manifest.json")):
+        _sh.rmtree(tomb_dir, ignore_errors=True)
+        _sh.copytree(sk_dir, tomb_dir)
+        delete_docs(spark, tomb_dir,
+                    [d for d in range(n_docs) if d % 10 == 0])
+    tix = Index(spark, tomb_dir)
+    res_m: dict = {}
+    for label, kw in (
+        ("tomb10_sharded", {"strategy": "sharded"}),
+        ("tomb10_blockmax", {"strategy": "blockmax"}),
+        ("and_sharded", {"strategy": "sharded", "mode": "and"}),
+        ("and_blockmax", {"strategy": "blockmax", "mode": "and"}),
+    ):
+        ixx = tix if label.startswith("tomb") else ixs
+        index_search(ixx, skew_qs, k=10, **kw).count()
+        res_m[label] = best_of(
+            3, lambda: index_search(ixx, skew_qs, k=10, **kw).count()
+        )
+    out[f"skewed_{args.skew_docs}_masked_20q_s"] = res_m
+    ta = sorted(map(tuple, index_search(
+        tix, skew_qs, k=10, strategy="sharded").collect()))
+    tb = sorted(map(tuple, index_search(
+        tix, skew_qs, k=10, strategy="blockmax").collect()))
+    out["skewed_tomb10_bit_identical"] = ta == tb
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
