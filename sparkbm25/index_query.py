@@ -479,10 +479,27 @@ def _interval_prune(pdf: pd.DataFrame,
     # still a real doc of the full candidate set, so the bound holds.)
     # Accumulation order may differ from the final fold by ~ulp; the
     # relative _PRUNE_EPS margin on the live test absorbs that.
-    if "docs_vbyte" in pdf.columns:
+    # seed-worthiness gate (pure COST heuristic — skipping a seed only
+    # leaves theta at its looser metadata/zero value, never unsound):
+    # even a PERFECT theta (<= true kth <= max interval bound) can only
+    # kill intervals whose bound sits below it, so when a query's bound
+    # staircase is flat the seed decode is guaranteed wasted work —
+    # exactly the prune-hostile shape, where the masked seed cost was
+    # the measured 16% overhead vs the dense kernel (BENCH_PRUNE_AB)
+    B_of: dict[int, np.ndarray] = {}
+    seed_qids = set()
+    for qid, present in present_of.items():
+        B = np.zeros(n_int)
+        for t, w in present:
+            B += w * M[t]
+        B_of[qid] = B
+        bmx = float(B.max())
+        if bmx > 0.0 and float(B.min()) < 0.5 * bmx:
+            seed_qids.add(qid)
+    if "docs_vbyte" in pdf.columns and seed_qids:
         seed_rows = np.zeros(len(pdf), dtype=bool)
-        for qid, present in present_of.items():
-            for t, _w in present:
+        for qid in seed_qids:
+            for t, _w in present_of[qid]:
                 idx = blk_of[t]
                 order = np.argsort(-maxt[idx], kind="stable")
                 cum = np.cumsum(n_arr[idx][order])
@@ -493,7 +510,8 @@ def _interval_prune(pdf: pd.DataFrame,
             raw = _decode_tfn(pdf[seed_rows], k1, b, avgdl,
                               tomb=tomb, qual=qual)
             if raw:
-                for qid, present in present_of.items():
+                for qid in seed_qids:
+                    present = present_of[qid]
                     parts = [
                         (raw[t][0], w, raw[t][1])
                         for t, w in present if t in raw
@@ -566,12 +584,10 @@ def _interval_prune(pdf: pd.DataFrame,
                 term_live[t] = None
             continue
         if theta > 0.0:
-            B = np.zeros(n_int)
-            for t, w in present:
-                B += w * M[t]
+            B = B_of[qid]
             live = B >= theta - abs(theta) * _PRUNE_EPS
             if cov_ok is not None:
-                live &= cov_ok
+                live = live & cov_ok
         else:
             live = cov_ok
         if live.all():
