@@ -349,9 +349,13 @@ def main() -> int:
             for xname in ("bm25f_topk", "search_facets", "search_snippets",
                           "score_explain", "bm25_msm_topk", "bm25_not_topk",
                           "phrase_near_topk", "hybrid_rrf_topk", "mlt_topk",
-                          # r06 late surfaces: field collapsing + cursor
-                          # pagination (page2 includes its page-1 search)
-                          "bm25_collapse_topk", "bm25_page2_topk"):
+                          # r06 late surfaces: field collapsing, cursor
+                          # pagination (page2 includes its page-1
+                          # search), aggregations, significant terms
+                          "bm25_collapse_topk", "bm25_page2_topk",
+                          "search_histogram", "search_stats",
+                          "search_cardinality", "search_count",
+                          "significant_terms"):
                 fn = entry_mod.queries().get(xname)
                 if fn is not None:
                     t0 = time.time()
