@@ -23,6 +23,7 @@ from sparkbm25 import sqlgen
 from sparkbm25.analysis import tokens_col
 from sparkbm25.bm25f import bm25f_topk_sql as _bm25f_topk_sql
 from sparkbm25.sigterms import significant_terms_sql as _sig_terms_sql
+from sparkbm25.suggest import suggest_sql as _suggest_sql
 from sparkbm25.kernels import doc_term_freqs
 from sparkbm25.query import score_all_topk
 from sparkbm25.session import ensure_shipped
@@ -213,6 +214,30 @@ def q_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ix_dir = _entry_index(spark, sf_dir)
     return index_stats(Index(spark, ix_dir), DOC_QUERIES, on="n_chars")
+
+
+SUGGEST_TOKENS: list[tuple[int, str]] = [
+    (0, "spark"),      # indexed -> itself at dist 0
+    (1, "spakr"),      # 2-edit misspelling
+    (2, "windov"),     # 1-edit
+    (3, "vectr batc"),  # multi-token input
+    (4, "zzzzzzzzzzzz"),  # empty ball -> no rows
+]
+SUGGEST_DIST, SUGGEST_N = 2, 5
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term suggester (OpenSearch `term` suggester, "did you mean"):
+    per input token, the top-N vocabulary terms within SUGGEST_DIST
+    edits ranked dist ASC, df DESC, term ASC — served from the fuzzy
+    vocabulary-expansion machinery (preloaded cache or windowed plan),
+    no corpus scan. Integer order -> exact oracle agreement."""
+    from sparkbm25.jobs import Index
+    from sparkbm25.suggest import index_suggest
+
+    ix_dir = _entry_index(spark, sf_dir)
+    return index_suggest(Index(spark, ix_dir), SUGGEST_TOKENS,
+                         max_dist=SUGGEST_DIST, n=SUGGEST_N)
 
 
 def q_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "search_cardinality": q_search_cardinality,
         "search_count": q_search_count,
+        "term_suggest": q_term_suggest,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "dedup_exact": q_dedup_exact,
@@ -932,6 +958,9 @@ def oracle_sql() -> dict[str, str]:
             DOC_QUERIES, on="source"
         ),
         "search_count": sqlgen.match_count_sql(DOC_QUERIES),
+        "term_suggest": _suggest_sql(
+            SUGGEST_TOKENS, max_dist=SUGGEST_DIST, n=SUGGEST_N
+        ),
         "doc_stats": sqlgen.doc_stats_sql(),
         "term_stats": sqlgen.term_stats_sql(),
         "dedup_exact": DD.exact_dedup_sql(),
