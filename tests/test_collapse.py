@@ -120,6 +120,48 @@ def test_collapse_composes(built):
         assert got == want, kw
 
 
+def test_collapse_under_tombstones(built, spark, tmp_path):
+    """Deleting a group's best doc must promote its runner-up (per-group
+    masking happens BEFORE collapse selection), on both routes."""
+    import shutil
+
+    from sparkbm25.jobs import delete_docs
+
+    ix, corpus = built
+    # victims: each query's current #1 doc — the group-best promotion case
+    top = index_search(ix, QS, k=1).collect()
+    victims = sorted({r.doc_id for r in top})
+    assert victims
+    d2 = str(tmp_path / "collapse_tomb")
+    shutil.copytree(ix.index_dir, d2)
+    delete_docs(spark, d2, victims)
+    tix = Index(spark, d2)
+    alive = corpus.filter(~corpus.doc_id.isin(victims)).toPandas()
+    # brute reference over the engine's own tombstoned full search
+    full = index_search(tix, QS, k=10**6).toPandas()
+    assert not set(full.doc_id) & set(victims)
+    attrs = corpus.select("doc_id", "conv_id").toPandas()
+    m = full.merge(attrs, on="doc_id")
+    want = []
+    for qid, g in m.groupby("query_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="stable")
+        seen, kept = set(), []
+        for r in g.itertuples():
+            if r.conv_id in seen:
+                continue
+            seen.add(r.conv_id)
+            kept.append((qid, len(kept) + 1, r.doc_id, r.score, r.conv_id))
+            if len(kept) == K:
+                break
+        want.extend(kept)
+    want = sorted(want)
+    got_d = _rows(index_search(tix, QS, k=K, collapse="conv_id"))
+    got_e = _rows(index_search(tix, QS, k=K, collapse="conv_id",
+                               direct=False))
+    assert got_d == want == got_e and want
+
+
 def test_collapse_refusals(built):
     ix, _corpus = built
     with pytest.raises(ValueError, match="not stored"):
