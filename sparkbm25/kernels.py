@@ -68,7 +68,20 @@ def doc_term_freqs_gen(
 
 
 def doc_term_freqs(corpus):
-    """corpus (doc_id, text, ...) -> DataFrame(doc_id, doc_len, term, tf)."""
-    return corpus.select("doc_id", "text").mapInPandas(
-        doc_term_freqs_gen, schema=TF_SCHEMA
-    )
+    """corpus (doc_id, text, ...) -> DataFrame(doc_id, doc_len, term, tf).
+
+    Under-partitioned inputs are spread to cluster parallelism first: a
+    small corpus arrives as one or two parquet splits and the whole tf
+    kernel then runs on 1-2 cores (measured at 50k docs / local[32]: the
+    score-all path was straggler-bound on a single scan task). The gate
+    never fires once the scan itself produces >= defaultParallelism
+    splits, so no shuffle is added at real scale."""
+    sel = corpus.select("doc_id", "text")
+    try:
+        spark = corpus.sparkSession
+        target = spark.sparkContext.defaultParallelism
+        if sel.rdd.getNumPartitions() < target:
+            sel = sel.repartition(target)
+    except Exception:
+        pass
+    return sel.mapInPandas(doc_term_freqs_gen, schema=TF_SCHEMA)

@@ -39,6 +39,16 @@ def _pss_bytes(pid: int) -> int | None:
     return None
 
 
+# Processes below this resident size are summed by statm RSS instead of
+# PSS: smaps_rollup is a kernel-side VMA+page-table walk (it takes the
+# target's mmap_lock), so issuing it for every small helper process costs
+# real wall time on the measured workload. The COW-fork overcount the PSS
+# read exists to fix only matters for processes SHARING a big heap — those
+# have large VmRSS and still take the PSS path; a small process's
+# RSS-vs-PSS gap is bounded by its own (small) RSS.
+_PSS_MIN_RSS = 64 << 20
+
+
 def _proc_tree_rss(root_pid: int) -> int:
     """Sum of PSS (fallback: VmRSS) bytes over root_pid + descendants."""
     children: dict[int, list[int]] = {}
@@ -65,8 +75,11 @@ def _proc_tree_rss(root_pid: int) -> int:
             continue
         seen.add(pid)
         if pid in rss:
-            pss = _pss_bytes(pid)
-            total += pss if pss is not None else rss[pid]
+            if rss[pid] >= _PSS_MIN_RSS:
+                pss = _pss_bytes(pid)
+                total += pss if pss is not None else rss[pid]
+            else:
+                total += rss[pid]
         stack.extend(children.get(pid, []))
     return total
 
@@ -85,12 +98,28 @@ class MemorySampler:
         self._thread: threading.Thread | None = None
 
     def _run(self) -> None:
+        # Adaptive backoff: one sweep reads smaps_rollup for every big
+        # process in the tree — a kernel VMA walk whose cost grows with
+        # heap size and process count, and whose mmap_lock acquisition
+        # contends with the measured workload's own GC/mmap activity. A
+        # fixed 0.1 s cadence made the sampler itself a load source on
+        # 30+-process trees (r07 diagnosis: the two sampler-wrapped bench
+        # stages were the two with 3.5x run-to-run spread). Waiting
+        # >= 8x the last sweep's duration bounds sampler cost at ~12% of
+        # one core regardless of tree size while keeping the 0.1 s cadence
+        # on small trees; a build's peak is a multi-second plateau, which
+        # a ~0.5-1 s effective cadence still catches.
         pid = os.getpid()
         while not self._stop.is_set():
+            t0 = time.time()
             cur = _proc_tree_rss(pid)
             if cur > self.peak_bytes:
                 self.peak_bytes = cur
-            self._stop.wait(self.interval_s)
+            sweep = time.time() - t0
+            # cap the backoff so a very slow sweep (huge heap under load)
+            # still yields a ~2 s cadence — enough resolution for the
+            # multi-second peak plateaus this sampler exists to record
+            self._stop.wait(min(max(self.interval_s, 8.0 * sweep), 2.0))
 
     def __enter__(self) -> "MemorySampler":
         self.peak_bytes = _proc_tree_rss(os.getpid())

@@ -280,12 +280,139 @@ SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
 """
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition an UNDER-partitioned input up to cluster parallelism
+    (guide: input skew / small files). The pipeline's heavy per-row work
+    (shingling, signature kernels, tf counting) inherits the scan's
+    partitioning, and a small corpus arrives as one or two parquet
+    splits — every Arrow kernel then runs on 1-2 cores while the rest of
+    the cluster idles (measured at 50k docs / local[32]: the signature
+    pass ran as 6 tasks with one straggler owning ~80% of the work).
+    Scale-adaptive by construction: a corpus big enough to produce
+    >= defaultParallelism scan splits is returned untouched, so no
+    shuffle is ever added at real scale."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if n < target else df
+
+
 def _shingle_hashes(df: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, xs array<long>) — per-shingle xxhash64 folded to [0, 2^31).
     JVM-side hashing (codegen); the minhash matrix math happens in numpy."""
     sh = shingles_col(text_col)
     xs = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
-    return df.select("doc_id", xs.alias("xs")).filter(F.size("xs") > 0)
+    return (
+        _spread_small_input(df.select("doc_id", text_col))
+        .select("doc_id", xs.alias("xs"))
+        .filter(F.size("xs") > 0)
+    )
+
+
+def _ngram_hashes(df: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, xs array<long>) — xxhash64-of-shingle folded to [0, 2^31),
+    PER OCCURRENCE (non-distinct), via one fused Catalyst transform.
+
+    The banding kernel's input only feeds per-doc MINIMA, and min is
+    duplicate-insensitive, so skipping array_distinct changes nothing in
+    any signature bit while dropping a whole interpreted pass; fusing the
+    hash into the same transform that builds each n-gram skips the
+    intermediate shingle-string array the shared shingles_col shape
+    materializes. Verification and the persisted artifact keep
+    shingles_col/_shingle_hashes (set semantics there is load-bearing)."""
+    toks_df = _spread_small_input(df.select("doc_id", text_col))
+    # The token array is LET-BOUND as a lambda variable (transform over a
+    # one-element array) so the optimizer cannot inline the tokenizer into
+    # every element access: a plain withColumn("__t", tokens) + transform
+    # referencing __t gets project-collapsed into per-SHINGLE re-tokenization
+    # (measured 2.3x slower end-to-end); the docs-with-enough-tokens filter
+    # runs on a cheap size() instead of the hash chain for the same reason.
+    def _hashes(t):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - (NGRAM - 1)),
+            lambda i: F.pmod(
+                F.xxhash64(
+                    F.concat_ws(
+                        " ", *[F.element_at(t, i + j) for j in range(NGRAM)]
+                    )
+                ),
+                F.lit(1 << 31),
+            ),
+        )
+
+    toks = tokens_col(text_col)
+    return (
+        toks_df.filter(F.size(toks) >= NGRAM)
+        .select(
+            "doc_id",
+            F.get(F.transform(F.array(toks), _hashes), F.lit(0)).alias("xs"),
+        )
+    )
+
+
+def _mod_p(y):
+    """Vectorized ``y % MH_P`` for 0 <= y < 2^62 via Mersenne folding
+    (MH_P = 2^31 - 1): two shift-and-add folds then one conditional
+    subtract — ~3x cheaper than int64 ``%`` and bit-identical to it
+    (tests/test_pipeline_opt.py proves equality over the full input
+    range). The signature kernel is a (n_hashes x n_shingles) matrix of
+    exactly this op, so it is the kernel's dominant cost."""
+    import numpy as np
+
+    y = (y & MH_P) + (y >> 31)
+    y = (y & MH_P) + (y >> 31)
+    return np.where(y >= MH_P, y - MH_P, y)
+
+
+def _band_keys_from_xs(xs_df: DataFrame, n_bands: int) -> DataFrame:
+    """(doc_id, band_id, h0, h1) — the banded LSH join keys as TWO long
+    columns, computed in ONE fused Arrow kernel (signature + banding).
+
+    This is the one-shot pair finder's kernel (minhash_lsh_pairs). The
+    persisted-artifact path keeps minhash_bands_from_xs' binary ``key``
+    layout; here the two raw minhashes ARE the key ((h0, h1) equality is
+    exactly byte-key equality), which skips the per-row ``tobytes``
+    loop, the second Arrow crossing of the 2x-band-count signature
+    arrays, and the JVM round trip between the two kernels that the
+    chained signature->banding shape paid."""
+    import numpy as np
+    import pandas as pd
+
+    assert MH_ROWS == 2, "band key columns are specialized to r=2"
+    n_hashes = n_bands * MH_ROWS
+    A = np.array([a for a, _ in _mh_params(n_hashes)], dtype=np.int64)[:, None]
+    Bp = np.array([b for _, b in _mh_params(n_hashes)], dtype=np.int64)[:, None]
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            lens = pdf["xs"].str.len().to_numpy(dtype=np.int64)
+            xs = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in pdf["xs"]]
+            )
+            hv = _mod_p(A * xs[None, :] + Bp)  # (n_hashes, total_shingles)
+            starts = np.r_[0, np.cumsum(lens)[:-1]]
+            sig = np.minimum.reduceat(hv, starts, axis=1)  # (n_hashes, n)
+            # rows 2i / 2i+1 are band i's two minhashes; emit doc-major
+            h0 = sig[0::2, :].T.ravel()
+            h1 = sig[1::2, :].T.ravel()
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_bands),
+                    "band_id": np.tile(np.arange(n_bands, dtype=np.int32), n),
+                    "h0": h0,
+                    "h1": h1,
+                }
+            )
+
+    return xs_df.mapInPandas(
+        gen, schema="doc_id long, band_id int, h0 long, h1 long"
+    )
 
 
 def minhash_signature_from_xs(
@@ -319,7 +446,7 @@ def minhash_signature_from_xs(
             xs = np.concatenate(
                 [np.asarray(x, dtype=np.int64) for x in pdf["xs"]]
             )
-            hv = (A * xs[None, :] + Bp) % MH_P  # (n_hashes, total_shingles)
+            hv = _mod_p(A * xs[None, :] + Bp)  # (n_hashes, total_shingles)
             starts = np.r_[0, np.cumsum(lens)[:-1]]
             sig = np.minimum.reduceat(hv, starts, axis=1)  # (n_hashes, n_docs)
             yield pd.DataFrame(
@@ -448,24 +575,39 @@ def minhash_lsh_pairs(
             f"min_band_collisions={min_band_collisions} can never be met "
             f"with n_bands={n_bands}"
         )
-    bands = minhash_bands(df, text_col, n_bands)
+    # ONE pass end to end: fused signature+banding kernel -> ONE shuffle
+    # on the band key (groupBy) -> in-bucket pair enumeration in Catalyst.
+    # This replaces the former self-join shape, which shuffled the band
+    # frame twice AND needed an eager localCheckpoint so the join's two
+    # inputs would not recompute the signature kernel twice (measured at
+    # 50k docs: the checkpoint materialization alone re-paid the whole
+    # signature cost). Buckets are collected per (band_id, h0, h1); a doc
+    # appears once per band, so each unordered pair is enumerated at most
+    # once per band — identical candidate multiset to the self-join.
+    bands = _band_keys_from_xs(_ngram_hashes(df, text_col), n_bands)
+    buckets = bands.groupBy("band_id", "h0", "h1").agg(
+        F.collect_list("doc_id").alias("ds")
+    )
+    buckets = buckets.filter(F.size("ds") >= 2)
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        wcnt = Window.partitionBy("band_id", "key")
-        bands = bands.withColumn("bucket_n", F.count("*").over(wcnt)).filter(
-            F.col("bucket_n") <= max_bucket
-        ).drop("bucket_n")
-    # materialize once so the self-join doesn't recompute signatures twice
-    bands = bands.localCheckpoint(eager=True)
-    a, b_ = bands.alias("a"), bands.alias("b")
-    raw_pairs = a.join(
-        b_,
-        (F.col("a.band_id") == F.col("b.band_id"))
-        & (F.col("a.key") == F.col("b.key"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    # all i<j position pairs of the bucket; least/greatest canonicalizes
+    # to doc_a < doc_b (collect_list order is nondeterministic)
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size("ds")),
+                    lambda y: F.struct(
+                        F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                    ),
+                ),
+            )
+        )
+    )
+    raw_pairs = buckets.select(pair_expr.alias("p")).select(
+        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
     )
     if min_band_collisions > 1:
         # a pair collides at most once per band (one row per (doc, band)),
@@ -489,7 +631,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh = (
-        df.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        _spread_small_input(
+            df.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+            .select("doc_id", text_col)
+        )
         .select("doc_id", shingles_col(text_col).alias("sh"))
     )
     verified = (
