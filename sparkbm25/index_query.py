@@ -31,6 +31,7 @@ kernels (numpy varbyte, batch-vectorized).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -1258,6 +1259,7 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
                    fieldw: tuple | None = None,
                    eff_avgdl: float | None = None,
                    after: dict[int, tuple[float, int]] | None = None,
+                   allow_local: bool = True,
                    ) -> DataFrame:
     """Assemble the direct route's plan: a tiny work-item DataFrame (one
     row per shard; LocalRelation -> parallelize, NO exchange) feeding the
@@ -1322,6 +1324,24 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"
         )
+    if allow_local and _local_serve_ok(ix, occ, terms):
+        # POINT-QUERY fast path (r07): for a few queries over a bounded
+        # posting volume, run the SAME per-shard kernel in the driver
+        # process — pyarrow block reads + numpy fold, zero Spark jobs.
+        # A single-query search through any distributed route pays a
+        # near-fixed ~0.6 s of task launch + Python-runner round trip
+        # (r06 floor analysis: a TRIVIAL 32-task mapInPandas + window
+        # costs 0.686 s on the bench host); the reference's query model
+        # is an in-process index probe (search_indices.py:30-39), and
+        # the vocabulary stats and shard file map are already
+        # driver-resident. Bit-exact: same kernel closure, and the
+        # global merge reimplements topk_window's exact total order
+        # (score DESC, doc_id ASC). Size-guarded: falls through to the
+        # distributed route when the query set or its posting volume
+        # exceeds the driver budget.
+        return _local_search(
+            spark, kernel, cols, terms, fm, tomb, k, ix,
+        )
     # local-list DataFrame: defaultParallelism contiguous slices. One-row-
     # per-task slicing was tried and REVERTED — parallelize()'s per-task
     # pickle round trip cost more than the wave-packing it saved (q100
@@ -1336,6 +1356,176 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
         schema="query_id int, doc_id long, score double",
     )
     return topk_window(tops, k)
+
+
+# driver-side serve limits for the point-query fast path: at most this
+# many queries, and at most this many postings across the fetched terms
+# (driver decode memory ~= 3 int64 arrays over the postings ~ 24 B each).
+# Env-tunable; 0 queries disables the path outright.
+LOCAL_SEARCH_MAX_QUERIES = int(
+    os.environ.get("SPARKBM25_LOCAL_SEARCH_MAX_QUERIES", "4")
+)
+LOCAL_SEARCH_MAX_POSTINGS = int(
+    os.environ.get("SPARKBM25_LOCAL_SEARCH_MAX_POSTINGS", "8000000")
+)
+LOCAL_SEARCH_FOOTER_WARM_MAX_FILES = int(
+    os.environ.get("SPARKBM25_LOCAL_FOOTER_WARM_MAX_FILES", "4096")
+)
+
+
+def _local_serve_ok(ix: Index, occ: dict, terms: list[str]) -> bool:
+    """True when the query set is small enough to serve in-process: few
+    queries AND a bounded total posting volume (df is driver-resident via
+    the term-stats cache, so this check launches no job)."""
+    if len(occ) == 0 or len(occ) > LOCAL_SEARCH_MAX_QUERIES:
+        return False
+    stats = ix.term_stats_lookup(terms)
+    total = sum(v[0] for v in stats.values())
+    return total <= LOCAL_SEARCH_MAX_POSTINGS
+
+
+def _read_blocks_meta_cached(entry: list, cols: list[str],
+                             terms: list[str], need_gseq: bool,
+                             meta_cache: dict) -> pd.DataFrame:
+    """Driver-side block read with per-path parquet FOOTER caching: the
+    footer parse dominated the per-file read cost on the point-query path
+    (~2-3 ms x ~100 files per call), and the artifact is immutable for a
+    handle's lifetime (same contract as Index._bucket_files /
+    _stats_cache; Index.refresh() clears this cache too). Row groups are
+    pre-selected with the cached term min/max stats, then rows filtered
+    to the exact term set — identical rows, in the same file order, as
+    the pads.dataset(filter=isin) read the executor kernels use."""
+    import bisect
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tset = sorted(terms)
+    term_arr = pa.array(tset)
+    parts = []
+    gseq_vals = []
+    for gseq, path in entry:
+        md = meta_cache.get(path)
+        if md is None:
+            md = meta_cache[path] = pq.read_metadata(path)
+        term_ix = md.schema.names.index("term")
+        rgs = []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(term_ix).statistics
+            if st is None or not st.has_min_max:
+                rgs.append(i)
+                continue
+            # any query term inside [min, max]?
+            j = bisect.bisect_left(tset, st.min)
+            if j < len(tset) and tset[j] <= st.max:
+                rgs.append(i)
+        if not rgs:
+            continue
+        with pq.ParquetFile(path, metadata=md) as pf:
+            tbl = pf.read_row_groups(rgs, columns=cols, use_threads=False)
+        mask = pc.is_in(tbl["term"], value_set=term_arr)
+        tbl = tbl.filter(mask)
+        if tbl.num_rows:
+            parts.append(tbl.to_pandas())
+            gseq_vals.append(int(gseq))
+    if not parts:
+        return pd.DataFrame(columns=cols + (["gseq"] if need_gseq else []))
+    if need_gseq:
+        for p, g in zip(parts, gseq_vals):
+            p["gseq"] = np.int64(g)
+    return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+
+
+def _local_search(spark, kernel, cols: list[str], terms: list[str],
+                  fm: dict, tomb: "tuple | None", k: int,
+                  ix: Index) -> DataFrame:
+    """Driver-side execution of the direct route: read each shard's block
+    files with pyarrow (threaded — the reads release the GIL) and run the
+    unchanged per-shard kernel, then merge with topk_window's exact
+    (score DESC, doc_id ASC) total order. Returns a local-relation
+    DataFrame; every call recomputes from the parquet artifact."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    need_gseq = tomb is not None and len(tomb[0]) > 0
+    meta_cache = getattr(ix, "_pq_meta", None)
+    if meta_cache is None:
+        meta_cache = ix._pq_meta = {}
+    if not meta_cache:
+        # first local call: warm the WHOLE artifact's parquet footers once
+        # (threaded; ~2 ms each). A point-query workload touches fresh
+        # buckets per query, so per-call caching alone leaves every call
+        # cold; one warm pass makes the whole 20-call p50 sweep read data
+        # pages only. Gated by file count so a huge index falls back to
+        # per-call parsing instead of an unbounded driver warm.
+        import pyarrow.parquet as pq
+
+        all_paths = [
+            p for lst in ix.shard_file_map().values() for _, p in lst
+        ]
+        if len(all_paths) <= LOCAL_SEARCH_FOOTER_WARM_MAX_FILES:
+            def _warm(p):
+                try:
+                    meta_cache[p] = pq.read_metadata(p)
+                except OSError:
+                    pass
+
+            with ThreadPoolExecutor(max_workers=16) as wpool:
+                list(wpool.map(_warm, all_paths))
+        else:
+            meta_cache["__no_warm__"] = None
+
+    shards = sorted(fm)
+
+    def read_shard(s):
+        return _read_blocks_meta_cached(
+            fm[s], cols, terms, need_gseq, meta_cache,
+        )
+
+    # reads threaded (pyarrow releases the GIL on data pages); kernels
+    # sequential — the numpy fold's short ufunc bursts thrash under a
+    # thread pool (measured: pooled read+kernel 0.50 s vs 0.28 s split)
+    if len(shards) > 1:
+        with ThreadPoolExecutor(max_workers=min(8, len(shards))) as pool:
+            pdfs = list(pool.map(read_shard, shards))
+    else:
+        pdfs = [read_shard(shards[0])]
+    parts = [
+        kernel((int(s),), pdf) for s, pdf in zip(shards, pdfs) if len(pdf)
+    ]
+    parts = [p for p in parts if p is not None and len(p)]
+    out_schema = "query_id int, rank int, doc_id long, score double"
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    allp = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    qids = allp["query_id"].to_numpy()
+    dids = allp["doc_id"].to_numpy(dtype=np.int64)
+    scs = allp["score"].to_numpy(dtype=np.float64)
+    rows = []
+    for qid in np.unique(qids):
+        m = qids == qid
+        d, s = dids[m], scs[m]
+        order = np.lexsort((d, -s))[:k]
+        rows.extend(
+            (int(qid), r + 1, int(d[i]), float(s[i]))
+            for r, i in enumerate(order)
+        )
+    # VALUES LocalRelation, not createDataFrame(rows): the latter builds a
+    # parallelize()-backed RDD whose every action is a real multi-task job
+    # (~0.35 s per count at local[32] — measured); a VALUES relation
+    # collapses to LocalTableScan, driver-only. repr(float) -> string ->
+    # CAST(DOUBLE) is an exact round trip (correctly-rounded parse of the
+    # shortest round-trip decimal), so scores keep their exact bits.
+    # Casts are per COLUMN, not per cell — analysis cost scales with the
+    # expression count (measured 0.15 s vs 0.12 s per action at 40 cells).
+    vals = ", ".join(
+        f"({q}, {r}, {d}, '{s!r}')" for q, r, d, s in rows
+    )
+    return spark.sql(
+        "SELECT CAST(c1 AS INT) query_id, CAST(c2 AS INT) rank, "
+        "CAST(c3 AS BIGINT) doc_id, CAST(c4 AS DOUBLE) score "
+        "FROM (VALUES {}) AS t(c1, c2, c3, c4)".format(vals)
+    )
 
 
 def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
@@ -2806,6 +2996,10 @@ def index_search(
                 strategy=strategy, derived=derived, and_need=and_need,
                 exclude=excl_map, fieldw=fw, eff_avgdl=eff_avgdl,
                 after=search_after,
+                # an EXPLICIT direct=True asks for the distributed
+                # no-exchange plan (plan-contract callers); only the
+                # auto route may serve driver-side
+                allow_local=direct is None,
             )
         if use_side_direct:
             terms = _fetch_terms(weights, excl_map)
