@@ -157,10 +157,15 @@ def q_bm25_page2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     page1: dict[int, list] = {}
     for r in index_search(ix, DOC_QUERIES, k=K).collect():
         page1.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    # sort by rank before taking the cursor: collect() row order is not a
+    # contract (ADVICE r06) — the cursor must be the rank-K hit, not
+    # whichever row happened to arrive last
+    for rows in page1.values():
+        rows.sort()
     cursors = {
         qid: (rows[-1][2], rows[-1][1])
         for qid, rows in page1.items()
-        if len(rows) == K and max(r for r, _d, _s in rows) == K
+        if len(rows) == K and rows[-1][0] == K
     }
     qs2 = [(qid, txt) for qid, txt in DOC_QUERIES if qid in cursors]
     out = index_search(ix, qs2, k=K, search_after=cursors)

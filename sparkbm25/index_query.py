@@ -264,6 +264,8 @@ _PRUNE_EPS = 1e-9
 def _decode_tfn(pdf: pd.DataFrame, k1: float, b: float, avgdl: float,
                 tomb: "tuple | None" = None,
                 qual: "np.ndarray | None" = None,
+                sub_shift: "int | None" = None,
+                vs: int = 0,
                 ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Decode a (sub)frame of posting blocks into {term: (doc_ids,
     tf_norm)} — the prune-refinement SEED decode. Same vbyte/delta
@@ -274,7 +276,16 @@ def _decode_tfn(pdf: pd.DataFrame, k1: float, b: float, avgdl: float,
     every surviving seed doc is a REAL eligible candidate — required
     for the theta bound to stay sound under deletes / filtered search
     (an unmasked seed could certify theta from a dead or non-qualifying
-    doc's score, overstating the kth eligible score)."""
+    doc's score, overstating the kth eligible score).
+
+    ``sub_shift``/``vs`` restrict seed postings to THIS subgroup's
+    doc-id range (mirroring the main kernel's range mask). Required for
+    soundness whenever the masks above are GROUP-SCOPED: with explicit
+    subsplit, replicated straddling blocks carry postings from
+    neighboring subgroups whose tombstone/qualifying rows live in OTHER
+    groups' cogrouped sides — an unmaskable foreign doc could otherwise
+    certify theta (ADVICE r06 high). Always applied under sub_shift:
+    shrinking the seed set only weakens theta, never unsounds it."""
     pdf = pdf.sort_values("term", kind="stable", ignore_index=True)
     terms_arr = pdf["term"].to_numpy()
     n_arr = pdf["n_docs"].to_numpy().astype(np.int64)
@@ -289,11 +300,14 @@ def _decode_tfn(pdf: pd.DataFrame, k1: float, b: float, avgdl: float,
     dls = vbyte_decode(b"".join(pdf["dls_vbyte"]), total).astype(np.float64)
     tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
     m = None
+    if sub_shift is not None:
+        m = (all_ids >> np.int64(sub_shift)) == vs
     if tomb is not None and len(tomb[0]):
         from .codecs import dead_mask as _dead_mask
 
         gseqs = np.repeat(pdf["gseq"].to_numpy(np.int64), n_arr)
-        m = ~_dead_mask(all_ids, gseqs, tomb[0], tomb[1])
+        mt = ~_dead_mask(all_ids, gseqs, tomb[0], tomb[1])
+        m = mt if m is None else (m & mt)
     if qual is not None:
         mq = _in_sorted(all_ids, qual)
         m = mq if m is None else (m & mq)
@@ -476,8 +490,10 @@ def _interval_prune(pdf: pd.DataFrame,
     # accumulated score omits at most some of its own contributions
     # (an UNDERestimate), and a subset's kth order statistic never
     # exceeds the full set's — so theta' <= the true kth score. (Under
-    # sub_shift a seed doc may belong to a neighboring group; it is
-    # still a real doc of the full candidate set, so the bound holds.)
+    # sub_shift the seed decode masks to THIS subgroup's id range:
+    # replicated straddling blocks carry neighboring subgroups' docs
+    # whose tombstone/qualifying rows live in other groups' cogrouped
+    # sides, so a foreign doc would be unmaskable here — ADVICE r06.)
     # Accumulation order may differ from the final fold by ~ulp; the
     # relative _PRUNE_EPS margin on the live test absorbs that.
     # seed-worthiness gate (pure COST heuristic — skipping a seed only
@@ -509,7 +525,8 @@ def _interval_prune(pdf: pd.DataFrame,
         n_seed = int(n_arr[seed_rows].sum())
         if 0 < n_seed <= max(0.25 * float(n_arr.sum()), 64.0 * k):
             raw = _decode_tfn(pdf[seed_rows], k1, b, avgdl,
-                              tomb=tomb, qual=qual)
+                              tomb=tomb, qual=qual,
+                              sub_shift=sub_shift, vs=vs)
             if raw:
                 for qid in seed_qids:
                     present = present_of[qid]

@@ -78,6 +78,17 @@ def index_significant_terms(
             "the stored foreground text — rebuild with "
             "BuildParams(store_text=True)"
         )
+    if ix.n_deleted():
+        # background df/n come from the BUILD-time term_stats artifact,
+        # which still counts tombstoned docs, while the foreground top-k
+        # is live-masked — the JLH rates would silently diverge from the
+        # live-corpus oracle (ADVICE r06). Refuse instead of drifting;
+        # compaction rebuilds term_stats over the live corpus.
+        raise ValueError(
+            "significant terms assume a delete-free index (background "
+            "df comes from build-time term_stats); run compact_index "
+            "first to fold tombstones into the stats"
+        )
     hits = index_search(ix, queries, k=k_hits, strategy=strategy,
                         direct=direct).select("query_id", "doc_id")
     texts = ix.fetch_text(hits).select("query_id", "doc_id", "text")

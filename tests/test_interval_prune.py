@@ -325,3 +325,61 @@ def test_prune_fires_on_real_blocks(skewed, spark):
     keep_rows, _bounds, live_of = out
     assert (~keep_rows).sum() > 0, "skew should exclude some blocks"
     assert 1 in live_of
+
+
+def test_blockmax_subsplit_cotomb_bit_exact(skewed, spark, monkeypatch):
+    """ADVICE r06 (high): with explicit subsplit, replicated straddling
+    blocks carry postings of NEIGHBORING subgroups whose tombstones live
+    in other groups' cogrouped sides. The seed decode must mask to the
+    subgroup's id range, or a deleted hot doc can certify theta and
+    silently prune live docs. Forced here: distributed tombstones
+    (TOMBSTONE_BROADCAST_MAX=1) + subsplit + blockmax, deleting exactly
+    the hot docs the seed would otherwise score."""
+    import shutil
+
+    import sparkbm25.jobs as J
+    from sparkbm25.jobs import delete_docs
+
+    d2 = skewed.index_dir + "_subtomb"
+    shutil.rmtree(d2, ignore_errors=True)
+    shutil.copytree(skewed.index_dir, d2)
+    # delete the hot tail (the theta-certifying docs)
+    victims = [i << 20 for i in range(1500, 1600)]
+    delete_docs(spark, d2, victims)
+    monkeypatch.setattr(J, "TOMBSTONE_BROADCAST_MAX", 1)
+    ix = Index(spark, d2)
+    for sub in (2, 4):
+        sh = _rows(index_search(ix, QS, k=10, strategy="sharded",
+                                subsplit=sub))
+        bm = _rows(index_search(ix, QS, k=10, strategy="blockmax",
+                                subsplit=sub))
+        assert bm == sh and len(sh) > 0
+        assert not ({r[2] for r in bm} & set(victims))
+    shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_decode_tfn_masks_subgroup_range():
+    """Mechanism pin for the ADVICE r06 fix: the seed decode must drop
+    postings outside THIS subgroup's id range (docs replicated in via
+    straddling blocks), because their tombstone/qualifying rows live in
+    other groups' cogrouped sides and are unmaskable here."""
+    from sparkbm25.codecs import delta_encode, vbyte_encode
+    from sparkbm25.index_query import _decode_tfn
+
+    docs = np.array([10, 20, 5000, 6000], dtype=np.int64)
+    pdf = pd.DataFrame([
+        {
+            "term": "t", "n_docs": 4,
+            "docs_vbyte": vbyte_encode(delta_encode(docs)),
+            "tfs_vbyte": vbyte_encode(np.array([1, 2, 40, 40], dtype=np.uint64)),
+            "dls_vbyte": vbyte_encode(np.array([5, 5, 5, 5], dtype=np.uint64)),
+        }
+    ])
+    raw_all = _decode_tfn(pdf, 1.2, 0.75, 5.0)
+    assert raw_all["t"][0].tolist() == [10, 20, 5000, 6000]
+    # subgroup 0 under sub_shift=10 holds ids < 1024 only
+    raw_sub = _decode_tfn(pdf, 1.2, 0.75, 5.0, sub_shift=10, vs=0)
+    assert raw_sub["t"][0].tolist() == [10, 20]
+    # neighboring subgroup sees only its own ids
+    raw_sub4 = _decode_tfn(pdf, 1.2, 0.75, 5.0, sub_shift=10, vs=4)
+    assert raw_sub4["t"][0].tolist() == [5000]
