@@ -274,30 +274,66 @@ def _make_runs_gen(shard_shift: int, store_positions: bool = False):
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .analysis import tokenize_series
+
         for pdf in batches:
-            tf = _tf_batch(pdf)
-            if tf.empty:
+            # Vectorized inversion WITHOUT the pandas string groupby + a
+            # second string sort (those two owned most of the stage's 161
+            # core-s at sf0.1 — measured r07): factorize terms once
+            # (hash-based, no sort), rank the small vocabulary
+            # lexicographically, then ONE int lexsort of (term_rank, doc)
+            # gives postings grouped by term in the same lexicographic
+            # order the groupby+sort produced; tf = run length per
+            # (term, doc) pair.
+            tok_lists = tokenize_series(pdf["text"])
+            lens_d = tok_lists.str.len().to_numpy(dtype=np.int64)
+            total = int(lens_d.sum())
+            if len(pdf) == 0 or total == 0:
                 continue
-            shard = tf["doc_id"].to_numpy(dtype=np.int64) >> shard_shift
-            tf = tf.assign(shard_id=shard)
-            tf = tf.sort_values(["term", "shard_id", "doc_id"], kind="stable")
-            terms = tf["term"].to_numpy()
-            shards = tf["shard_id"].to_numpy()
-            docs = tf["doc_id"].to_numpy(dtype=np.int64)
-            tfs = tf["tf"].to_numpy(dtype=np.uint64)
-            dls = tf["doc_len"].to_numpy(dtype=np.uint64)
-            # run boundaries where (term, shard) changes
-            change = np.ones(len(tf), dtype=bool)
-            change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            flat_terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists]
+            )
+            flat_doc = np.repeat(doc_ids, lens_d)
+            flat_dl = np.repeat(lens_d, lens_d)
+            codes, uniq = pd.factorize(flat_terms, sort=False)
+            uniq = np.asarray(uniq, dtype=object)
+            order_u = np.argsort(uniq)
+            rank = np.empty(len(uniq), dtype=np.int64)
+            rank[order_u] = np.arange(len(uniq), dtype=np.int64)
+            tcode = rank[codes]
+            uniq_sorted = uniq[order_u]
+            order = np.lexsort((flat_doc, tcode))
+            tcode_s = tcode[order]
+            doc_s = flat_doc[order]
+            dl_s = flat_dl[order]
+            # posting boundaries: (term, doc) change; tf = occurrences
+            pchange = np.ones(total, dtype=bool)
+            pchange[1:] = (tcode_s[1:] != tcode_s[:-1]) | (
+                doc_s[1:] != doc_s[:-1]
+            )
+            p_starts = np.flatnonzero(pchange)
+            tfs = (np.r_[p_starts[1:], total] - p_starts).astype(np.uint64)
+            docs = doc_s[p_starts]
+            dls = dl_s[p_starts].astype(np.uint64)
+            post_tcode = tcode_s[p_starts]
+            shards = docs >> shard_shift
+            n_post = len(p_starts)
+            # run boundaries where (term, shard) changes — shard is
+            # monotone in doc within a term, so runs are contiguous
+            change = np.ones(n_post, dtype=bool)
+            change[1:] = (post_tcode[1:] != post_tcode[:-1]) | (
+                shards[1:] != shards[:-1]
+            )
             starts = np.flatnonzero(change)
-            lens = np.r_[starts[1:], len(tf)] - starts
+            lens = np.r_[starts[1:], n_post] - starts
             gaps = segment_delta_gaps(docs, starts)
             docs_buf, docs_sz = vbyte_encode_with_sizes(gaps)
             tfs_buf, tfs_sz = vbyte_encode_with_sizes(tfs)
             dls_buf, dls_sz = vbyte_encode_with_sizes(dls)
             yield pd.DataFrame(
                 {
-                    "term": terms[starts],
+                    "term": uniq_sorted[post_tcode[starts]],
                     "shard_id": shards[starts],
                     "n_docs": lens.astype(np.int32),
                     "docs_vb": slice_bytes(docs_buf, docs_sz, lens),
@@ -470,6 +506,90 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
 
     k1, b, bs = params.k1, params.b, params.block_size
 
+    def _flush_vectorized(pdf: pd.DataFrame, terms, shards, lens,
+                          docs_all, tfs_all, dls_all,
+                          g_row_starts, g_row_ends, alive) -> pd.DataFrame:
+        """Non-positional merge, vectorized ACROSS groups: one global
+        (group, doc) lexsort replaces the per-(term, shard) argsort loop,
+        block aggregates come from reduceat at block starts, and every
+        vbyte stream is encoded in ONE call then byte-sliced per block
+        (the stage-1 pattern) instead of 3-4 encode calls per block.
+        Byte-identical output to the per-group path: segment_delta_gaps
+        at block starts == per-block delta_encode, and slice boundaries
+        land on the same per-value byte counts. (The per-group loop cost
+        ~190 core-s of the sf0.1 build's 440 at 160k groups — measured
+        r07; this path cuts the merge stage's Python-loop share.)"""
+        from .codecs import (
+            segment_delta_gaps,
+            slice_bytes,
+            vbyte_encode_with_sizes,
+        )
+
+        n_groups = len(g_row_starts)
+        g_of_row = np.zeros(len(pdf), dtype=np.int64)
+        g_of_row[g_row_starts] = 1
+        g_of_row = np.cumsum(g_of_row) - 1
+        pg = np.repeat(g_of_row, lens)
+        if alive is not None:
+            docs_all, tfs_all, dls_all, pg = (
+                docs_all[alive], tfs_all[alive], dls_all[alive], pg[alive]
+            )
+        if not len(docs_all):
+            return pd.DataFrame(columns=_BLOCK_COLS)
+        order = np.lexsort((docs_all, pg))
+        d = docs_all[order]
+        t_ = tfs_all[order]
+        l_ = dls_all[order]
+        pg_s = pg[order]
+        same_g = pg_s[1:] == pg_s[:-1]
+        bad = same_g & (np.diff(d) <= 0)
+        if bad.any():
+            g_bad = int(pg_s[int(np.flatnonzero(bad)[0])])
+            term_bad = terms[g_row_starts[g_bad]]
+            raise ValueError(
+                f"duplicate doc_id in postings of term={term_bad!r}"
+            )
+        tfn = (
+            t_.astype(np.float64)
+            * (k1 + 1.0)
+            / (t_ + k1 * (1.0 - b + b * l_.astype(np.float64) / avgdl))
+        )
+        n = len(d)
+        g_start_idx = np.flatnonzero(np.r_[True, ~same_g])
+        g_counts = np.diff(np.r_[g_start_idx, n])
+        pos_in_g = np.arange(n, dtype=np.int64) - np.repeat(
+            g_start_idx, g_counts
+        )
+        b_starts = np.flatnonzero(pos_in_g % bs == 0)
+        b_lens = np.diff(np.r_[b_starts, n])
+        b_ends = b_starts + b_lens
+        bg = pg_s[b_starts]
+        first_rows = g_row_starts[bg]
+        gaps_b = segment_delta_gaps(d, b_starts)
+        docs_buf, docs_sz = vbyte_encode_with_sizes(gaps_b)
+        tfs_buf, tfs_sz = vbyte_encode_with_sizes(t_.astype(np.uint64))
+        dls_buf, dls_sz = vbyte_encode_with_sizes(l_.astype(np.uint64))
+        out = pd.DataFrame({
+            "term": terms[first_rows],
+            "shard_id": shards[first_rows].astype(np.int64),
+            "block_id": (pos_in_g[b_starts] // bs).astype(np.int64),
+            "n_docs": b_lens.astype(np.int64),
+            "first_doc": d[b_starts],
+            "last_doc": d[b_ends - 1],
+            "max_tf_norm": np.maximum.reduceat(tfn, b_starts),
+            "min_tf_norm": np.minimum.reduceat(tfn, b_starts),
+            "sum_tf": np.add.reduceat(t_, b_starts),
+            "max_tf": np.maximum.reduceat(t_, b_starts),
+            "min_tf": np.minimum.reduceat(t_, b_starts),
+            "min_dl": np.minimum.reduceat(l_, b_starts),
+            "max_dl": np.maximum.reduceat(l_, b_starts),
+            "docs_vbyte": slice_bytes(docs_buf, docs_sz, b_lens),
+            "tfs_vbyte": slice_bytes(tfs_buf, tfs_sz, b_lens),
+            "dls_vbyte": slice_bytes(dls_buf, dls_sz, b_lens),
+            "pos_vbyte": np.full(len(b_starts), None, dtype=object),
+        })
+        return out[_BLOCK_COLS]
+
     def flush(pdf: pd.DataFrame) -> pd.DataFrame:
         rows: list[tuple] = []
         terms = pdf["term"].to_numpy()
@@ -505,6 +625,11 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
                 pdf["gseq"].to_numpy(dtype=np.int64), lens
             )
             alive = ~dead_mask(docs_all, gseqs, tombstones[0], tombstones[1])
+        if not params.store_positions:
+            return _flush_vectorized(
+                pdf, terms, shards, lens, docs_all, tfs_all, dls_all,
+                g_row_starts, g_row_ends, alive,
+            )
         for rs, re_ in zip(g_row_starts, g_row_ends):
             lo = run_starts[rs]
             hi = post_ends[re_ - 1]

@@ -25,6 +25,8 @@ verified exactly (false positives filtered).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -192,6 +194,44 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold}
 """
 
 
+# driver-side connected-components gate: edge lists at or below this size
+# fold locally (numpy pointer-jumping union-find) instead of paying one
+# Spark join+shuffle round per propagation step — ~0.3 s per ROUND of pure
+# job overhead at tiny edge counts (measured r07: 9 s of rounds for a
+# 4.8k-edge graph). The distributed loop remains the at-scale path.
+CC_LOCAL_MAX_EDGES = int(
+    os.environ.get("SPARKBM25_CC_LOCAL_MAX_EDGES", "2000000")
+)
+
+
+def _cc_local(edges_pdf, spark) -> DataFrame:
+    """Union-find via vectorized min-label pointer jumping over a
+    driver-resident symmetric edge list: labels converge to each
+    component's min doc_id — the same fixpoint (hence bit-identical
+    rows) as the distributed propagation."""
+    import numpy as np
+
+    u = edges_pdf["u"].to_numpy(dtype=np.int64)
+    v = edges_pdf["v"].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = label.copy()
+        # neighbor-min gather + pointer jumping (label of label)
+        np.minimum.at(label, ui, prev[vi])
+        label = np.minimum(label, label[label])
+        if np.array_equal(label, prev):
+            break
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"doc_id": nodes, "cluster_id": nodes[label]}
+    )
+    return spark.createDataFrame(out, schema="doc_id long, cluster_id long")
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Undirected connected components over an edge list (doc_a, doc_b) →
     (doc_id, cluster_id = min doc_id in the component) — turns near-dup
@@ -214,6 +254,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+    n_edges = edges.count()  # metadata-cheap on the checkpointed frame
+    if n_edges <= CC_LOCAL_MAX_EDGES:
+        return _cc_local(edges.toPandas(), pairs.sparkSession)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     labels = labels.localCheckpoint(eager=True)
     sig = labels.agg(
