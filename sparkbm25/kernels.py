@@ -42,15 +42,28 @@ def _tf_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
     flat_doc = np.repeat(doc_ids, lens)
     flat_dl = np.repeat(lens, lens)
-    out = (
-        pd.DataFrame({"doc_id": flat_doc, "doc_len": flat_dl, "term": flat_terms})
-        .groupby(["doc_id", "doc_len", "term"], sort=False, as_index=False)
-        .size()
-        .rename(columns={"size": "tf"})
+    # factorize + int lexsort instead of a string groupby: the pandas
+    # object-key groupby hashed every token string per row and owned most
+    # of the kernel's task time (r07 profile); run-length counting over
+    # (term_code, doc)-sorted rows produces the same (doc, term, tf)
+    # multiset (row order differs — every consumer aggregates)
+    codes, uniq = pd.factorize(flat_terms, sort=False)
+    order = np.lexsort((flat_doc, codes))
+    c_s = codes[order]
+    d_s = flat_doc[order]
+    total = len(c_s)
+    change = np.ones(total, dtype=bool)
+    change[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+    starts = np.flatnonzero(change)
+    tf = (np.r_[starts[1:], total] - starts).astype(np.int32)
+    return pd.DataFrame(
+        {
+            "doc_id": d_s[starts],
+            "doc_len": flat_dl[order][starts].astype(np.int32),
+            "term": np.asarray(uniq, dtype=object)[c_s[starts]],
+            "tf": tf,
+        }
     )
-    out["doc_len"] = out["doc_len"].astype(np.int32)
-    out["tf"] = out["tf"].astype(np.int32)
-    return out[["doc_id", "doc_len", "term", "tf"]]
 
 
 def doc_term_freqs_gen(

@@ -161,28 +161,28 @@ def score_all(
         return contrib.groupBy("query_id", "doc_id").agg(
             canonical_score_sum().alias("score")
         )
-    matched.cache()
-    try:
-        # bounded collect: one row per distinct query term (same class of
-        # bounded driver state as the query vectors themselves)
-        df_rows = matched.groupBy("term").agg(F.count("*").alias("df")).collect()
-        idf_df = spark.createDataFrame(
-            [(r.term, idf_py(r.df, n_docs)) for r in df_rows],
-            "term string, idf double",
-        )
-        contrib = (
-            matched.join(F.broadcast(idf_df), "term")
-            .join(F.broadcast(qocc), "term")
-            .withColumn("contrib", F.col("idf") * tf_norm_col(avgdl))
-        )
-        scored = contrib.groupBy("query_id", "doc_id").agg(
-            canonical_score_sum().alias("score")
-        )
-        # materialize while `matched` is still cached
-        scored = scored.localCheckpoint(eager=True)
-    finally:
-        matched.unpersist()
-    return scored
+    # ONE materialization (eager localCheckpoint) serves both consumers —
+    # the df-count collect and the scoring join. The previous
+    # cache + collect + checkpoint-scored + unpersist sequence ran ~3 extra
+    # jobs whose fixed overhead dominated this query at 50k docs (r07
+    # profile: the pieces cost 1.5 s, the composition 3.7 s); the scored
+    # tail is now lazy, so the caller's single action executes it once.
+    matched = matched.localCheckpoint(eager=True)
+    # bounded collect: one row per distinct query term (same class of
+    # bounded driver state as the query vectors themselves)
+    df_rows = matched.groupBy("term").agg(F.count("*").alias("df")).collect()
+    idf_df = spark.createDataFrame(
+        [(r.term, idf_py(r.df, n_docs)) for r in df_rows],
+        "term string, idf double",
+    )
+    contrib = (
+        matched.join(F.broadcast(idf_df), "term")
+        .join(F.broadcast(qocc), "term")
+        .withColumn("contrib", F.col("idf") * tf_norm_col(avgdl))
+    )
+    return contrib.groupBy("query_id", "doc_id").agg(
+        canonical_score_sum().alias("score")
+    )
 
 
 def score_all_topk(
@@ -225,43 +225,41 @@ def explain_scores(
     matched = doc_term_freqs(corpus).join(
         F.broadcast(distinct_terms), "term"
     )
-    matched.cache()
-    try:
-        df_rows = (
-            matched.groupBy("term").agg(F.count("*").alias("df")).collect()
+    # same one-materialization shape as score_all (r07): the checkpoint
+    # serves the df collect, the ranking pass and the breakdown join; the
+    # output stays lazy for the caller's single action
+    matched = matched.localCheckpoint(eager=True)
+    df_rows = (
+        matched.groupBy("term").agg(F.count("*").alias("df")).collect()
+    )
+    idf_df = spark.createDataFrame(
+        [(r.term, int(r.df), idf_py(r.df, n_docs)) for r in df_rows],
+        "term string, df long, idf double",
+    )
+    occ_contrib = (
+        matched.join(F.broadcast(idf_df.select("term", "idf")), "term")
+        .join(F.broadcast(qocc), "term")
+        .withColumn("contrib", F.col("idf") * tf_norm_col(avgdl))
+    )
+    scored = occ_contrib.groupBy("query_id", "doc_id").agg(
+        canonical_score_sum().alias("score")
+    )
+    top = topk_window(scored, k).select("query_id", "rank", "doc_id")
+    tfn = tf_norm_col(avgdl)
+    return (
+        matched.join(F.broadcast(idf_df), "term")
+        .join(F.broadcast(qt), "term")
+        .join(F.broadcast(top), ["query_id", "doc_id"])
+        .select(
+            "query_id", "rank", "doc_id", "term",
+            "qtf",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_len").cast("long").alias("doc_len"),
+            "df",
+            F.round("idf", 6).alias("idf"),
+            F.round(tfn, 6).alias("tf_norm"),
+            F.round(
+                F.col("qtf").cast("double") * F.col("idf") * tfn, 6
+            ).alias("contrib"),
         )
-        idf_df = spark.createDataFrame(
-            [(r.term, int(r.df), idf_py(r.df, n_docs)) for r in df_rows],
-            "term string, df long, idf double",
-        )
-        occ_contrib = (
-            matched.join(F.broadcast(idf_df.select("term", "idf")), "term")
-            .join(F.broadcast(qocc), "term")
-            .withColumn("contrib", F.col("idf") * tf_norm_col(avgdl))
-        )
-        scored = occ_contrib.groupBy("query_id", "doc_id").agg(
-            canonical_score_sum().alias("score")
-        )
-        top = topk_window(scored, k).select("query_id", "rank", "doc_id")
-        tfn = tf_norm_col(avgdl)
-        rows = (
-            matched.join(F.broadcast(idf_df), "term")
-            .join(F.broadcast(qt), "term")
-            .join(F.broadcast(top), ["query_id", "doc_id"])
-            .select(
-                "query_id", "rank", "doc_id", "term",
-                "qtf",
-                F.col("tf").cast("long").alias("tf"),
-                F.col("doc_len").cast("long").alias("doc_len"),
-                "df",
-                F.round("idf", 6).alias("idf"),
-                F.round(tfn, 6).alias("tf_norm"),
-                F.round(
-                    F.col("qtf").cast("double") * F.col("idf") * tfn, 6
-                ).alias("contrib"),
-            )
-        )
-        rows = rows.localCheckpoint(eager=True)
-    finally:
-        matched.unpersist()
-    return rows
+    )
