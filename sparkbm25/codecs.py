@@ -135,7 +135,14 @@ def vbyte_encode(values: np.ndarray) -> bytes:
 
 
 def vbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
-    """Decode varbyte bytes back to a uint64 array."""
+    """Decode varbyte bytes back to a uint64 array.
+
+    Per-byte-position gather loop (<= 10 iterations, one vectorized
+    gather+or+shift each) rather than a scatter-add over every byte:
+    ufunc.at is unbuffered and ~10x slower than the equivalent gathers,
+    and most streams here are 1-2 bytes/value, so the loop runs 1-2
+    rounds over progressively tiny masks (r07: decode showed up in every
+    query kernel and the merge stage)."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
@@ -143,16 +150,20 @@ def vbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     n_vals = int(is_end.sum())
     if count is not None and count != n_vals:
         raise ValueError(f"varbyte stream has {n_vals} values, expected {count}")
-    val_idx = np.zeros(b.size, dtype=np.int64)
-    val_idx[1:] = np.cumsum(is_end[:-1])
+    if n_vals == b.size:  # every value single-byte: the dominant layout
+        return b.astype(np.uint64)
     end_pos = np.flatnonzero(is_end)
     starts = np.empty(n_vals, dtype=np.int64)
     starts[0] = 0
     starts[1:] = end_pos[:-1] + 1
-    pos = np.arange(b.size, dtype=np.int64) - starts[val_idx]
-    vals = np.zeros(n_vals, dtype=np.uint64)
-    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
-    np.add.at(vals, val_idx, contrib)
+    nbytes = end_pos - starts + 1
+    vals = (b[starts] & np.uint8(0x7F)).astype(np.uint64)
+    max_b = int(nbytes.max())
+    for p in range(1, max_b):
+        m = nbytes > p
+        vals[m] |= (b[starts[m] + p] & np.uint8(0x7F)).astype(
+            np.uint64
+        ) << np.uint64(7 * p)
     return vals
 
 

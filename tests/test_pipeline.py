@@ -805,15 +805,23 @@ def test_star_cc_random_graphs(spark, seed):
     assert got == want
 
 
-def test_star_cc_long_chain_beats_label_prop(spark):
-    """A 100-link chain (diameter 100): min-label propagation at its
-    default guard RAISES (would need ~100 rounds), the star algorithm
-    converges well inside its log-bounded default — the documented
-    extreme-scale contrast, now executable."""
+def test_star_cc_long_chain_beats_label_prop(spark, monkeypatch):
+    """A 100-link chain (diameter 100): DISTRIBUTED min-label propagation
+    at its default guard RAISES (would need ~100 rounds; the r07
+    driver-side fast path is disabled here to pin the distributed
+    contract — a small chain normally folds locally and converges), the
+    star algorithm converges well inside its log-bounded default — the
+    documented extreme-scale contrast, now executable."""
     n = 101
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
+    # r07 fast path solves any <=2M-edge graph driver-side regardless of
+    # diameter — assert that first, then pin the distributed contrast
+    got_local = {(r.doc_id, r.cluster_id)
+                 for r in D.connected_components(chain).collect()}
+    assert got_local == {(i, 0) for i in range(n)}
+    monkeypatch.setattr(D, "CC_LOCAL_MAX_EDGES", -1)
     with pytest.raises(ValueError, match="did not converge"):
         D.connected_components(chain, max_iter=10)
     got = {(r.doc_id, r.cluster_id)
