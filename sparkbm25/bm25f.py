@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .localrel import local_df
 from .analysis import DUCKDB_TOKENS, tokens_col
 from .bm25 import B, K1
 from .bm25 import idf as idf_py
@@ -107,8 +108,8 @@ def bm25f_score_topk(
     wtf = wtf.cache()
     try:
         df_rows = wtf.groupBy("term").agg(F.count("*").alias("df")).collect()
-        idf_df = spark.createDataFrame(
-            [(r.term, idf_py(r.df, n_docs)) for r in df_rows],
+        idf_df = local_df(
+            spark, [(r.term, idf_py(r.df, n_docs)) for r in df_rows],
             "term string, idf double",
         )
         tfw = F.col("tfw")

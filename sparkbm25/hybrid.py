@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import sqlgen
+from .localrel import local_df
 from .pipeline import similarity
 from .query import score_all_topk
 
@@ -105,8 +106,8 @@ def rrf_fuse(
 def _probe_map_df(
     spark: SparkSession, queries: list[tuple[int, str, int]]
 ) -> DataFrame:
-    return spark.createDataFrame(
-        [(qid, int(pid)) for qid, _t, pid in queries],
+    return local_df(
+        spark, [(qid, int(pid)) for qid, _t, pid in queries],
         "query_id int, query_vec_id long",
     )
 

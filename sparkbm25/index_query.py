@@ -48,6 +48,7 @@ from .codecs import (
     vbyte_decode,
 )
 from .jobs import Index
+from .localrel import local_df
 from .query import canonical_score_sum, topk_window
 
 DECODE_SCHEMA = (
@@ -121,8 +122,8 @@ def _matched_blocks(
     from .xxhash64 import spark_pmod_bucket
 
     buckets = sorted({spark_pmod_bucket(t, ix.num_term_buckets) for t in terms})
-    w_df = spark.createDataFrame(
-        weights,
+    w_df = local_df(
+        spark, weights,
         "query_id int, term string, w double, ub_term double, rest double, "
         "qpos int",
     )
@@ -1137,7 +1138,8 @@ def _parse_side(side_pdf: pd.DataFrame, has_qual: bool,
 
 
 def _direct_topk_gen(kernel, cols: list[str], terms: list[str],
-                     tombstones: "tuple | None" = None):
+                     tombstones: "tuple | None" = None,
+                     items: "list[tuple] | None" = None):
     """DIRECT-route kernel: each task reads its shard's parquet files
     straight from the index dir via pyarrow (layout 2's shard-clustered
     files) and scores with the SAME dense kernel as the exchange route —
@@ -1156,7 +1158,18 @@ def _direct_topk_gen(kernel, cols: list[str], terms: list[str],
     read pushes the term filter down (row groups are term-sorted within a
     bucket file). ``gseqs`` carries each file's lineage-group seq for
     per-group tombstone masking; grouping by seq keeps the column
-    assignment exact when a delete must mask only older groups."""
+    assignment exact when a delete must mask only older groups.
+
+    ``items`` (r07): the work items as a driver list; the input frame is
+    then just ``spark.range(len(items))`` row indices. A
+    createDataFrame(rows) work-item frame was a pickled-parallelize
+    PythonRDD whose evaluation needs a python worker from the non-Arrow
+    factory — the first direct search in a session serialized all task
+    threads behind SparkEnv.createPythonWorker while a second daemon +
+    worker pool booted (~1.6 s PER TASK, uniform — measured), and every
+    later search paid a python hop to scan a few hundred bytes. A range
+    scan is pure JVM; the items ship once per task in this closure, like
+    the query weights already do."""
     inner = kernel
     need_gseq = tombstones is not None and len(tombstones[0]) > 0
     cols = list(cols)
@@ -1165,11 +1178,17 @@ def _direct_topk_gen(kernel, cols: list[str], terms: list[str],
     def gen(batches):
         for wpdf in batches:
             for r in wpdf.itertuples(index=False):
+                if items is not None:
+                    shard_id, paths, gseqs = items[int(r.id)]
+                else:
+                    shard_id, paths, gseqs = (
+                        int(r.shard_id), list(r.paths), list(r.gseqs)
+                    )
                 pdf = _read_shard_blocks(
-                    list(r.paths), list(r.gseqs), cols, terms, need_gseq
+                    list(paths), list(gseqs), cols, terms, need_gseq
                 )
                 if len(pdf):
-                    out = inner((int(r.shard_id),), pdf)
+                    out = inner((int(shard_id),), pdf)
                     if len(out):
                         yield out
 
@@ -1359,17 +1378,14 @@ def _direct_search(ix: Index, weights, occ, eff_k1: float, eff_b: float,
         return _local_search(
             spark, kernel, cols, terms, fm, tomb, k, ix,
         )
-    # local-list DataFrame: defaultParallelism contiguous slices. One-row-
-    # per-task slicing was tried and REVERTED — parallelize()'s per-task
-    # pickle round trip cost more than the wave-packing it saved (q100
-    # 2.32 s -> 2.58 s, p50 0.40 s -> 0.80 s at local[8])
-    # shard_id is LONG: provided-id quantile sharding keys shards by raw
-    # doc-id range, so ids span the full int64 space
-    items = spark.createDataFrame(
-        rows, schema="shard_id long, paths array<string>, gseqs array<long>"
-    )
+    # range-scan work items, one row (= one shard) per task: pure-JVM
+    # input, no exchange, and the (tiny) file lists ride the kernel
+    # closure (_direct_topk_gen docstring; r07 — replaces the pickled-
+    # parallelize frame whose PythonRDD evaluation booted a second
+    # worker pool and paid a python hop per action)
+    items = spark.range(len(rows), numPartitions=len(rows))
     tops = items.mapInPandas(
-        _direct_topk_gen(kernel, cols, terms, tombstones=tomb),
+        _direct_topk_gen(kernel, cols, terms, tombstones=tomb, items=rows),
         schema="query_id int, doc_id long, score double",
     )
     return topk_window(tops, k)
@@ -1527,22 +1543,13 @@ def _local_search(spark, kernel, cols: list[str], terms: list[str],
             (int(qid), r + 1, int(d[i]), float(s[i]))
             for r, i in enumerate(order)
         )
-    # VALUES LocalRelation, not createDataFrame(rows): the latter builds a
-    # parallelize()-backed RDD whose every action is a real multi-task job
-    # (~0.35 s per count at local[32] — measured); a VALUES relation
-    # collapses to LocalTableScan, driver-only. repr(float) -> string ->
-    # CAST(DOUBLE) is an exact round trip (correctly-rounded parse of the
-    # shortest round-trip decimal), so scores keep their exact bits.
-    # Casts are per COLUMN, not per cell — analysis cost scales with the
-    # expression count (measured 0.15 s vs 0.12 s per action at 40 cells).
-    vals = ", ".join(
-        f"({q}, {r}, {d}, '{s!r}')" for q, r, d, s in rows
-    )
-    return spark.sql(
-        "SELECT CAST(c1 AS INT) query_id, CAST(c2 AS INT) rank, "
-        "CAST(c3 AS BIGINT) doc_id, CAST(c4 AS DOUBLE) score "
-        "FROM (VALUES {}) AS t(c1, c2, c3, c4)".format(vals)
-    )
+    # LocalRelation via the Arrow path (localrel.local_df), not
+    # createDataFrame(rows): the latter builds a parallelize()-backed RDD
+    # whose every action is a real multi-task job (~0.35 s per count at
+    # local[32] — measured). r07: replaces the earlier VALUES-SQL string
+    # (repr -> CAST(DOUBLE) round trip) — Arrow ships the doubles as
+    # binary IEEE, bit-exact by construction, with no SQL-parse cost.
+    return local_df(spark, rows, out_schema)
 
 
 def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
@@ -2271,12 +2278,12 @@ def index_phrase_search(
         ]
         if not rows:
             return empty
-        items = spark.createDataFrame(
-            rows,
-            schema="shard_id long, paths array<string>, gseqs array<long>",
-        )
+        # range-scan work items (see _direct_topk_gen: pure-JVM input,
+        # file lists in the closure — no PythonRDD scan)
+        items = spark.range(len(rows), numPartitions=len(rows))
         matched = items.mapInPandas(
-            _direct_topk_gen(kern, cols, terms, tombstones=tomb),
+            _direct_topk_gen(kern, cols, terms, tombstones=tomb,
+                             items=rows),
             schema=PHRASE_MATCH_SCHEMA,
         )
     else:
@@ -2304,8 +2311,8 @@ def index_phrase_search(
         return empty
     # idf from the SAME libm as the oracle (glibc via CPython math.log —
     # JVM Math.log rounds differently on ~9% of inputs, query.score_all)
-    idf_df = spark.createDataFrame(
-        [(q, idf_py(c, ix.n_docs)) for q, c in counts.items()],
+    idf_df = local_df(
+        spark, [(q, idf_py(c, ix.n_docs)) for q, c in counts.items()],
         "query_id int, idf double",
     )
     scored = (
@@ -3295,8 +3302,9 @@ def index_search(
     total_ub = {}
     for qid, _t, _w, ub, rest, _qp in weights:
         total_ub[qid] = max(total_ub.get(qid, 0.0), ub + rest)
-    tub = spark.createDataFrame(
-        [(q, v) for q, v in total_ub.items()], "query_id int, total_ub double"
+    tub = local_df(
+        spark, [(q, v) for q, v in total_ub.items()],
+        "query_id int, total_ub double",
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("P"), F.asc("doc_id"))
     with_tau = partial.withColumn("rn", F.row_number().over(wk))
@@ -3330,8 +3338,8 @@ def index_search(
         # fraction of the corpus): per candidate, the query terms that did
         # NOT contribute; then pruned blocks whose doc range covers that
         # candidate, with the wanted ids gathered per block.
-        qterms_df = spark.createDataFrame(
-            [(qid, t, qpos) for qid, t, _w, _ub, _rest, qpos in weights],
+        qterms_df = local_df(
+            spark, [(qid, t, qpos) for qid, t, _w, _ub, _rest, qpos in weights],
             "query_id int, term string, qpos int",
         )
         # shard_id is computable on the candidate side (doc-range shards:

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import CasConflict, get_catalog
+from .localrel import local_df
 
 from .build import (
     BuildParams,
@@ -364,8 +365,8 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> dict:
                     "input first"
                 )
         else:
-            df = spark.createDataFrame(
-                [(int(d),) for d in doc_ids], "doc_id long"
+            df = local_df(
+                spark, [(int(d),) for d in doc_ids], "doc_id long"
             )
         df = df.withColumn("del_seq", F.lit(del_seq))
         tdir = os.path.join(index_dir, TOMBSTONES_DIR)
@@ -833,14 +834,13 @@ class Index:
             # at most stems × max_expansions rows, never the raw match set
             from pyspark.sql import Window
 
-            # VALUES LocalRelation, not createDataFrame(local rows): the
-            # latter costs a multi-task parallelize job per query on this
-            # latency-sensitive path; stems are tokenizer output
-            # ([a-z0-9]+), so inlining them is injection-safe
-            stem_df = self.spark.sql(
-                "SELECT * FROM (VALUES {}) AS t(stem)".format(
-                    ", ".join(f"('{s}')" for s in stems)
-                )
+            # LocalRelation (Arrow path), not createDataFrame(local
+            # rows): the latter costs a multi-task parallelize job per
+            # query on this latency-sensitive path (r07: was VALUES SQL
+            # — local_df gives the same LocalRelation without the string
+            # build/parse)
+            stem_df = local_df(
+                self.spark, [(s,) for s in stems], "stem string"
             )
             j = (
                 self.term_stats()

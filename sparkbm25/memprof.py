@@ -122,7 +122,13 @@ class MemorySampler:
             self._stop.wait(min(max(self.interval_s, 8.0 * sweep), 2.0))
 
     def __enter__(self) -> "MemorySampler":
-        self.peak_bytes = _proc_tree_rss(os.getpid())
+        # No synchronous sweep here: one tree sweep costs ~0.2 s on a
+        # 30-process/20 GB tree (kernel VMA walks), and __enter__ runs
+        # INSIDE the caller's timed window (bench.py wraps `t0 = time()`
+        # around the context manager) — the background thread takes its
+        # first sample immediately anyway (r07; was ~25% of a 0.85 s
+        # query stage).
+        self.peak_bytes = 0
         self._stop.clear()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()

@@ -55,6 +55,7 @@ from collections import Counter
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .localrel import local_df
 from .analysis import DUCKDB_TOKENS, tokenize_py
 from .bm25 import idf as idf_py
 from .bm25 import idf_sql, tf_norm_sql
@@ -141,7 +142,7 @@ def more_like_this(
     if not src_tf:
         return _empty_result(spark)
     src_terms = sorted({t for c in src_tf.values() for t in c})
-    terms_df = spark.createDataFrame([(t,) for t in src_terms], "term string")
+    terms_df = local_df(spark, [(t,) for t in src_terms], "term string")
     matched = doc_term_freqs(corpus).join(F.broadcast(terms_df), "term")
     matched.cache()
     try:
@@ -155,7 +156,8 @@ def more_like_this(
         sel = select_terms(src_tf, dfs, n_docs, max_terms, min_tf, min_df)
         if not sel:
             return _empty_result(spark)
-        qocc = spark.createDataFrame(
+        qocc = local_df(
+            spark,
             [
                 (lid, t, pos)
                 for lid, terms in sel.items()
@@ -164,8 +166,8 @@ def more_like_this(
             "like_id long, term string, qpos int",
         )
         sel_terms = sorted({t for terms in sel.values() for t in terms})
-        idf_df = spark.createDataFrame(
-            [(t, idf_py(dfs[t], n_docs)) for t in sel_terms],
+        idf_df = local_df(
+            spark, [(t, idf_py(dfs[t], n_docs)) for t in sel_terms],
             "term string, idf double",
         )
         contrib = (
@@ -240,8 +242,8 @@ def index_more_like_this(
     lids = sorted(sel)
     queries = [(i, " ".join(sel[lid])) for i, lid in enumerate(lids)]
     res = index_search(ix, queries, k=k + 1, strategy=strategy, direct=direct)
-    pm = ix.spark.createDataFrame(
-        [(i, lid) for i, lid in enumerate(lids)],
+    pm = local_df(
+        ix.spark, [(i, lid) for i, lid in enumerate(lids)],
         "query_id int, like_id long",
     )
     w = Window.partitionBy("like_id").orderBy(F.asc("rank"))

@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..localrel import local_df
+
 TOPK_SCHEMA = "query_vec_id long, vec_id long, cos double"
 PAIRS_SCHEMA = "vec_a long, vec_b long, cos double"
 
@@ -139,8 +141,8 @@ def cosine_pairs(df: DataFrame, threshold: float, n_blocks: int = 8) -> DataFram
     that's what an exact threshold says; cosine_pairs_lsh is the near-linear
     path when the threshold has margin over the bulk."""
     spark = df.sparkSession
-    tiles = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+    tiles = local_df(
+        spark, [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "bi int, bj int",
     )
     base = df.select("vec_id", "embedding").withColumn(

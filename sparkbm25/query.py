@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .localrel import local_df
 from .analysis import tokenize_py
 from .bm25 import B, K1
 from .bm25 import idf as idf_py
@@ -50,7 +51,7 @@ def query_occurrences_df(
         rows.extend(
             (qid, t, pos) for pos, t in enumerate(tokenize_py(qtext))
         )
-    return spark.createDataFrame(rows, "query_id int, term string, qpos int")
+    return local_df(spark, rows, "query_id int, term string, qpos int")
 
 
 def canonical_score_sum() -> F.Column:
@@ -171,8 +172,8 @@ def score_all(
     # bounded collect: one row per distinct query term (same class of
     # bounded driver state as the query vectors themselves)
     df_rows = matched.groupBy("term").agg(F.count("*").alias("df")).collect()
-    idf_df = spark.createDataFrame(
-        [(r.term, idf_py(r.df, n_docs)) for r in df_rows],
+    idf_df = local_df(
+        spark, [(r.term, idf_py(r.df, n_docs)) for r in df_rows],
         "term string, idf double",
     )
     contrib = (
@@ -232,8 +233,8 @@ def explain_scores(
     df_rows = (
         matched.groupBy("term").agg(F.count("*").alias("df")).collect()
     )
-    idf_df = spark.createDataFrame(
-        [(r.term, int(r.df), idf_py(r.df, n_docs)) for r in df_rows],
+    idf_df = local_df(
+        spark, [(r.term, int(r.df), idf_py(r.df, n_docs)) for r in df_rows],
         "term string, df long, idf double",
     )
     occ_contrib = (

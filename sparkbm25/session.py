@@ -141,6 +141,27 @@ def get_spark(
                 os.environ.get("SPARKBM25_MAX_PARTITION_BYTES", str(16 << 20)))
         .config("spark.sql.files.openCostInBytes", str(1 << 20))
     )
+    # Fork python workers from a daemon that has numpy/pandas/pyarrow and
+    # the kernel modules preloaded (sparkbm25/daemon.py): a fresh worker's
+    # import bill is ~1 s of core time, and 32 fresh workers made the
+    # first kernel stage of a session (or any stage after the idle-worker
+    # reaper) 3-6x slower (measured r07). SPARKBM25_DAEMON=0 restores the
+    # stock pyspark.daemon. The daemon is a fresh `python -m` process, so
+    # the package root must be on ITS path (PythonWorkerFactory merges the
+    # JVM's PYTHONPATH and spark.executorEnv.PYTHONPATH into the daemon
+    # env; addPyFile reaches workers only per-task, AFTER daemon launch) —
+    # an unresolvable daemon module fails every task hard, so set both.
+    if os.environ.get("SPARKBM25_DAEMON", "1") != "0":
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + (os.pathsep + existing if existing else "")
+            )
+        builder = (
+            builder.config("spark.python.daemon.module", "sparkbm25.daemon")
+            .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .localrel import local_df
 from .analysis import tokenize_py, tokens_col
 from .jobs import Index
 
@@ -107,8 +108,8 @@ def index_significant_terms(
             (qid, t) for qid, text in queries for t in tokenize_py(text)
         })
         if own_rows:
-            own = spark.createDataFrame(
-                own_rows, "query_id int, term string"
+            own = local_df(
+                spark, own_rows, "query_id int, term string"
             )
             fg = fg.join(F.broadcast(own), ["query_id", "term"],
                          "left_anti")

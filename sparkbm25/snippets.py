@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .localrel import local_df
 from .analysis import tokenize_py, tokens_col
 
 
@@ -51,7 +52,8 @@ def attach_snippets(
     merged: dict[int, set[str]] = {}
     for qid, text in queries:
         merged.setdefault(qid, set()).update(tokenize_py(text))
-    qdf = results.sparkSession.createDataFrame(
+    qdf = local_df(
+        results.sparkSession,
         [(q, sorted(t)) for q, t in merged.items() if t],
         "query_id int, qtoks array<string>",
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from .localrel import local_df
 from .analysis import levenshtein_py, tokenize_py
 from .jobs import Index
 
@@ -62,7 +63,7 @@ def index_suggest(
             (tid, tok, r + 1, term, dist, df)
             for r, (dist, _negdf, term, df) in enumerate(cands[:n])
         )
-    return ix.spark.createDataFrame(rows, SUGGEST_SCHEMA)
+    return local_df(ix.spark, rows, SUGGEST_SCHEMA)
 
 
 def suggest_sql(
