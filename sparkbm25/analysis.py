@@ -101,6 +101,60 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.lower().str.findall(_TOKEN_RE)
 
 
+def tokenize_flat_arrow(arr):
+    """FLAT batch tokenizer: (flat tokens as a pyarrow StringArray,
+    per-doc token counts as int64 ndarray) — token stream identical to
+    per-doc ``tokenize_py``/``tokenize_series`` concatenation.
+
+    Fast path (Arrow compute, no per-token Python objects): ascii_lower +
+    split on the complement class ``[^a-z0-9]+`` with empty tokens
+    filtered — equal to ``findall('[a-z0-9]+')`` by construction. Guarded
+    to ASCII batches: non-ASCII text falls back to the Python regex
+    (utf8proc's and CPython's Unicode lowercasing can disagree on exotic
+    code points, and only lowercasing can manufacture ASCII-alnum chars).
+    Either way the RETURNED tokens are pure ASCII ``[a-z0-9]+``, so
+    downstream byte-order string sorts equal Python str order.
+
+    Why flat: the build/tf kernels need (flat_tokens, lens) anyway, and
+    the pandas route materializes a Python str object per token — ~40% of
+    the measured stage-1 kernel time at sf0.1 (r07) — where the Arrow
+    route keeps the whole stream as one contiguous buffer."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.Array.from_pandas(arr, type=pa.string())
+    if len(arr) == 0:
+        return pa.array([], type=pa.string()), np.zeros(0, dtype=np.int64)
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    if pc.all(pc.string_is_ascii(arr)).as_py():
+        split = pc.split_pattern_regex(
+            pc.ascii_lower(arr), "[^a-z0-9]+"
+        )
+        flat = split.flatten()
+        raw_counts = np.diff(np.asarray(split.offsets, dtype=np.int64))
+        nonempty = np.asarray(pc.binary_length(flat)) > 0
+        if nonempty.all():
+            return flat, raw_counts
+        doc_idx = np.repeat(
+            np.arange(len(arr), dtype=np.int64), raw_counts
+        )
+        lens = np.bincount(
+            doc_idx[nonempty], minlength=len(arr)
+        ).astype(np.int64)
+        return pc.filter(flat, pa.array(nonempty)), lens
+    toks = pd.Series(arr.to_pandas()).str.lower().str.findall(_TOKEN_RE)
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    if not lens.sum():
+        return pa.array([], type=pa.string()), lens
+    flat_obj = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    return pa.array(flat_obj, type=pa.string()), lens
+
+
 def tokenize_pandas_udf():
     """Arrow-vectorized tokenizer UDF: string -> array<string>.
 

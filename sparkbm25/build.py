@@ -62,7 +62,6 @@ from pyspark.sql import functions as F
 
 from .bm25 import B, K1
 from .codecs import BLOCK_SIZE, delta_encode, vbyte_decode, vbyte_encode
-from .kernels import _tf_batch
 
 RUN_SCHEMA = (
     "term string, shard_id long, n_docs int, "
@@ -273,36 +272,55 @@ def _make_runs_gen(shard_shift: int, store_positions: bool = False):
         vbyte_encode_with_sizes,
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .analysis import tokenize_series
+    def gen(batches) -> "Iterator":
+        # ARROW-NATIVE stage-1 kernel (r07; mapInArrow): the pandas shape
+        # materialized a Python str object per token (concatenate of the
+        # findall lists + pd.factorize over the object array) and sliced
+        # every run's three vbyte streams into per-run Python bytes —
+        # together ~40% of the stage's measured core time. Here the token
+        # stream stays ONE Arrow buffer end to end: tokenize via Arrow
+        # split (analysis.tokenize_flat_arrow — identical stream, ASCII
+        # guarded), factorize via dictionary_encode (codes + unique terms,
+        # no Python objects), rank the small vocabulary with an Arrow
+        # string sort (tokens are pure [a-z0-9]+, so byte order == str
+        # order == the former object argsort), and emit the run streams
+        # as BinaryArrays whose offsets index straight into the single
+        # encoded buffer (zero bytes-object per run). Values identical to
+        # the former pandas kernel row for row.
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        for pdf in batches:
-            # Vectorized inversion WITHOUT the pandas string groupby + a
-            # second string sort (those two owned most of the stage's 161
-            # core-s at sf0.1 — measured r07): factorize terms once
-            # (hash-based, no sort), rank the small vocabulary
-            # lexicographically, then ONE int lexsort of (term_rank, doc)
-            # gives postings grouped by term in the same lexicographic
-            # order the groupby+sort produced; tf = run length per
-            # (term, doc) pair.
-            tok_lists = tokenize_series(pdf["text"])
-            lens_d = tok_lists.str.len().to_numpy(dtype=np.int64)
-            total = int(lens_d.sum())
-            if len(pdf) == 0 or total == 0:
-                continue
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            flat_terms = np.concatenate(
-                [np.asarray(t, dtype=object) for t in tok_lists]
+        from .analysis import tokenize_flat_arrow
+        from .codecs import vbyte_encode_arrays
+
+        def bin_col(buf: np.ndarray, val_sizes: np.ndarray,
+                    run_starts_post: np.ndarray) -> pa.Array:
+            seg_bytes = np.add.reduceat(val_sizes, run_starts_post)
+            offsets = np.zeros(len(seg_bytes) + 1, dtype=np.int32)
+            offsets[1:] = np.cumsum(seg_bytes)
+            return pa.BinaryArray.from_buffers(
+                pa.binary(), len(seg_bytes),
+                [None, pa.py_buffer(offsets), pa.py_buffer(buf)],
             )
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            flat, lens_d = tokenize_flat_arrow(rb.column(1))
+            total = int(lens_d.sum())
+            if total == 0:
+                continue
+            doc_ids = rb.column(0).to_numpy()
             flat_doc = np.repeat(doc_ids, lens_d)
             flat_dl = np.repeat(lens_d, lens_d)
-            codes, uniq = pd.factorize(flat_terms, sort=False)
-            uniq = np.asarray(uniq, dtype=object)
-            order_u = np.argsort(uniq)
+            dic = pc.dictionary_encode(flat)
+            codes = dic.indices.to_numpy().astype(np.int64)
+            uniq = dic.dictionary
+            order_u = pc.sort_indices(uniq).to_numpy().astype(np.int64)
             rank = np.empty(len(uniq), dtype=np.int64)
             rank[order_u] = np.arange(len(uniq), dtype=np.int64)
             tcode = rank[codes]
-            uniq_sorted = uniq[order_u]
+            uniq_sorted = uniq.take(pa.array(order_u))
             order = np.lexsort((flat_doc, tcode))
             tcode_s = tcode[order]
             doc_s = flat_doc[order]
@@ -328,19 +346,24 @@ def _make_runs_gen(shard_shift: int, store_positions: bool = False):
             starts = np.flatnonzero(change)
             lens = np.r_[starts[1:], n_post] - starts
             gaps = segment_delta_gaps(docs, starts)
-            docs_buf, docs_sz = vbyte_encode_with_sizes(gaps)
-            tfs_buf, tfs_sz = vbyte_encode_with_sizes(tfs)
-            dls_buf, dls_sz = vbyte_encode_with_sizes(dls)
-            yield pd.DataFrame(
-                {
-                    "term": uniq_sorted[post_tcode[starts]],
-                    "shard_id": shards[starts],
-                    "n_docs": lens.astype(np.int32),
-                    "docs_vb": slice_bytes(docs_buf, docs_sz, lens),
-                    "tfs_vb": slice_bytes(tfs_buf, tfs_sz, lens),
-                    "dls_vb": slice_bytes(dls_buf, dls_sz, lens),
-                    "pos_vb": None,
-                }
+            docs_buf, docs_sz = vbyte_encode_arrays(gaps)
+            tfs_buf, tfs_sz = vbyte_encode_arrays(tfs)
+            dls_buf, dls_sz = vbyte_encode_arrays(dls)
+            n_runs = len(starts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    uniq_sorted.take(pa.array(post_tcode[starts])),
+                    pa.array(shards[starts], type=pa.int64()),
+                    pa.array(lens.astype(np.int32), type=pa.int32()),
+                    bin_col(docs_buf, docs_sz, starts),
+                    bin_col(tfs_buf, tfs_sz, starts),
+                    bin_col(dls_buf, dls_sz, starts),
+                    pa.nulls(n_runs, pa.binary()),
+                ],
+                names=[
+                    "term", "shard_id", "n_docs",
+                    "docs_vb", "tfs_vb", "dls_vb", "pos_vb",
+                ],
             )
 
     def gen_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -707,10 +730,14 @@ def build_postings(
     salted = corpus.select("doc_id", "text").repartition(
         n_parts, F.pmod(F.xxhash64("doc_id"), F.lit(n_parts))
     )
-    runs = salted.mapInPandas(
-        _make_runs_gen(stats.shard_shift, params.store_positions),
-        schema=RUN_SCHEMA,
-    )
+    runs_gen = _make_runs_gen(stats.shard_shift, params.store_positions)
+    if params.store_positions:
+        runs = salted.mapInPandas(runs_gen, schema=RUN_SCHEMA)
+    else:
+        # the non-positional stage-1 kernel is Arrow-native (r07): the
+        # token stream, vocabulary, and run byte streams never become
+        # Python objects (see _make_runs_gen.gen)
+        runs = salted.mapInArrow(runs_gen, schema=RUN_SCHEMA)
     if spill_dir is not None and params.spill_runs:
         runs.write.mode("overwrite").parquet(spill_dir)
         # explicit schema: an empty group's spill dir has no footers

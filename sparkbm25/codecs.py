@@ -53,36 +53,59 @@ def dead_mask(ids: np.ndarray, gseqs,
     return hit & (tomb_seqs[pos_c] >= gseqs)
 
 
+# byte-count thresholds: value v needs searchsorted(_VB_BOUNDS, v,
+# 'right') + 1 bytes (9 bounds -> counts 1..10 cover the full uint64 range)
+_VB_BOUNDS = np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64))
+
+
 def vbyte_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Encode and also return per-value byte counts (for segment slicing:
     one encode call can serve millions of tiny runs — per-run encode calls
-    would dominate at SPIMI scale)."""
+    would dominate at SPIMI scale).
+
+    Byte counts come from ONE searchsorted against the 2^(7k) thresholds
+    (the former shift-loop made ~bit_length/7 full passes with copies);
+    the scatter writes every value's first byte unmasked, then loops only
+    over the (typically few-percent) multi-byte survivors — posting gaps
+    and tfs are overwhelmingly single-byte, so the old all-values masked
+    scatter paid 2-10 full-array passes for a 1-2 pass job (r07; 2.7x on
+    the build's measured stream mix, bit-identical)."""
+    buf, nbytes = vbyte_encode_arrays(values)
+    return buf.tobytes(), nbytes
+
+
+def vbyte_encode_arrays(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """vbyte_encode_with_sizes returning the encoded stream as a uint8
+    ndarray instead of bytes — Arrow-native callers wrap it zero-copy in
+    a BinaryArray data buffer (r07)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b"", np.zeros(0, dtype=np.int64)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 7
-        tmp >>= np.uint64(7)
-    nbytes = np.maximum(nbits // 7, 1)
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    nbytes = np.searchsorted(_VB_BOUNDS, v, side="right") + 1
     ends = np.cumsum(nbytes)
-    total = int(ends[-1])
-    out = np.zeros(total, dtype=np.uint8)
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
     starts = ends - nbytes
-    max_b = int(nbytes.max())
-    rem = v.copy()
-    for p in range(max_b):
-        mask = nbytes > p
-        idx = starts[mask] + p
-        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
-        more = (p + 1) < nbytes[mask]
-        out[idx] = byte | (more.astype(np.uint8) << 7)
-        rem[mask] >>= np.uint64(7)
-    return out.tobytes(), nbytes
+    out[starts] = (v & np.uint64(0x7F)).astype(np.uint8) | (
+        (nbytes > 1).astype(np.uint8) << 7
+    )
+    multi = nbytes > 1
+    if multi.any():
+        rem = v[multi] >> np.uint64(7)
+        nb = nbytes[multi]
+        st = starts[multi]
+        p = 1
+        while len(nb):
+            out[st + p] = (rem & np.uint64(0x7F)).astype(np.uint8) | (
+                ((p + 1) < nb).astype(np.uint8) << 7
+            )
+            p += 1
+            keep = nb > p
+            if not keep.any():
+                break
+            rem = rem[keep] >> np.uint64(7)
+            nb = nb[keep]
+            st = st[keep]
+    return out, nbytes
 
 
 def segment_delta_gaps(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:

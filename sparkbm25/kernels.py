@@ -80,6 +80,52 @@ def doc_term_freqs_gen(
         yield _tf_batch(pdf)
 
 
+def _tf_gen_arrow(batches):
+    """Arrow-native doc_term_freqs kernel (r07; mapInArrow): the token
+    stream stays one Arrow buffer (analysis.tokenize_flat_arrow) and the
+    vocabulary comes from dictionary_encode — no Python str object per
+    token, no object-array factorize. Emits the same (doc_id, doc_len,
+    term, tf) multiset as _tf_batch (row order differs; every consumer
+    aggregates or joins)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .analysis import tokenize_flat_arrow
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        flat, lens = tokenize_flat_arrow(rb.column(1))
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        doc_ids = rb.column(0).to_numpy()
+        flat_doc = np.repeat(doc_ids, lens)
+        flat_dl = np.repeat(lens, lens)
+        dic = pc.dictionary_encode(flat)
+        codes = dic.indices.to_numpy().astype(np.int64)
+        uniq = dic.dictionary
+        order = np.lexsort((flat_doc, codes))
+        c_s = codes[order]
+        d_s = flat_doc[order]
+        change = np.ones(total, dtype=bool)
+        change[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.flatnonzero(change)
+        tf = (np.r_[starts[1:], total] - starts).astype(np.int32)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(d_s[starts], type=pa.int64()),
+                pa.array(
+                    flat_dl[order][starts].astype(np.int32),
+                    type=pa.int32(),
+                ),
+                uniq.take(pa.array(c_s[starts])),
+                pa.array(tf, type=pa.int32()),
+            ],
+            names=["doc_id", "doc_len", "term", "tf"],
+        )
+
+
 def doc_term_freqs(corpus):
     """corpus (doc_id, text, ...) -> DataFrame(doc_id, doc_len, term, tf).
 
@@ -97,4 +143,4 @@ def doc_term_freqs(corpus):
             sel = sel.repartition(target)
     except Exception:
         pass
-    return sel.mapInPandas(doc_term_freqs_gen, schema=TF_SCHEMA)
+    return sel.mapInArrow(_tf_gen_arrow, schema=TF_SCHEMA)

@@ -49,3 +49,27 @@ def test_sig_minima_single_shingle_segments():
     starts = np.array([0, 1, 2], dtype=np.int64)
     ref = np.minimum.reduceat(_mod_p(A * xs[None, :] + Bp), starts, axis=1)
     assert np.array_equal(_sig_minima(xs, starts, A, Bp), ref)
+
+
+def test_tokenize_flat_arrow_parity():
+    """tokenize_flat_arrow's flat stream == per-doc tokenize_py concat,
+    on ASCII (arrow path), non-ASCII (fallback path), null and empty."""
+    import pandas as pd
+
+    from sparkbm25.analysis import tokenize_flat_arrow, tokenize_py
+
+    cases = [
+        "Hello, World! 123", "", None, "  a  b  ", "a1b2",
+        "UPPER lower", "x" * 7, "trailing space ", " lead", "0",
+    ]
+    noascii = cases + ["héllo wörld", "Ёлка 7abc"]
+    for batch in (cases, noascii, [], [None, ""], ["...", "--"]):
+        flat, lens = tokenize_flat_arrow(pd.Series(batch, dtype=object))
+        toks = flat.to_pylist()
+        assert len(lens) == len(batch)
+        i = 0
+        for s, n in zip(batch, lens):
+            exp = tokenize_py(s)
+            assert toks[i:i + int(n)] == exp, (s, toks[i:i + int(n)], exp)
+            i += int(n)
+        assert i == len(toks)
