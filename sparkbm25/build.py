@@ -366,26 +366,50 @@ def _make_runs_gen(shard_shift: int, store_positions: bool = False):
                 ],
             )
 
-    def gen_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .analysis import tokenize_series
+    def gen_pos(batches) -> "Iterator":
+        # Arrow-native positional stage-1 (r07; mapInArrow) — the same
+        # conversion as `gen` (tokens stay one Arrow buffer,
+        # dictionary_encode + byte-order vocabulary rank replaces
+        # np.unique over an object array, run streams emitted as
+        # zero-copy BinaryArrays), plus the per-posting position stream.
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        for pdf in batches:
-            tok_lists = tokenize_series(pdf["text"])
-            lens_d = tok_lists.str.len().to_numpy(dtype=np.int64)
-            total = int(lens_d.sum())
-            if len(pdf) == 0 or total == 0:
-                continue
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            flat_terms = np.concatenate(
-                [np.asarray(t, dtype=object) for t in tok_lists]
+        from .analysis import tokenize_flat_arrow
+        from .codecs import vbyte_encode_arrays
+
+        def bin_col(buf: np.ndarray, val_sizes: np.ndarray,
+                    seg_starts: np.ndarray) -> pa.Array:
+            seg_bytes = np.add.reduceat(val_sizes, seg_starts)
+            offsets = np.zeros(len(seg_bytes) + 1, dtype=np.int32)
+            offsets[1:] = np.cumsum(seg_bytes)
+            return pa.BinaryArray.from_buffers(
+                pa.binary(), len(seg_bytes),
+                [None, pa.py_buffer(offsets), pa.py_buffer(buf)],
             )
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            flat, lens_d = tokenize_flat_arrow(rb.column(1))
+            total = int(lens_d.sum())
+            if total == 0:
+                continue
+            doc_ids = rb.column(0).to_numpy()
             flat_doc = np.repeat(doc_ids, lens_d)
             flat_dl = np.repeat(lens_d, lens_d)
             tok_starts = np.cumsum(lens_d) - lens_d
             flat_pos = np.arange(total, dtype=np.int64) - np.repeat(
                 tok_starts, lens_d
             )
-            uniq, tcode = np.unique(flat_terms, return_inverse=True)
+            dic = pc.dictionary_encode(flat)
+            codes = dic.indices.to_numpy().astype(np.int64)
+            uniq_d = dic.dictionary
+            order_u = pc.sort_indices(uniq_d).to_numpy().astype(np.int64)
+            rank = np.empty(len(uniq_d), dtype=np.int64)
+            rank[order_u] = np.arange(len(uniq_d), dtype=np.int64)
+            tcode = rank[codes]
+            uniq_sorted = uniq_d.take(pa.array(order_u))
             # one lexsort of the whole batch: (term, doc, position)
             order = np.lexsort((flat_pos, flat_doc, tcode))
             tcode_s = tcode[order]
@@ -414,23 +438,29 @@ def _make_runs_gen(shard_shift: int, store_positions: bool = False):
             r_starts = np.flatnonzero(rchange)
             r_lens = np.r_[r_starts[1:], n_post] - r_starts
             gaps = segment_delta_gaps(post_doc, r_starts)
-            docs_buf, docs_sz = vbyte_encode_with_sizes(gaps)
-            tfs_buf, tfs_sz = vbyte_encode_with_sizes(post_tf)
-            dls_buf, dls_sz = vbyte_encode_with_sizes(post_dl)
+            docs_buf, docs_sz = vbyte_encode_arrays(gaps)
+            tfs_buf, tfs_sz = vbyte_encode_arrays(post_tf)
+            dls_buf, dls_sz = vbyte_encode_arrays(post_dl)
             # positions: per-posting delta restart (first absolute)
             pos_gaps = segment_delta_gaps(pos_s, p_starts)
-            pos_buf, pos_sz = vbyte_encode_with_sizes(pos_gaps)
-            run_tok_lens = np.add.reduceat(p_lens, r_starts)
-            yield pd.DataFrame(
-                {
-                    "term": uniq[post_tcode[r_starts]],
-                    "shard_id": post_shard[r_starts],
-                    "n_docs": r_lens.astype(np.int32),
-                    "docs_vb": slice_bytes(docs_buf, docs_sz, r_lens),
-                    "tfs_vb": slice_bytes(tfs_buf, tfs_sz, r_lens),
-                    "dls_vb": slice_bytes(dls_buf, dls_sz, r_lens),
-                    "pos_vb": slice_bytes(pos_buf, pos_sz, run_tok_lens),
-                }
+            pos_buf, pos_sz = vbyte_encode_arrays(pos_gaps)
+            # position-stream run boundaries in TOKEN space (each run's
+            # byte span covers all its postings' positions)
+            tok_run_starts = p_starts[r_starts]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    uniq_sorted.take(pa.array(post_tcode[r_starts])),
+                    pa.array(post_shard[r_starts], type=pa.int64()),
+                    pa.array(r_lens.astype(np.int32), type=pa.int32()),
+                    bin_col(docs_buf, docs_sz, r_starts),
+                    bin_col(tfs_buf, tfs_sz, r_starts),
+                    bin_col(dls_buf, dls_sz, r_starts),
+                    bin_col(pos_buf, pos_sz, tok_run_starts),
+                ],
+                names=[
+                    "term", "shard_id", "n_docs",
+                    "docs_vb", "tfs_vb", "dls_vb", "pos_vb",
+                ],
             )
 
     return gen_pos if store_positions else gen
@@ -730,14 +760,13 @@ def build_postings(
     salted = corpus.select("doc_id", "text").repartition(
         n_parts, F.pmod(F.xxhash64("doc_id"), F.lit(n_parts))
     )
-    runs_gen = _make_runs_gen(stats.shard_shift, params.store_positions)
-    if params.store_positions:
-        runs = salted.mapInPandas(runs_gen, schema=RUN_SCHEMA)
-    else:
-        # the non-positional stage-1 kernel is Arrow-native (r07): the
-        # token stream, vocabulary, and run byte streams never become
-        # Python objects (see _make_runs_gen.gen)
-        runs = salted.mapInArrow(runs_gen, schema=RUN_SCHEMA)
+    # stage-1 kernels are Arrow-native (r07): the token stream,
+    # vocabulary, and run byte streams never become Python objects
+    # (see _make_runs_gen.gen / gen_pos)
+    runs = salted.mapInArrow(
+        _make_runs_gen(stats.shard_shift, params.store_positions),
+        schema=RUN_SCHEMA,
+    )
     if spill_dir is not None and params.spill_runs:
         runs.write.mode("overwrite").parquet(spill_dir)
         # explicit schema: an empty group's spill dir has no footers
