@@ -1543,13 +1543,26 @@ def _local_search(spark, kernel, cols: list[str], terms: list[str],
             (int(qid), r + 1, int(d[i]), float(s[i]))
             for r, i in enumerate(order)
         )
-    # LocalRelation via the Arrow path (localrel.local_df), not
-    # createDataFrame(rows): the latter builds a parallelize()-backed RDD
-    # whose every action is a real multi-task job (~0.35 s per count at
-    # local[32] — measured). r07: replaces the earlier VALUES-SQL string
-    # (repr -> CAST(DOUBLE) round trip) — Arrow ships the doubles as
-    # binary IEEE, bit-exact by construction, with no SQL-parse cost.
-    return local_df(spark, rows, out_schema)
+    # VALUES LocalRelation, not createDataFrame(rows): the latter builds a
+    # parallelize()-backed RDD whose every action is a real multi-task job
+    # (~0.35 s per count at local[32] — measured); a VALUES relation
+    # collapses to LocalTableScan, driver-only. repr(float) -> string ->
+    # CAST(DOUBLE) is an exact round trip (correctly-rounded parse of the
+    # shortest round-trip decimal), so scores keep their exact bits.
+    # Casts are per COLUMN, not per cell — analysis cost scales with the
+    # expression count (measured 0.15 s vs 0.12 s per action at 40 cells).
+    # r07 note: the Arrow localrel.local_df path was tried here and
+    # measured ~15-45 ms SLOWER per action than VALUES at top-k sizes
+    # (pandas+Arrow conversion overhead on a latency path where the rest
+    # is a ~90 ms analysis floor) — keep VALUES for this one site.
+    vals = ", ".join(
+        f"({q}, {r}, {d}, '{s!r}')" for q, r, d, s in rows
+    )
+    return spark.sql(
+        "SELECT CAST(c1 AS INT) query_id, CAST(c2 AS INT) rank, "
+        "CAST(c3 AS BIGINT) doc_id, CAST(c4 AS DOUBLE) score "
+        "FROM (VALUES {}) AS t(c1, c2, c3, c4)".format(vals)
+    )
 
 
 def _wand_topk_fn(q_occ: dict[int, list[tuple[str, float]]],
