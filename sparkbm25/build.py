@@ -61,7 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .bm25 import B, K1
-from .codecs import BLOCK_SIZE, delta_encode, vbyte_decode, vbyte_encode
+from .codecs import BLOCK_SIZE, vbyte_decode
 
 RUN_SCHEMA = (
     "term string, shard_id long, n_docs int, "
@@ -465,68 +465,6 @@ def _make_runs_gen(shard_shift: int, store_positions: bool = False):
 
     return gen_pos if store_positions else gen
 
-
-def _merge_group(term: str, shard_id: int,
-                 docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                 k1: float, b: float, bs: int, avgdl: float,
-                 pos_flat: "np.ndarray | None" = None) -> list[tuple]:
-    """Merge one (term, shard)'s decoded postings into compressed blocks.
-    ``pos_flat``: the group's token positions, concatenated in the SAME
-    (pre-sort) posting order as docs/tfs (tf values per posting)."""
-    from .codecs import segment_delta_gaps
-
-    order = np.argsort(docs, kind="stable")
-    if pos_flat is not None:
-        # ragged gather: reorder each posting's position slice along with
-        # its posting (no per-posting Python loop)
-        counts = tfs.astype(np.int64)
-        starts = np.cumsum(counts) - counts
-        c_p = counts[order]
-        new_starts = np.cumsum(c_p) - c_p
-        within = np.arange(int(c_p.sum()), dtype=np.int64) - np.repeat(
-            new_starts, c_p
-        )
-        pos_flat = pos_flat[np.repeat(starts[order], c_p) + within]
-        pos_ends = np.cumsum(c_p)
-    docs, tfs, dls = docs[order], tfs[order], dls[order]
-    if docs.size > 1 and (np.diff(docs) <= 0).any():
-        raise ValueError(f"duplicate doc_id in postings of term={term!r}")
-    tfn = (
-        tfs.astype(np.float64)
-        * (k1 + 1.0)
-        / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
-    )
-    n = docs.size
-    rows = []
-    for bi, lo in enumerate(range(0, n, bs)):
-        hi = min(lo + bs, n)
-        if pos_flat is None:
-            pos_vbyte = None
-        else:
-            t_lo = int(pos_ends[lo - 1]) if lo else 0
-            t_hi = int(pos_ends[hi - 1])
-            blk_counts = c_p[lo:hi]
-            blk_starts = np.cumsum(blk_counts) - blk_counts
-            pos_vbyte = vbyte_encode(
-                segment_delta_gaps(pos_flat[t_lo:t_hi], blk_starts)
-            )
-        rows.append(
-            (
-                term, int(shard_id), bi, int(hi - lo),
-                int(docs[lo]), int(docs[hi - 1]),
-                float(tfn[lo:hi].max()), float(tfn[lo:hi].min()),
-                int(tfs[lo:hi].sum()),
-                int(tfs[lo:hi].max()), int(tfs[lo:hi].min()),
-                int(dls[lo:hi].min()), int(dls[lo:hi].max()),
-                vbyte_encode(delta_encode(docs[lo:hi])),
-                vbyte_encode(tfs[lo:hi]),
-                vbyte_encode(dls[lo:hi]),
-                pos_vbyte,
-            )
-        )
-    return rows
-
-
 _BLOCK_COLS = [
     "term", "shard_id", "block_id", "n_docs", "first_doc", "last_doc",
     "max_tf_norm", "min_tf_norm", "sum_tf",
@@ -561,17 +499,28 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
 
     def _flush_vectorized(pdf: pd.DataFrame, terms, shards, lens,
                           docs_all, tfs_all, dls_all,
-                          g_row_starts, g_row_ends, alive) -> pd.DataFrame:
-        """Non-positional merge, vectorized ACROSS groups: one global
-        (group, doc) lexsort replaces the per-(term, shard) argsort loop,
-        block aggregates come from reduceat at block starts, and every
-        vbyte stream is encoded in ONE call then byte-sliced per block
-        (the stage-1 pattern) instead of 3-4 encode calls per block.
-        Byte-identical output to the per-group path: segment_delta_gaps
-        at block starts == per-block delta_encode, and slice boundaries
-        land on the same per-value byte counts. (The per-group loop cost
-        ~190 core-s of the sf0.1 build's 440 at 160k groups — measured
-        r07; this path cuts the merge stage's Python-loop share.)"""
+                          g_row_starts, g_row_ends, alive,
+                          pos_all=None) -> pd.DataFrame:
+        """Merge vectorized ACROSS groups: one global (group, doc)
+        lexsort replaces the per-(term, shard) argsort loop, block
+        aggregates come from reduceat at block starts, and every vbyte
+        stream is encoded in ONE call then byte-sliced per block (the
+        stage-1 pattern) instead of 3-4 encode calls per block.
+        Byte-identical output to the former per-group path:
+        segment_delta_gaps at block starts == per-block delta_encode,
+        and slice boundaries land on the same per-value byte counts.
+        (The per-group loop cost ~190 core-s of the sf0.1 build's 440 at
+        160k groups — measured r07.)
+
+        ``pos_all`` (r07, replaces the positional per-group loop): the
+        batch's token positions in PRE-SORT posting order. The posting
+        permutation is applied to the ragged position stream with one
+        global gather (old-start[perm] + within-offsets), the delta
+        restart runs once over posting-start boundaries, and blocks
+        slice the single encoded stream at block token boundaries —
+        per block this equals the former per-group loop's
+        vbyte_encode(segment_delta_gaps(slice, local_starts)) exactly
+        (pinned by tests/test_merge_positional_parity.py)."""
         from .codecs import (
             segment_delta_gaps,
             slice_bytes,
@@ -584,6 +533,10 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
         g_of_row = np.cumsum(g_of_row) - 1
         pg = np.repeat(g_of_row, lens)
         if alive is not None:
+            if pos_all is not None:
+                # ragged purge: drop dead postings' position slices
+                # (repeat uses the PRE-filter tf values)
+                pos_all = pos_all[np.repeat(alive, tfs_all)]
             docs_all, tfs_all, dls_all, pg = (
                 docs_all[alive], tfs_all[alive], dls_all[alive], pg[alive]
             )
@@ -622,6 +575,24 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
         docs_buf, docs_sz = vbyte_encode_with_sizes(gaps_b)
         tfs_buf, tfs_sz = vbyte_encode_with_sizes(t_.astype(np.uint64))
         dls_buf, dls_sz = vbyte_encode_with_sizes(l_.astype(np.uint64))
+        if pos_all is not None:
+            # apply the posting permutation to the ragged position
+            # stream: posting i's slice [old_start[i], old_start[i]+tf)
+            # moves as a unit
+            c = tfs_all  # post-filter tf values, pre-sort order
+            old_tok_starts = np.cumsum(c) - c
+            c_p = c[order]
+            new_tok_starts = np.cumsum(c_p) - c_p
+            within = np.arange(int(c_p.sum()), dtype=np.int64) - np.repeat(
+                new_tok_starts, c_p
+            )
+            pos_sorted = pos_all[np.repeat(old_tok_starts[order], c_p) + within]
+            pos_gaps = segment_delta_gaps(pos_sorted, new_tok_starts)
+            pos_buf, pos_sz = vbyte_encode_with_sizes(pos_gaps)
+            blk_tok_lens = np.add.reduceat(c_p, b_starts)
+            pos_col = slice_bytes(pos_buf, pos_sz, blk_tok_lens)
+        else:
+            pos_col = np.full(len(b_starts), None, dtype=object)
         out = pd.DataFrame({
             "term": terms[first_rows],
             "shard_id": shards[first_rows].astype(np.int64),
@@ -639,12 +610,11 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
             "docs_vbyte": slice_bytes(docs_buf, docs_sz, b_lens),
             "tfs_vbyte": slice_bytes(tfs_buf, tfs_sz, b_lens),
             "dls_vbyte": slice_bytes(dls_buf, dls_sz, b_lens),
-            "pos_vbyte": np.full(len(b_starts), None, dtype=object),
+            "pos_vbyte": pos_col,
         })
         return out[_BLOCK_COLS]
 
     def flush(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows: list[tuple] = []
         terms = pdf["term"].to_numpy()
         shards = pdf["shard_id"].to_numpy()
         lens = pdf["n_docs"].to_numpy(dtype=np.int64)
@@ -657,7 +627,6 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
         tfs_all = vbyte_decode(b"".join(pdf["tfs_vb"]), count=total).astype(np.int64)
         dls_all = vbyte_decode(b"".join(pdf["dls_vb"]), count=total).astype(np.int64)
         pos_all = None
-        post_tok_starts = None
         if params.store_positions:
             total_pos = int(tfs_all.sum())
             pos_gaps = vbyte_decode(b"".join(pdf["pos_vb"]), count=total_pos)
@@ -669,7 +638,6 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
         change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
         g_row_starts = np.flatnonzero(change)
         g_row_ends = np.r_[g_row_starts[1:], len(pdf)]
-        post_ends = np.cumsum(lens)
         alive = None
         if tombstones is not None and len(tombstones[0]):
             from .codecs import dead_mask
@@ -678,37 +646,10 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
                 pdf["gseq"].to_numpy(dtype=np.int64), lens
             )
             alive = ~dead_mask(docs_all, gseqs, tombstones[0], tombstones[1])
-        if not params.store_positions:
-            return _flush_vectorized(
-                pdf, terms, shards, lens, docs_all, tfs_all, dls_all,
-                g_row_starts, g_row_ends, alive,
-            )
-        for rs, re_ in zip(g_row_starts, g_row_ends):
-            lo = run_starts[rs]
-            hi = post_ends[re_ - 1]
-            p_ = None
-            if pos_all is not None:
-                t_lo = int(post_tok_starts[lo])
-                t_hi = int(post_tok_starts[hi - 1] + tfs_all[hi - 1])
-                p_ = pos_all[t_lo:t_hi]
-            if alive is not None:
-                sel = alive[lo:hi]
-                if not sel.any():
-                    continue
-                if p_ is not None:
-                    # ragged purge: drop dead postings' position slices
-                    p_ = p_[np.repeat(sel, tfs_all[lo:hi])]
-                d_, t_, l_ = (docs_all[lo:hi][sel], tfs_all[lo:hi][sel],
-                              dls_all[lo:hi][sel])
-            else:
-                d_, t_, l_ = docs_all[lo:hi], tfs_all[lo:hi], dls_all[lo:hi]
-            rows.extend(
-                _merge_group(
-                    terms[rs], shards[rs], d_, t_, l_,
-                    k1, b, bs, avgdl, pos_flat=p_,
-                )
-            )
-        return pd.DataFrame(rows, columns=_BLOCK_COLS)
+        return _flush_vectorized(
+            pdf, terms, shards, lens, docs_all, tfs_all, dls_all,
+            g_row_starts, g_row_ends, alive, pos_all=pos_all,
+        )
 
     def gen(batches):
         pending: pd.DataFrame | None = None
