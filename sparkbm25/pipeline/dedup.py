@@ -670,22 +670,32 @@ def minhash_lsh_pairs(
     buckets = buckets.filter(F.size("ds") >= 2)
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ds") <= max_bucket)
-    # all i<j position pairs of the bucket; least/greatest canonicalizes
-    # to doc_a < doc_b (collect_list order is nondeterministic)
-    pair_expr = F.explode(
-        F.flatten(
+    # all i<j position pairs via TWO generate steps, not
+    # explode(flatten(transform(transform))): the flatten shape
+    # materializes the whole k^2 pair array of a bucket IN ONE ROW before
+    # the explode — a popular-shingle mega-bucket (k ~ 10^4-10^5 under
+    # classic m=1 banding) then builds a 10^8+-element array in task
+    # memory, which measured SUPERLINEAR at 550k docs (r07
+    # BENCH_SF1_PIPELINE: linearity_x 5.6 on the exact path). posexplode
+    # first (one row per bucket member), then each row enumerates only
+    # its own i<j tail — identical pair multiset, per-row memory O(k).
+    # least/greatest canonicalizes to doc_a < doc_b (collect_list order
+    # is nondeterministic).
+    member = buckets.select(
+        F.col("ds"), F.posexplode("ds").alias("i", "x")
+    )
+    raw_pairs = member.select(
+        F.explode(
             F.transform(
-                F.col("ds"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ds"), i + 2, F.size("ds")),
-                    lambda y: F.struct(
-                        F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
-                    ),
+                F.slice(F.col("ds"), F.col("i") + 2,
+                        F.greatest(F.size("ds") - F.col("i") - 1, F.lit(0))),
+                lambda y: F.struct(
+                    F.least(F.col("x"), y).alias("a"),
+                    F.greatest(F.col("x"), y).alias("b"),
                 ),
             )
-        )
-    )
-    raw_pairs = buckets.select(pair_expr.alias("p")).select(
+        ).alias("p")
+    ).select(
         F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
     )
     if min_band_collisions > 1:
