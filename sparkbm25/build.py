@@ -490,45 +490,70 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
     group — at 160k (term, shard) groups that dominated the whole build
     (measured 36s of a 45s stage at sf0.1). Instead the runs are
     repartitioned on the group key and sorted within partitions; this
-    generator streams Arrow batches, carries the (possibly split) last
-    group over to the next batch, and merges each group with plain numpy —
-    per-group cost drops to ~0.1ms."""
+    generator streams Arrow record batches (mapInArrow, r07 — the
+    mapInPandas shape paid an arrow->pandas conversion of every run row
+    plus a bytes-object b"".join per stream; here each binary column's
+    data buffer IS the concatenated stream, read zero-copy through the
+    offsets), carries the (possibly split) last group over to the next
+    batch as a zero-copy table slice, and merges each group with plain
+    numpy — per-group cost ~0.1ms."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from .codecs import segment_delta_restore
 
     k1, b, bs = params.k1, params.b, params.block_size
 
-    def _flush_vectorized(pdf: pd.DataFrame, terms, shards, lens,
-                          docs_all, tfs_all, dls_all,
-                          g_row_starts, g_row_ends, alive,
-                          pos_all=None) -> pd.DataFrame:
-        """Merge vectorized ACROSS groups: one global (group, doc)
-        lexsort replaces the per-(term, shard) argsort loop, block
-        aggregates come from reduceat at block starts, and every vbyte
-        stream is encoded in ONE call then byte-sliced per block (the
-        stage-1 pattern) instead of 3-4 encode calls per block.
-        Byte-identical output to the former per-group path:
-        segment_delta_gaps at block starts == per-block delta_encode,
-        and slice boundaries land on the same per-value byte counts.
-        (The per-group loop cost ~190 core-s of the sf0.1 build's 440 at
-        160k groups — measured r07.)
+    def _bin_stream(tbl: "pa.Table", name: str):
+        """(stream bytes as one uint8 ndarray view, per-run byte counts)
+        from a binary column — the column's Arrow data buffer holds all
+        runs' bytes contiguously; the offsets vector IS the run length
+        table. Handles sliced arrays (non-zero offset)."""
+        col = tbl.column(name).combine_chunks()
+        bufs = col.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[
+            col.offset:col.offset + len(col) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+            else np.zeros(0, dtype=np.uint8)
+        return data[offs[0]:offs[-1]], np.diff(offs)
 
-        ``pos_all`` (r07, replaces the positional per-group loop): the
-        batch's token positions in PRE-SORT posting order. The posting
-        permutation is applied to the ragged position stream with one
-        global gather (old-start[perm] + within-offsets), the delta
-        restart runs once over posting-start boundaries, and blocks
-        slice the single encoded stream at block token boundaries —
-        per block this equals the former per-group loop's
-        vbyte_encode(segment_delta_gaps(slice, local_starts)) exactly
-        (pinned by tests/test_merge_positional_parity.py)."""
-        from .codecs import (
-            segment_delta_gaps,
-            slice_bytes,
-            vbyte_encode_with_sizes,
+    def _block_bin(buf: np.ndarray, val_sizes: np.ndarray,
+                   seg_starts: np.ndarray) -> "pa.Array":
+        """BinaryArray over ``buf`` sliced at segment starts (the stage-1
+        bin_col pattern): offsets index the single encoded buffer."""
+        seg_bytes = np.add.reduceat(val_sizes, seg_starts)
+        offsets = np.zeros(len(seg_bytes) + 1, dtype=np.int32)
+        offsets[1:] = np.cumsum(seg_bytes)
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), len(seg_bytes),
+            [None, pa.py_buffer(offsets), pa.py_buffer(buf)],
         )
 
-        n_groups = len(g_row_starts)
-        g_of_row = np.zeros(len(pdf), dtype=np.int64)
+    def _flush_vectorized(n_rows: int, terms, shards, lens,
+                          docs_all, tfs_all, dls_all,
+                          g_row_starts, alive,
+                          pos_all=None) -> "pa.RecordBatch | None":
+        """Merge vectorized ACROSS groups: one global (group, doc)
+        lexsort replaces any per-(term, shard) loop, block aggregates
+        come from reduceat at block starts, and every vbyte stream is
+        encoded in ONE call then offset-sliced per block. Byte-identical
+        output to the former per-group path: segment_delta_gaps at block
+        starts == per-block delta_encode, and slice boundaries land on
+        the same per-value byte counts (pinned by
+        tests/test_merge_positional_parity.py and the full-artifact hash
+        check recorded in OPTIMIZATION_r07.md). ``terms`` is the Arrow
+        string column — block terms come from a take, never per-row
+        Python strings.
+
+        ``pos_all``: the batch's token positions in PRE-SORT posting
+        order; the posting permutation is applied to the ragged stream
+        with one global gather, the delta restart runs once over
+        posting-start boundaries, and blocks slice the single encoded
+        stream at block token boundaries."""
+        from .codecs import segment_delta_gaps, vbyte_encode_arrays
+
+        g_of_row = np.zeros(n_rows, dtype=np.int64)
         g_of_row[g_row_starts] = 1
         g_of_row = np.cumsum(g_of_row) - 1
         pg = np.repeat(g_of_row, lens)
@@ -541,7 +566,7 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
                 docs_all[alive], tfs_all[alive], dls_all[alive], pg[alive]
             )
         if not len(docs_all):
-            return pd.DataFrame(columns=_BLOCK_COLS)
+            return None
         order = np.lexsort((docs_all, pg))
         d = docs_all[order]
         t_ = tfs_all[order]
@@ -551,7 +576,7 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
         bad = same_g & (np.diff(d) <= 0)
         if bad.any():
             g_bad = int(pg_s[int(np.flatnonzero(bad)[0])])
-            term_bad = terms[g_row_starts[g_bad]]
+            term_bad = terms[int(g_row_starts[g_bad])].as_py()
             raise ValueError(
                 f"duplicate doc_id in postings of term={term_bad!r}"
             )
@@ -572,9 +597,9 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
         bg = pg_s[b_starts]
         first_rows = g_row_starts[bg]
         gaps_b = segment_delta_gaps(d, b_starts)
-        docs_buf, docs_sz = vbyte_encode_with_sizes(gaps_b)
-        tfs_buf, tfs_sz = vbyte_encode_with_sizes(t_.astype(np.uint64))
-        dls_buf, dls_sz = vbyte_encode_with_sizes(l_.astype(np.uint64))
+        docs_buf, docs_sz = vbyte_encode_arrays(gaps_b)
+        tfs_buf, tfs_sz = vbyte_encode_arrays(t_.astype(np.uint64))
+        dls_buf, dls_sz = vbyte_encode_arrays(l_.astype(np.uint64))
         if pos_all is not None:
             # apply the posting permutation to the ragged position
             # stream: posting i's slice [old_start[i], old_start[i]+tf)
@@ -588,86 +613,109 @@ def _make_merge_gen(params: BuildParams, avgdl: float,
             )
             pos_sorted = pos_all[np.repeat(old_tok_starts[order], c_p) + within]
             pos_gaps = segment_delta_gaps(pos_sorted, new_tok_starts)
-            pos_buf, pos_sz = vbyte_encode_with_sizes(pos_gaps)
-            blk_tok_lens = np.add.reduceat(c_p, b_starts)
-            pos_col = slice_bytes(pos_buf, pos_sz, blk_tok_lens)
+            pos_buf, pos_sz = vbyte_encode_arrays(pos_gaps)
+            pos_col = _block_bin(pos_buf, pos_sz, new_tok_starts[b_starts])
         else:
-            pos_col = np.full(len(b_starts), None, dtype=object)
-        out = pd.DataFrame({
-            "term": terms[first_rows],
-            "shard_id": shards[first_rows].astype(np.int64),
-            "block_id": (pos_in_g[b_starts] // bs).astype(np.int64),
-            "n_docs": b_lens.astype(np.int64),
-            "first_doc": d[b_starts],
-            "last_doc": d[b_ends - 1],
-            "max_tf_norm": np.maximum.reduceat(tfn, b_starts),
-            "min_tf_norm": np.minimum.reduceat(tfn, b_starts),
-            "sum_tf": np.add.reduceat(t_, b_starts),
-            "max_tf": np.maximum.reduceat(t_, b_starts),
-            "min_tf": np.minimum.reduceat(t_, b_starts),
-            "min_dl": np.minimum.reduceat(l_, b_starts),
-            "max_dl": np.maximum.reduceat(l_, b_starts),
-            "docs_vbyte": slice_bytes(docs_buf, docs_sz, b_lens),
-            "tfs_vbyte": slice_bytes(tfs_buf, tfs_sz, b_lens),
-            "dls_vbyte": slice_bytes(dls_buf, dls_sz, b_lens),
-            "pos_vbyte": pos_col,
-        })
-        return out[_BLOCK_COLS]
+            pos_col = pa.nulls(len(b_starts), pa.binary())
+        return pa.RecordBatch.from_arrays(
+            [
+                terms.take(pa.array(first_rows)),
+                pa.array(shards[first_rows], type=pa.int64()),
+                pa.array((pos_in_g[b_starts] // bs).astype(np.int32)),
+                pa.array(b_lens.astype(np.int32)),
+                pa.array(d[b_starts], type=pa.int64()),
+                pa.array(d[b_ends - 1], type=pa.int64()),
+                pa.array(np.maximum.reduceat(tfn, b_starts)),
+                pa.array(np.minimum.reduceat(tfn, b_starts)),
+                pa.array(np.add.reduceat(t_, b_starts), type=pa.int64()),
+                pa.array(np.maximum.reduceat(t_, b_starts), type=pa.int64()),
+                pa.array(np.minimum.reduceat(t_, b_starts), type=pa.int64()),
+                pa.array(np.minimum.reduceat(l_, b_starts), type=pa.int64()),
+                pa.array(np.maximum.reduceat(l_, b_starts), type=pa.int64()),
+                _block_bin(docs_buf, docs_sz, b_starts),
+                _block_bin(tfs_buf, tfs_sz, b_starts),
+                _block_bin(dls_buf, dls_sz, b_starts),
+                pos_col,
+            ],
+            names=_BLOCK_COLS,
+        )
 
-    def flush(pdf: pd.DataFrame) -> pd.DataFrame:
-        terms = pdf["term"].to_numpy()
-        shards = pdf["shard_id"].to_numpy()
-        lens = pdf["n_docs"].to_numpy(dtype=np.int64)
+    def _boundaries(tbl: "pa.Table", terms, shards):
+        """Row mask of (term, shard) group starts."""
+        n = tbl.num_rows
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            t_neq = pc.not_equal(
+                terms.slice(1), terms.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+            change[1:] = t_neq | (shards[1:] != shards[:-1])
+        return change
+
+    def flush(tbl: "pa.Table") -> "pa.RecordBatch | None":
+        terms = tbl.column("term").combine_chunks()
+        shards = tbl.column("shard_id").to_numpy()
+        lens = tbl.column("n_docs").to_numpy().astype(np.int64)
         total = int(lens.sum())
         run_starts = np.r_[0, np.cumsum(lens)[:-1]]
-        # ONE decode call per stream for the whole batch, then per-run
-        # absolute reconstruction and per-group slicing — no per-run decode
-        gaps = vbyte_decode(b"".join(pdf["docs_vb"]), count=total)
+        # ONE decode per stream for the whole batch — the binary column's
+        # Arrow data buffer IS the concatenated stream
+        docs_stream, _ = _bin_stream(tbl, "docs_vb")
+        gaps = vbyte_decode(docs_stream, count=total)
         docs_all = segment_delta_restore(gaps, run_starts, lens)
-        tfs_all = vbyte_decode(b"".join(pdf["tfs_vb"]), count=total).astype(np.int64)
-        dls_all = vbyte_decode(b"".join(pdf["dls_vb"]), count=total).astype(np.int64)
+        tfs_all = vbyte_decode(
+            _bin_stream(tbl, "tfs_vb")[0], count=total
+        ).astype(np.int64)
+        dls_all = vbyte_decode(
+            _bin_stream(tbl, "dls_vb")[0], count=total
+        ).astype(np.int64)
         pos_all = None
         if params.store_positions:
             total_pos = int(tfs_all.sum())
-            pos_gaps = vbyte_decode(b"".join(pdf["pos_vb"]), count=total_pos)
+            pos_gaps = vbyte_decode(
+                _bin_stream(tbl, "pos_vb")[0], count=total_pos
+            )
             post_tok_starts = np.cumsum(tfs_all) - tfs_all
             pos_all = segment_delta_restore(
                 pos_gaps, post_tok_starts, tfs_all
             )
-        change = np.ones(len(pdf), dtype=bool)
-        change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        change = _boundaries(tbl, terms, shards)
         g_row_starts = np.flatnonzero(change)
-        g_row_ends = np.r_[g_row_starts[1:], len(pdf)]
         alive = None
         if tombstones is not None and len(tombstones[0]):
             from .codecs import dead_mask
 
             gseqs = np.repeat(
-                pdf["gseq"].to_numpy(dtype=np.int64), lens
+                tbl.column("gseq").to_numpy().astype(np.int64), lens
             )
             alive = ~dead_mask(docs_all, gseqs, tombstones[0], tombstones[1])
         return _flush_vectorized(
-            pdf, terms, shards, lens, docs_all, tfs_all, dls_all,
-            g_row_starts, g_row_ends, alive, pos_all=pos_all,
+            tbl.num_rows, terms, shards, lens, docs_all, tfs_all, dls_all,
+            g_row_starts, alive, pos_all=pos_all,
         )
 
     def gen(batches):
-        pending: pd.DataFrame | None = None
-        for pdf in batches:
-            if pending is not None and len(pending):
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-            if len(pdf) == 0:
+        pending: "pa.Table | None" = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if pending is not None and pending.num_rows:
+                tbl = pa.concat_tables([pending, tbl])
+            if tbl.num_rows == 0:
                 pending = None
                 continue
-            last_term = pdf["term"].iloc[-1]
-            last_shard = pdf["shard_id"].iloc[-1]
-            tail = (pdf["term"] == last_term) & (pdf["shard_id"] == last_shard)
-            pending = pdf[tail]
-            body = pdf[~tail]
-            if len(body):
-                yield flush(body)
-        if pending is not None and len(pending):
-            yield flush(pending)
+            terms = tbl.column("term").combine_chunks()
+            shards = tbl.column("shard_id").to_numpy()
+            change = _boundaries(tbl, terms, shards)
+            last_start = int(np.flatnonzero(change)[-1])
+            pending = tbl.slice(last_start)
+            if last_start == 0:
+                continue
+            out = flush(tbl.slice(0, last_start))
+            if out is not None and out.num_rows:
+                yield out
+        if pending is not None and pending.num_rows:
+            out = flush(pending)
+            if out is not None and out.num_rows:
+                yield out
 
     return gen
 
@@ -722,7 +770,7 @@ def build_postings(
     blocks = (
         runs.repartition(merged_parts, F.col("shard_id"), bucket)
         .sortWithinPartitions("shard_id", "term")
-        .mapInPandas(_make_merge_gen(params, stats.avgdl), schema=BLOCK_SCHEMA)
+        .mapInArrow(_make_merge_gen(params, stats.avgdl), schema=BLOCK_SCHEMA)
     )
     return blocks.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(params.num_term_buckets))

@@ -628,7 +628,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         new_blocks = (
             runs.repartition(merged_parts, F.col("shard_id"), bucket)
             .sortWithinPartitions("shard_id", "term")
-            .mapInPandas(
+            .mapInArrow(
                 _make_merge_gen(params, new_avgdl, tombstones=tomb),
                 schema=BLOCK_SCHEMA,
             )

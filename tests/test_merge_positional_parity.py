@@ -124,7 +124,11 @@ def test_vectorized_positional_merge_matches_group_loop(seed):
     params = BuildParams(store_positions=True, block_size=8,
                          lineage_groups=1)
     gen = _make_merge_gen(params, avgdl=37.5)
-    out = pd.concat(list(gen(iter([runs.drop(columns=["gseq"])]))),
+    import pyarrow as pa
+
+    rb = pa.RecordBatch.from_pandas(runs.drop(columns=["gseq"]),
+                                    preserve_index=False)
+    out = pd.concat([o.to_pandas() for o in gen(iter([rb]))],
                     ignore_index=True)
     ref_rows = []
     for (term, shard), (d, t, l, p) in truth.items():
@@ -154,7 +158,11 @@ def test_vectorized_positional_merge_with_tombstones():
     params = BuildParams(store_positions=True, block_size=8,
                          lineage_groups=1)
     gen = _make_merge_gen(params, avgdl=37.5, tombstones=(victims, seqs))
-    out = pd.concat(list(gen(iter([runs]))), ignore_index=True)
+    import pyarrow as pa
+
+    rb = pa.RecordBatch.from_pandas(runs, preserve_index=False)
+    out = pd.concat([o.to_pandas() for o in gen(iter([rb]))],
+                    ignore_index=True)
     ref_rows = []
     vset = set(victims.tolist())
     for (term, shard), (d, t, l, p) in truth.items():
